@@ -1,0 +1,205 @@
+"""HTML link-extraction and document-extraction kernels (stdlib html.parser).
+
+Single-node reference implementations; the Spark path wraps them in
+Arrow-batched pandas UDFs (functions/udfs.py) and must match byte-for-byte.
+
+Reference behaviors mirrored (semantics, not code):
+  * link extraction  -- LinkExtractor(tags=("a","area","va-link"), unique=True,
+    deny_extensions=FILTER_EXTENSIONS) at
+    search_gov_crawler/search_gov_spiders/spiders/domain_spider.py:79-92 with
+    lists in helpers/domain_spider.py:15-48 (extensions), :75 (tags).
+  * document extraction -- the backup Selector parse at
+    search_gov_crawler/indexing/parse.py:54-110: title/meta/og:*/lang
+    extraction plus body text from every text node that has no
+    a/button/style/script ancestor, whitespace-joined, then sanitized
+    (helpers/content.py).  newspaper4k (transform.py:31-41) is unavailable in
+    this environment, so the backup path is the canonical extractor here and
+    the fallback cascade (transform.py:42-72) coalesces from it.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from html.parser import HTMLParser
+from urllib.parse import urljoin
+
+from .textproc import detect_language, sanitize_text, summarize_text
+from .urlnorm import url_extension
+
+# Subset-faithful rendering of the reference FILTER_EXTENSIONS list
+# (helpers/domain_spider.py:15-48): binary/media/code assets never crawled.
+FILTER_EXTENSIONS = frozenset(
+    """7z 7zip apk avi bat bin bmp bz2 c cab cdr cmd com css csv dat deb dll dmg
+    exe flv gif gz ico img iso jar java jpeg jpg js json m4a m4v mid midi mkv
+    mov mp3 mp4 mpeg mpg msi odg odp ods odt ogg pct pict png pps ppt pptx psd
+    py ra ram rar rm rpm rss sh sit svg swf tar tgz wav webm webp wma wmv xls
+    xlsx xml xz z zip""".split()
+)
+
+LINK_TAGS = ("a", "area", "va-link")
+
+# text under these ancestors is excluded from extracted content
+# (parse.py:15-34 xpath: .//text()[not(ancestor::a|button|style|script)])
+_CONTENT_EXCLUDED = frozenset({"a", "button", "style", "script", "noscript"})
+_VOID_TAGS = frozenset({"area", "base", "br", "col", "embed", "hr", "img", "input", "link", "meta", "param", "source", "track", "wbr"})
+
+
+class _PageParser(HTMLParser):
+    """One-pass parser collecting links, metadata and content text."""
+
+    def __init__(self) -> None:
+        super().__init__(convert_charrefs=True)
+        self.links: list[str] = []
+        self.title_parts: list[str] = []
+        self.meta: dict[str, str] = {}
+        self.og: dict[str, str] = {}
+        self.html_lang: str | None = None
+        self.text_parts: list[str] = []
+        self._in_title = False
+        self._excluded_depth = 0
+        self._stack: list[str] = []
+
+    def handle_starttag(self, tag, attrs):
+        attrd = dict(attrs)
+        if tag == "html" and attrd.get("lang"):
+            self.html_lang = attrd["lang"].strip()
+        if tag in LINK_TAGS:
+            href = attrd.get("href")
+            if href:
+                self.links.append(href)
+        if tag == "meta":
+            name = (attrd.get("name") or "").lower()
+            prop = (attrd.get("property") or "").lower()
+            content = attrd.get("content") or ""
+            if name:
+                self.meta.setdefault(name, content)
+            if prop.startswith("og:"):
+                self.og.setdefault(prop[3:], content)
+        if tag == "title":
+            self._in_title = True
+        if tag in _VOID_TAGS:
+            return
+        self._stack.append(tag)
+        if tag in _CONTENT_EXCLUDED:
+            self._excluded_depth += 1
+
+    def handle_endtag(self, tag):
+        if tag == "title":
+            self._in_title = False
+        # pop to the matching open tag, tolerating unbalanced HTML
+        if tag in self._stack:
+            while self._stack:
+                popped = self._stack.pop()
+                if popped in _CONTENT_EXCLUDED:
+                    self._excluded_depth -= 1
+                if popped == tag:
+                    break
+
+    def handle_data(self, data):
+        if self._in_title:
+            self.title_parts.append(data)
+            return
+        if self._excluded_depth == 0 and data.strip():
+            self.text_parts.append(data)
+
+
+def parse_html(html: str) -> _PageParser:
+    parser = _PageParser()
+    try:
+        parser.feed(html)
+        parser.close()
+    except Exception:
+        pass  # salvage whatever was collected before the parse error
+    return parser
+
+
+def extract_links(html: str, base_url: str) -> list[str]:
+    """hrefs from LINK_TAGS, resolved against ``base_url``, extension-filtered,
+    per-page unique in first-seen order (LinkExtractor(unique=True) parity)."""
+    parser = parse_html(html)
+    seen: set[str] = set()
+    out: list[str] = []
+    for href in parser.links:
+        href = href.strip()
+        if not href or href.startswith(("javascript:", "mailto:", "tel:", "#", "data:")):
+            continue
+        absolute = urljoin(base_url, href)
+        if not absolute.startswith(("http://", "https://")):
+            continue
+        if url_extension(absolute) in FILTER_EXTENSIONS:
+            continue
+        if absolute not in seen:
+            seen.add(absolute)
+            out.append(absolute)
+    return out
+
+
+@dataclass
+class ExtractedDoc:
+    title: str = ""
+    description: str = ""
+    keywords: str = ""
+    language: str = ""
+    content: str = ""
+    summary: str = ""
+    top_keywords: str = ""
+    og_title: str = ""
+    og_description: str = ""
+    links: list[str] = field(default_factory=list)
+
+
+def extract_html_doc(html: str, url: str = "", lang_hint: str = "") -> ExtractedDoc:
+    """Full document extraction with the reference's coalescing cascade.
+
+    Field cascade parity (transform.py:42-72):
+      title       = og:title or <title>
+      description = meta description or og:description
+      language    = <html lang> 2-letter, else lang_hint, else detected
+      content     = sanitized body text (excluded-ancestor rule)
+      summary/top_keywords computed only when description/keywords missing
+      (transform.py:68-71 trigger).
+    """
+    parser = parse_html(html)
+    raw_title = sanitize_text("".join(parser.title_parts))
+    og_title = sanitize_text(parser.og.get("title", ""))
+    og_desc = sanitize_text(parser.og.get("description", ""))
+    meta_desc = sanitize_text(parser.meta.get("description", ""))
+    keywords = sanitize_text(parser.meta.get("keywords", ""))
+    meta_lang = parser.meta.get("language", "") or (parser.html_lang or "")
+    content = sanitize_text(" ".join(parser.text_parts))
+
+    language = (meta_lang or "").strip()[:2].lower()
+    if not language:
+        language = (lang_hint or "").strip()[:2].lower()
+    if not language:
+        language = detect_language(content)
+
+    title = og_title or raw_title
+    description = meta_desc or og_desc
+    summary, top_kw = "", ""
+    if not description or not keywords:
+        summary, top_kw = summarize_text(content, language)
+        if not description:
+            description = summary
+        if not keywords:
+            keywords = top_kw
+
+    return ExtractedDoc(
+        title=title,
+        description=description,
+        keywords=keywords,
+        language=language,
+        content=content,
+        summary=summary,
+        top_keywords=top_kw,
+        og_title=og_title,
+        og_description=og_desc,
+        links=extract_links(html, url) if url else extract_links(html, "http://localhost/"),
+    )
+
+
+def extract_text(html_bytes: bytes, url: str = "", lang_hint: str = "") -> str:
+    """The byte-parity surface: decoded html -> extracted, sanitized content."""
+    from .textproc import decode_bytes
+
+    return extract_html_doc(decode_bytes(html_bytes), url, lang_hint).content

@@ -1,0 +1,220 @@
+"""Text-processing kernels (pure Python, batch-vectorizable).
+
+Single-node reference implementations of the text semantics of the extraction
+stack.  The Spark path wraps these in Arrow-batched pandas UDFs and must
+produce byte-identical output per row.
+
+Reference behaviors mirrored (semantics only, no code copied):
+  * sanitize_text     -- search_gov_crawler/search_gov_spiders/helpers/content.py:1-57
+  * decode_bytes      -- search_gov_crawler/search_gov_spiders/helpers/encoding.py:9-33
+  * detect_language   -- search_gov_crawler/indexing/helpers.py:68-82 (langdetect
+                         surrogate: deterministic stopword-profile n-gram heuristic,
+                         since langdetect is unavailable in this environment)
+  * summarize_text    -- search_gov_crawler/indexing/helpers.py:85-140 (nltk surrogate:
+                         regex sentence/word tokenizers with identical scoring rules)
+"""
+
+from __future__ import annotations
+
+import re
+
+# --- sanitization ----------------------------------------------------------
+
+_ENTITIES = {"&#13;": "\r", "&#10;": "\n", "&nbsp;": " ", "&amp;": "&", "&lt;": "<", "&gt;": ">", "&quot;": '"', "&#39;": "'"}
+
+# A newline is kept (as a space) only when the previous non-space character
+# ends a sentence/clause; otherwise lines are joined directly.  Mirrors the
+# reference's NON_PUNCTUATION_NEWLINES collapse (helpers/content.py:5,18-26).
+_SENTENCE_END = ".!?:;\"')]}"
+
+_NON_PRINTABLE_RE = re.compile(r"[\x00-\x08\x0b\x0c\x0e-\x1f\x7f]")
+_WS_SQUASH_RE = re.compile(r"[ \t\f\v]+")
+
+
+def clean_line(line: str) -> str:
+    """Squash internal whitespace and strip a single line."""
+    return _WS_SQUASH_RE.sub(" ", line).strip()
+
+
+def sanitize_text(text: str) -> str:
+    """Entity replace, strip non-printables, newline collapse, whitespace squash.
+
+    Deterministic reimplementation of the reference sanitize pipeline
+    (helpers/content.py:29-42): entity decode -> drop control chars ->
+    join lines (space-joined after sentence punctuation, space-joined
+    otherwise too but empty lines dropped) -> squash runs of spaces.
+    """
+    for entity, repl in _ENTITIES.items():
+        text = text.replace(entity, repl)
+    text = _NON_PRINTABLE_RE.sub("", text)
+    lines = [clean_line(ln) for ln in text.splitlines()]
+    lines = [ln for ln in lines if ln]
+    return _WS_SQUASH_RE.sub(" ", " ".join(lines)).strip()
+
+
+# --- encoding cascade ------------------------------------------------------
+
+
+def decode_bytes(data: bytes) -> str:
+    """utf-8 first, then latin-1, then lossy utf-8.
+
+    The reference tries utf-8, then cchardet detection, then ``str(bytes)``
+    (helpers/encoding.py:9-33).  cchardet is unavailable here; latin-1 is the
+    deterministic total fallback (it decodes any byte string), with a final
+    utf-8-replace guard kept for parity of shape.
+    """
+    try:
+        return data.decode("utf-8")
+    except UnicodeDecodeError:
+        pass
+    try:
+        return data.decode("latin-1")
+    except UnicodeDecodeError:  # pragma: no cover - latin-1 cannot fail
+        return data.decode("utf-8", errors="replace")
+
+
+# --- tokenization / language / quality --------------------------------------
+
+_TOKEN_RE = re.compile(r"[a-z0-9]+(?:'[a-z]+)?")
+_SENT_SPLIT_RE = re.compile(r"(?<=[.!?])\s+")
+
+# Compact stopword profiles per language.  Deterministic language-ID
+# heuristic: score = fraction of tokens found in each profile; best score
+# wins, ties broken alphabetically; default "en" on no evidence.
+STOPWORDS: dict[str, frozenset[str]] = {
+    "en": frozenset(
+        "the of and to in a is that it for on with as are was at by an be this have from or "
+        "had not but what all were when we there can more if out so up said who they you your "
+        "which their will each about how has he she his her them then than some these other".split()
+    ),
+    "es": frozenset(
+        "el la de que y a en un ser se no haber por con su para como estar tener le lo lo "
+        "todo pero mas hacer o poder decir este ir otro ese si me ya ver porque dar cuando".split()
+    ),
+    "fr": frozenset(
+        "le de un etre et a il avoir ne je son que se qui ce dans en du elle au pour pas "
+        "vous par sur faire plus dire me on mon lui nous comme mais pouvoir avec tout".split()
+    ),
+    "de": frozenset(
+        "der die und in den von zu das mit sich des auf fur ist im dem nicht ein eine als "
+        "auch es an werden aus er hat dass sie nach wird bei einer um am sind noch wie".split()
+    ),
+    "zh": frozenset("的 一 是 在 不 了 有 和 人 这 中 大 为 上 个 国 我 以 要 他 时 来 用 们".split()),
+}
+
+_LANG_ORDER = sorted(STOPWORDS)
+
+
+def tokenize(text: str) -> list[str]:
+    """Lowercase word tokens (ASCII alnum runs with optional apostrophe)."""
+    return _TOKEN_RE.findall(text.lower())
+
+
+def token_count(text: str) -> int:
+    return len(_TOKEN_RE.findall(text.lower()))
+
+
+def detect_language(text: str, default: str = "en") -> str:
+    """Deterministic stopword-profile language ID over the first 400 chars.
+
+    Surrogate for the reference's langdetect call on a 64-char prefix
+    (indexing/helpers.py:68-82); 2-letter code output is preserved.
+    """
+    sample = text[:400]
+    tokens = tokenize(sample)
+    if not tokens:
+        return default
+    best_lang, best_score = default, 0.0
+    for lang in _LANG_ORDER:
+        profile = STOPWORDS[lang]
+        score = sum(1 for t in tokens if t in profile) / len(tokens)
+        if score > best_score:
+            best_lang, best_score = lang, score
+    return best_lang if best_score > 0 else default
+
+
+def quality_score(text: str) -> float:
+    """Heuristic document quality in [0, 1].
+
+    Components (equal weight): length band (50..5000 tokens), alpha ratio,
+    stopword ratio band (0.1..0.6), mean-word-length band (3..10).
+    Deterministic; used for training-data filtering.
+    """
+    tokens = tokenize(text)
+    n = len(tokens)
+    if n == 0:
+        return 0.0
+    length_ok = 1.0 if 50 <= n <= 5000 else (n / 50.0 if n < 50 else 5000.0 / n)
+    alpha_chars = sum(1 for c in text if c.isalpha())
+    alpha_ratio = alpha_chars / max(1, len(text))
+    sw = STOPWORDS["en"]
+    sw_ratio = sum(1 for t in tokens if t in sw) / n
+    sw_ok = 1.0 if 0.1 <= sw_ratio <= 0.6 else 0.0
+    mean_len = sum(len(t) for t in tokens) / n
+    len_ok = 1.0 if 3.0 <= mean_len <= 10.0 else 0.0
+    return round((length_ok + alpha_ratio + sw_ok + len_ok) / 4.0, 6)
+
+
+# --- summarization (reference indexing/helpers.py:85-140) -------------------
+
+
+def split_sentences(text: str) -> list[str]:
+    parts = _SENT_SPLIT_RE.split(text)
+    return [p.strip() for p in parts if p.strip()]
+
+
+def word_frequencies(text: str, lang: str = "en") -> dict[str, int]:
+    """Token frequency excluding stopwords/non-alnum (helpers.py:116-127)."""
+    sw = STOPWORDS.get(lang, STOPWORDS["en"])
+    freq: dict[str, int] = {}
+    for tok in tokenize(text):
+        if tok in sw:
+            continue
+        freq[tok] = freq.get(tok, 0) + 1
+    return freq
+
+
+def summarize_text(text: str, lang: str = "en") -> tuple[str, str]:
+    """(top-3-sentence summary, top-10 comma-joined keywords).
+
+    Scoring mirrors the reference: sentence score = sum of word frequencies
+    (helpers.py:128-132); top sentences re-joined in score order using Python
+    ``sorted`` stability for tie-break (helpers.py:134-138) -- the stability
+    is deliberately preserved for byte parity.
+    """
+    freq = word_frequencies(text, lang)
+    sentences = split_sentences(text)
+    scored = [(sum(freq.get(t, 0) for t in tokenize(s)), i, s) for i, s in enumerate(sentences)]
+    top = sorted(scored, key=lambda x: -x[0])[:3]
+    summary = " ".join(s for _, _, s in top)
+    keywords = ",".join(w for w, _ in sorted(freq.items(), key=lambda kv: (-kv[1], kv[0]))[:10])
+    return summary, keywords
+
+
+# --- fingerprinting ----------------------------------------------------------
+
+_FNV_OFFSET = 0xCBF29CE484222325
+_FNV_PRIME = 0x100000001B3
+_MASK64 = (1 << 64) - 1
+
+
+def fnv1a_64(data: str) -> int:
+    """64-bit FNV-1a over utf-8 bytes (unsigned)."""
+    h = _FNV_OFFSET
+    for b in data.encode("utf-8"):
+        h = ((h ^ b) * _FNV_PRIME) & _MASK64
+    return h
+
+
+def document_fingerprint(text: str, window: int = 8) -> int:
+    """Winnowing-style fingerprint: min FNV-1a hash over token ``window``-grams,
+    returned as signed 64-bit (Spark LongType compatible).  Deterministic and
+    case/whitespace-normalized via the tokenizer."""
+    tokens = tokenize(text)
+    if not tokens:
+        return 0
+    if len(tokens) <= window:
+        h = fnv1a_64(" ".join(tokens))
+    else:
+        h = min(fnv1a_64(" ".join(tokens[i : i + window])) for i in range(len(tokens) - window + 1))
+    return h - (1 << 64) if h >= (1 << 63) else h

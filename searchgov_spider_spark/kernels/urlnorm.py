@@ -1,0 +1,176 @@
+"""URL canonicalization and URL-part kernels (pure Python, vectorizable).
+
+Single-node reference implementations of the URL semantics the crawl engine
+relies on.  These functions are the byte-parity oracle: the distributed
+pandas-UDF path (searchgov_spider_spark.functions.udfs) calls exactly these
+kernels, so the Spark output per URL is byte-identical to a single-node run.
+
+Semantics mirror the reference crawler's request-fingerprint canonicalization
+(reference: search_gov_crawler/search_gov_spiders/job_state/dupefilter.py:8-25,
+which inherits scrapy-redis RFPDupeFilter -> scrapy RequestFingerprinter ->
+w3lib.url.canonicalize_url) and its URL helpers
+(reference: search_gov_crawler/search_gov_spiders/middlewares.py:45-65,
+search_gov_crawler/indexing/helpers.py:143-192).  Implemented from the public
+w3lib/RFC-3986 specification -- no reference code is copied.
+
+Canonicalization spec (north_rule):
+  * scheme and host lowercased
+  * default ports stripped (http:80, https:443, ftp:21)
+  * fragment removed
+  * query parameters parsed with blank values kept, sorted by (key, value),
+    re-encoded with a stable quoting alphabet
+  * path percent-encoding normalized (unquote then re-quote, preserving
+    reserved characters), empty path -> "/"
+"""
+
+from __future__ import annotations
+
+import hashlib
+import posixpath
+import re
+from urllib.parse import (
+    parse_qsl,
+    quote,
+    unquote,
+    urlencode,
+    urlsplit,
+    urlunsplit,
+)
+
+DEFAULT_PORTS = {"http": 80, "https": 443, "ftp": 21, "ws": 80, "wss": 443}
+
+# characters left un-escaped when re-quoting paths; matches the conservative
+# RFC-3986 path charset used by w3lib.safe_url_string
+_PATH_SAFE = "/@:;,!$&'()*+=~-._"
+_QUERY_SAFE = "-._~"
+
+_JSESSIONID_RE = re.compile(r";jsessionid=[^?#/]*", re.IGNORECASE)
+
+
+def canonicalize_url(url: str) -> str:
+    """Canonical form of ``url`` per the north_rule spec (see module doc)."""
+    url = url.strip()
+    parts = urlsplit(url)
+    scheme = parts.scheme.lower() or "http"
+
+    host = (parts.hostname or "").lower().rstrip(".")
+    # rebuild netloc: userinfo + host + non-default port
+    netloc = host
+    if parts.username:
+        userinfo = parts.username
+        if parts.password:
+            userinfo += f":{parts.password}"
+        netloc = f"{userinfo}@{netloc}"
+    try:
+        port = parts.port
+    except ValueError:
+        port = None
+    if port is not None and DEFAULT_PORTS.get(scheme) != port:
+        netloc = f"{netloc}:{port}"
+
+    path = quote(unquote(parts.path), safe=_PATH_SAFE) or "/"
+
+    keyvals = parse_qsl(parts.query, keep_blank_values=True)
+    keyvals.sort()
+    query = urlencode(keyvals, safe=_QUERY_SAFE)
+
+    return urlunsplit((scheme, netloc, path, query, ""))
+
+
+def strip_jsessionid(url: str) -> str:
+    """Remove a ``;jsessionid=...`` path segment.
+
+    Mirrors reference middlewares.py:58-65 (_remove_url_jsession_id), which
+    only rewrites when "jsessionid" appears case-insensitively (call-site
+    guard middlewares.py:120-123).
+    """
+    if "jsessionid" not in url.lower():
+        return url
+    return _JSESSIONID_RE.sub("", url)
+
+
+def url_host(url: str) -> str:
+    """Lowercased hostname of ``url`` ('' when unparseable)."""
+    return (urlsplit(url).hostname or "").lower()
+
+
+def url_path(url: str) -> str:
+    """Path component (reference indexing/helpers.py:153-156 get_url_path)."""
+    return urlsplit(url).path
+
+
+def url_query(url: str) -> str:
+    return urlsplit(url).query
+
+
+def ensure_http_prefix(url: str) -> str:
+    """Prefix scheme-less URLs with https:// (reference indexing/helpers.py:143-150)."""
+    if re.match(r"^[a-zA-Z][a-zA-Z0-9+.-]*://", url):
+        return url
+    return f"https://{url}"
+
+
+def url_extension(url: str) -> str:
+    """Lowercased final-segment file extension without the dot ('' if none)."""
+    path = urlsplit(url).path
+    base = posixpath.basename(path)
+    if "." not in base:
+        return ""
+    return base.rsplit(".", 1)[1].lower()
+
+
+def url_basename(url: str) -> str:
+    """Final path segment stem (reference indexing/helpers.py:159-166)."""
+    base = posixpath.basename(urlsplit(url).path)
+    if "." in base:
+        return base.rsplit(".", 1)[0]
+    return base
+
+
+def domain_name(url: str) -> str:
+    """Hostname without a leading ``www.`` (reference indexing/helpers.py:169-173)."""
+    host = url_host(url)
+    return host[4:] if host.startswith("www.") else host
+
+
+def doc_id(url: str) -> str:
+    """sha256 hex of the http-prefixed URL (reference indexing/helpers.py:176-179)."""
+    return hashlib.sha256(ensure_http_prefix(url).encode("utf-8")).hexdigest()
+
+
+def url_seen_hash(url_canon: str) -> int:
+    """Stable signed-64-bit hash of a canonical URL for the seen-set.
+
+    Uses blake2b-8byte (stable across processes, unlike ``hash()``);
+    interpreted as signed to match Spark LongType.
+    """
+    digest = hashlib.blake2b(url_canon.encode("utf-8"), digest_size=8).digest()
+    value = int.from_bytes(digest, "big", signed=True)
+    return value
+
+
+def dap_domain_normalize(url_or_domain: str) -> str:
+    """Strip scheme/path, lowercase, strip www. (reference dap/transform.py:61-71)."""
+    value = url_or_domain.strip().lower()
+    value = re.sub(r"^[a-z][a-z0-9+.-]*://", "", value)
+    value = value.split("/", 1)[0].split("?", 1)[0].split("#", 1)[0]
+    if value.startswith("www."):
+        value = value[4:]
+    return value
+
+
+def dap_domain_is_valid(domain: str) -> bool:
+    """Validity filter for DAP domains (reference dap/transform.py:9-34).
+
+    Rejects empty, "(not set)", purely-numeric, leading-dot and dot-less
+    entries.
+    """
+    if not domain or domain == "(not set)":
+        return False
+    if domain.startswith("."):
+        return False
+    if "." not in domain:
+        return False
+    if domain.replace(".", "").isdigit():
+        return False
+    return True
