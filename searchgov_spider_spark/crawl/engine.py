@@ -1,0 +1,294 @@
+"""The crawl engine: BFS micro-batch round loop with checkpoint/resume.
+
+Spark rebuild of the reference's Scrapy engine loop (SURVEY.md §3.1):
+each round is one micro-batch over the frontier —
+
+  frontier -> politeness budget selection (P1) -> simulated fetch join
+  against the pages table (J4; a real deployment swaps in a mapInArrow HTTP
+  client per partition, S4) -> Arrow-UDF extraction (X1-X18) -> link
+  discovery (F1) -> admission filters + dedup (F2-F7) -> global FIFO seq
+  assignment (O1) -> frontier/seen checkpoint (T1) -> metrics (A7).
+
+Round state lives in parquet round-directories committed by manifest
+(storage.tables.CheckpointStore) so a killed run resumes from the last
+committed round with an identical visited-URL set (north_rule).
+
+Politeness: per-host budget = floor(round_seconds / crawl_delay).  When the
+bucket capacity equals the round length this is the exact token-bucket
+steady state (see politeness.static_budgets); a dynamic token-bucket path
+(politeness.refill_tokens/spend_tokens) exists for burst capacities.
+
+Scale notes (10^10 frontier design point):
+  * no driver-side URL collections — only counts, offsets, and Bloom bitmaps
+    cross the driver;
+  * the pages side of the fetch join is repartitioned once on url_canon and
+    persisted, so each round shuffles only the (politeness-bounded) fetch
+    batch;
+  * per-host selection is salt-parallel on hot hosts
+    (politeness.select_per_host_static);
+  * per-round lineage is cut by the parquet frontier checkpoint; the seen
+    set is kept as an incrementally-persisted union whose durable copy is
+    the per-round seen-delta parquet.
+"""
+
+from __future__ import annotations
+
+import time
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, Observation, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions import udfs
+from ..storage.tables import CheckpointStore
+from . import politeness
+from .bloom import PartitionedBloom, bloom_from_df, build_shard_bitmaps
+from .frontier import (
+    apply_admission_filters,
+    apply_robots_filter,
+    dedup_against_seen,
+    dedup_first_in_batch,
+)
+from .reference_bfs import CrawlPolicy
+from .seqno import assign_global_seq
+
+FRONTIER_COLS = ["url_canon", "url_hash", "host", "depth", "seq", "source_url"]
+SEEN_COLS = ["url_hash", "url_canon", "depth", "seq"]
+
+
+@dataclass
+class CrawlRun:
+    checkpoint: CheckpointStore
+    rounds: int = 0
+    metrics: list[dict] = field(default_factory=list)
+
+    def documents(self, spark: SparkSession) -> DataFrame | None:
+        return self.checkpoint.read_documents(spark)
+
+    def seen(self, spark: SparkSession) -> DataFrame | None:
+        last = self.checkpoint.last_committed()
+        return None if last is None else self.checkpoint.read_seen(spark, last)
+
+    def total_fetched(self) -> int:
+        return sum(m.get("fetched", 0) for m in self.metrics)
+
+
+class CrawlEngine:
+    def __init__(
+        self,
+        spark: SparkSession,
+        pages: DataFrame,
+        robots: DataFrame | None,
+        policy: CrawlPolicy,
+        checkpoint_dir: str,
+        round_seconds: float = 3600.0,
+        bloom_shards: int = 16,
+        bloom_bits: int = 1 << 20,
+        fetch_partitions: int | None = None,
+        hot_host_threshold: int = 200_000,
+    ):
+        self.spark = spark
+        self.policy = policy
+        self.store = CheckpointStore(checkpoint_dir)
+        self.round_seconds = round_seconds
+        self.default_budget = max(1, int(round_seconds / politeness.DEFAULT_CRAWL_DELAY))
+        self.bloom_shards = bloom_shards
+        self.bloom_bits = bloom_bits
+        self.hot_host_threshold = hot_host_threshold
+        self.fetch_partitions = fetch_partitions or max(8, spark.sparkContext.defaultParallelism)
+        self.robots = robots.persist() if robots is not None else None
+        self.budgets = politeness.static_budgets(self.robots, round_seconds)
+        if self.budgets is not None:
+            self.budgets = self.budgets.persist()
+        # fetch store: canonical-keyed pages, partitioned once on the join key
+        # so per-round fetch joins shuffle only the fetch batch (J4)
+        self.pages = (
+            pages.withColumn("url_canon", udfs.canonicalize_url(F.col("url")))
+            .select("url_canon", "html", "lang")
+            .repartition(self.fetch_partitions, "url_canon")
+            .persist()
+        )
+        self.pages.count()  # materialize once
+
+    # -- bootstrap -------------------------------------------------------------
+    def _bootstrap(self, start_urls: list[str]) -> DataFrame:
+        """Admit the seed URLs (depth 0, FIFO = listing order)."""
+        seeds = self.spark.createDataFrame(
+            [(u, 0, "", i) for i, u in enumerate(start_urls)],
+            "url string, depth int, source_url string, pos int",
+        )
+        admitted = apply_admission_filters(seeds, self.policy)
+        admitted = apply_robots_filter(admitted, self.robots)
+        admitted = dedup_first_in_batch(admitted, ["pos"])
+        admitted, _ = assign_global_seq(admitted, ["pos"], start=0)
+        return admitted.select(*FRONTIER_COLS)
+
+    # -- one round ---------------------------------------------------------------
+    def _run_round(
+        self,
+        rnd: int,
+        frontier: DataFrame,
+        seen: DataFrame,
+        bloom: PartitionedBloom,
+        next_seq: int,
+        frontier_hint: int = 0,
+    ) -> tuple[dict, DataFrame]:
+        t0 = time.monotonic()
+        timings: dict[str, float] = {}
+        _last = [t0]
+
+        def mark(name: str) -> None:
+            now = time.monotonic()
+            timings[name] = round(now - _last[0], 3)
+            _last[0] = now
+
+        # politeness-capped FIFO selection (static budgets; see module doc)
+        salt = 8 if frontier_hint > self.hot_host_threshold else 1
+        selected = politeness.select_per_host_static(
+            frontier, self.budgets, self.default_budget, salt_buckets=salt
+        ).persist()
+
+        # fetch join (simulated network: S4/J4) + extraction (X1-X18)
+        fetched = selected.join(self.pages, "url_canon", "left")
+        found = fetched.filter(F.col("html").isNotNull())
+        extracted = (
+            found.withColumn("doc", udfs.extract_doc(F.col("html"), F.col("url_canon"), F.col("lang")))
+            .withColumn("links", udfs.extract_links(F.col("html"), F.col("url_canon")))
+            .select("url_canon", "url_hash", "host", "depth", "seq", "source_url", "doc", "links")
+            .persist()
+        )
+        documents = extracted.select(
+            udfs.doc_id(F.col("url_canon")).alias("id"),
+            F.col("url_canon").alias("url"),
+            F.col("source_url"),
+            udfs.domain_name(F.col("url_canon")).alias("domain_name"),
+            F.col("depth").alias("crawl_depth"),
+            F.col("seq"),
+            F.col("doc.title").alias("title"),
+            F.col("doc.description").alias("description"),
+            F.col("doc.keywords").alias("keywords"),
+            F.col("doc.language").alias("language"),
+            F.col("doc.content").alias("content"),
+        )
+        obs_docs = Observation()
+        self.store.write_table(documents.observe(obs_docs, F.count(F.lit(1)).alias("n")), rnd, "documents")
+        n_docs = int(obs_docs.get["n"])
+        n_selected = selected.count()  # cached — cheap after the write above
+        mark("fetch_extract_docs")
+
+        if n_selected == 0:
+            remaining = frontier.count()
+            selected.unpersist()
+            extracted.unpersist()
+            metrics = {
+                "selected": 0, "fetched": 0, "missed": 0, "admitted": 0,
+                "remaining": remaining, "next_seq": next_seq,
+                "round_wall_s": round(time.monotonic() - t0, 3),
+                "timings": timings, "stop": remaining == 0,
+            }
+            # still checkpoint an (unchanged) frontier so the round commits
+            self.store.write_table(frontier, rnd, "frontier")
+            self.store.write_seen_delta(seen.limit(0), rnd)
+            return metrics, seen
+
+        # discovery (F1) -> admission (F2-F6) -> dedup (F7) -> FIFO seq (O1)
+        discovered = extracted.select(
+            F.col("url_canon").alias("source_url"),
+            F.col("depth").alias("parent_depth"),
+            F.col("seq").alias("parent_seq"),
+            F.posexplode_outer(F.col("links")).alias("pos", "url"),
+        ).filter(F.col("url").isNotNull())
+        candidates = apply_admission_filters(
+            discovered.withColumn("depth", F.col("parent_depth") + 1).drop("parent_depth"),
+            self.policy,
+        )
+        candidates = apply_robots_filter(candidates, self.robots)
+        candidates = dedup_first_in_batch(candidates, ["parent_seq", "pos"])
+        new_admits = dedup_against_seen(self.spark, candidates, seen, bloom)
+        new_admits, n_admitted = assign_global_seq(new_admits, ["parent_seq", "pos"], start=next_seq)
+        new_admits = new_admits.persist()
+        mark("admission_seq")
+
+        # state transition + checkpoint
+        frontier_next = (
+            frontier.join(selected.select("seq"), "seq", "left_anti")
+            .select(*FRONTIER_COLS)
+            .unionByName(new_admits.select(*FRONTIER_COLS))
+        )
+        obs_frontier = Observation()
+        self.store.write_table(
+            frontier_next.observe(obs_frontier, F.count(F.lit(1)).alias("n")), rnd, "frontier"
+        )
+        remaining = int(obs_frontier.get["n"])
+        mark("frontier_write")
+
+        seen_delta = new_admits.select(*SEEN_COLS)
+        self.store.write_seen_delta(seen_delta, rnd)
+        if n_admitted > 0:
+            for shard_id, bitmap in build_shard_bitmaps(
+                new_admits, "url_hash", self.bloom_shards, self.bloom_bits, bloom.k
+            ):
+                bloom.merge_shard_bytes(shard_id, bitmap)
+        mark("seen_bloom")
+
+        # rebuild `seen` from the durable deltas: a single flat multi-path
+        # parquet relation — the lineage must NOT chain through this round's
+        # anti-join or the logical plan doubles every round
+        seen.unpersist()
+        seen_next = self.store.read_seen(self.spark, rnd).persist()
+        selected.unpersist()
+        extracted.unpersist()
+        new_admits.unpersist()
+
+        metrics = {
+            "selected": n_selected,
+            "fetched": n_docs,
+            "missed": n_selected - n_docs,
+            "admitted": n_admitted,
+            "remaining": remaining,
+            "next_seq": next_seq + n_admitted,
+            "round_wall_s": round(time.monotonic() - t0, 3),
+            "timings": timings,
+            "stop": remaining == 0,
+        }
+        return metrics, seen_next
+
+    # -- public API ---------------------------------------------------------------
+    def run(self, start_urls: list[str], max_rounds: int = 1000, resume: bool = False) -> CrawlRun:
+        spark = self.spark
+        run = CrawlRun(checkpoint=self.store)
+
+        last = self.store.last_committed() if resume else None
+        if last is not None:
+            manifest = self.store.read_manifest(last)
+            if manifest.get("stop"):
+                run.rounds = last + 1
+                return run
+            frontier = self.store.read_table(spark, last, "frontier")
+            next_seq = manifest["next_seq"]
+            seen = self.store.read_seen(spark, last).persist()
+            bloom = bloom_from_df(seen, "url_hash", self.bloom_shards, self.bloom_bits)
+            start_round = last + 1
+            self.store.drop_uncommitted(start_round)
+            frontier_hint = manifest.get("remaining", 0)
+        else:
+            frontier = self._bootstrap(start_urls).persist()
+            next_seq = frontier.count()
+            # seeds enter the seen set at admission time (T1/F7)
+            frontier.select(*SEEN_COLS).write.mode("overwrite").parquet(self.store.seed_seen_dir())
+            seen = spark.read.parquet(self.store.seed_seen_dir()).persist()
+            bloom = bloom_from_df(seen, "url_hash", self.bloom_shards, self.bloom_bits)
+            start_round = 0
+            frontier_hint = next_seq
+
+        for rnd in range(start_round, start_round + max_rounds):
+            metrics, seen = self._run_round(rnd, frontier, seen, bloom, next_seq, frontier_hint)
+            next_seq = metrics["next_seq"]
+            frontier_hint = metrics["remaining"]
+            self.store.commit_round(rnd, {k: v for k, v in metrics.items() if k != "timings"} | {"timings": metrics["timings"]})
+            run.metrics.append({"round": rnd, **metrics})
+            run.rounds = rnd + 1
+            if metrics["stop"]:
+                break
+            frontier = self.store.read_table(spark, rnd, "frontier")
+        return run

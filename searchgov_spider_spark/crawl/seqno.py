@@ -1,0 +1,77 @@
+"""Distributed FIFO sequence assignment (no single-partition window).
+
+The frontier needs a dense global discovery sequence (the FIFO contract of
+the reference's Redis queue, job_state/queue.py:4-15).  A naive
+``row_number().over(Window.orderBy(...))`` collapses to ONE partition — a
+non-starter at 10^10 rows.  This helper assigns the same numbers with a
+two-pass range-partitioned scheme that stays fully distributed:
+
+  1. range-repartition + sort within partitions by the order columns;
+  2. persist, count rows per partition (tiny driver-side offset table);
+  3. per-partition ``row_number`` (partition-local window — no extra
+     shuffle) + broadcast-joined offset.
+
+The persist between passes pins the range boundaries so both passes see the
+same partitioning (range partitioning samples its input).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+SMALL_BATCH_THRESHOLD = 65_536
+
+
+def assign_global_seq(
+    df: DataFrame,
+    order_cols: list[str],
+    seq_col: str = "seq",
+    start: int = 0,
+    num_partitions: int | None = None,
+    small_threshold: int = SMALL_BATCH_THRESHOLD,
+) -> tuple[DataFrame, int]:
+    """Dense global sequence ``start..start+n-1`` in ``order_cols`` order.
+
+    Returns ``(df_with_seq, total_rows)``.  The input is persisted during
+    assignment (the caller's next action materializes the result cheaply).
+    Small batches (< small_threshold) take a single-partition window — the
+    right plan for a bounded batch; large batches take the two-pass
+    range-partitioned scheme described above.  Deterministic either way.
+    """
+    spark = df.sparkSession
+    df = df.persist()
+    total = df.count()
+    if total == 0:
+        return df.withColumn(seq_col, F.lit(0).cast("long")), 0
+    if total < small_threshold:
+        w = Window.orderBy(*[F.col(c) for c in order_cols])
+        out = df.withColumn(seq_col, (F.row_number().over(w) + F.lit(start) - 1).cast("long"))
+        return out, total
+
+    if num_partitions is None:
+        num_partitions = max(1, spark.sparkContext.defaultParallelism)
+    ranged = df.repartitionByRange(num_partitions, *[F.col(c) for c in order_cols]).sortWithinPartitions(
+        *order_cols
+    )
+    ranged = ranged.withColumn("_pid", F.spark_partition_id())
+    ranged.persist()
+    counts = {r["_pid"]: r["cnt"] for r in ranged.groupBy("_pid").agg(F.count("*").alias("cnt")).collect()}
+    offsets = {}
+    running = start
+    for pid in sorted(counts):
+        offsets[pid] = running
+        running += counts[pid]
+    offsets_df = F.broadcast(
+        spark.createDataFrame([(int(p), int(o)) for p, o in offsets.items()], "_pid int, _offset long")
+    )
+    w = Window.partitionBy("_pid").orderBy(*[F.col(c) for c in order_cols])
+    out = (
+        ranged.withColumn("_rn", F.row_number().over(w))
+        .join(offsets_df, "_pid")
+        .withColumn(seq_col, (F.col("_offset") + F.col("_rn") - F.lit(1)).cast("long"))
+        .drop("_pid", "_rn", "_offset")
+    )
+    return out, total

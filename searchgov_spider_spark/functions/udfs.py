@@ -1,0 +1,180 @@
+"""Arrow-batched pandas UDFs wrapping the pure-Python kernels.
+
+This is the only place kernel code crosses into Spark: every UDF is a
+vectorized (Arrow batch) wrapper — no per-row Python UDFs anywhere in the
+engine (BASELINE.json input_hint requirement).  Because the UDF bodies call
+the exact kernel functions, distributed output is byte-identical to the
+single-node reference implementations per row.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.functions import pandas_udf
+
+from ..kernels import htmlx, robotstxt, textproc, urlnorm
+
+# --- URL functions -----------------------------------------------------------
+
+
+@pandas_udf(T.StringType())
+def canonicalize_url(urls: pd.Series) -> pd.Series:
+    return urls.map(lambda u: urlnorm.canonicalize_url(u) if u else u)
+
+
+@pandas_udf(T.StringType())
+def strip_jsessionid(urls: pd.Series) -> pd.Series:
+    return urls.map(lambda u: urlnorm.strip_jsessionid(u) if u else u)
+
+
+@pandas_udf(T.StringType())
+def url_host(urls: pd.Series) -> pd.Series:
+    return urls.map(lambda u: urlnorm.url_host(u) if u else "")
+
+
+@pandas_udf(T.StringType())
+def url_path(urls: pd.Series) -> pd.Series:
+    return urls.map(lambda u: urlnorm.url_path(u) if u else "")
+
+
+@pandas_udf(T.StringType())
+def url_query(urls: pd.Series) -> pd.Series:
+    return urls.map(lambda u: urlnorm.url_query(u) if u else "")
+
+
+@pandas_udf(T.StringType())
+def url_extension(urls: pd.Series) -> pd.Series:
+    return urls.map(lambda u: urlnorm.url_extension(u) if u else "")
+
+
+@pandas_udf(T.LongType())
+def url_seen_hash(urls: pd.Series) -> pd.Series:
+    return urls.map(lambda u: urlnorm.url_seen_hash(u) if u else 0).astype("int64")
+
+
+@pandas_udf(T.StringType())
+def doc_id(urls: pd.Series) -> pd.Series:
+    return urls.map(lambda u: urlnorm.doc_id(u) if u else "")
+
+
+@pandas_udf(T.StringType())
+def domain_name(urls: pd.Series) -> pd.Series:
+    return urls.map(lambda u: urlnorm.domain_name(u) if u else "")
+
+
+# --- extraction --------------------------------------------------------------
+
+DOC_STRUCT = T.StructType(
+    [
+        T.StructField("title", T.StringType()),
+        T.StructField("description", T.StringType()),
+        T.StructField("keywords", T.StringType()),
+        T.StructField("language", T.StringType()),
+        T.StructField("content", T.StringType()),
+    ]
+)
+
+
+@pandas_udf(T.ArrayType(T.StringType()))
+def extract_links(html: pd.Series, base_url: pd.Series) -> pd.Series:
+    out = []
+    for body, url in zip(html, base_url):
+        if body is None:
+            out.append([])
+            continue
+        out.append(htmlx.extract_links(textproc.decode_bytes(bytes(body)), url or ""))
+    return pd.Series(out)
+
+
+@pandas_udf(DOC_STRUCT)
+def extract_doc(html: pd.Series, url: pd.Series, lang_hint: pd.Series) -> pd.DataFrame:
+    rows = []
+    for body, u, lh in zip(html, url, lang_hint):
+        if body is None:
+            rows.append(("", "", "", "", ""))
+            continue
+        doc = htmlx.extract_html_doc(textproc.decode_bytes(bytes(body)), u or "", lh or "")
+        rows.append((doc.title, doc.description, doc.keywords, doc.language, doc.content))
+    return pd.DataFrame(rows, columns=["title", "description", "keywords", "language", "content"])
+
+
+@pandas_udf(T.StringType())
+def extract_text(html: pd.Series, url: pd.Series) -> pd.Series:
+    out = []
+    for body, u in zip(html, url):
+        out.append("" if body is None else htmlx.extract_text(bytes(body), u or ""))
+    return pd.Series(out)
+
+
+# --- robots ------------------------------------------------------------------
+
+
+@pandas_udf(T.BooleanType())
+def robots_allowed(rules_text: pd.Series, url: pd.Series) -> pd.Series:
+    # parse each distinct robots body once per batch
+    cache: dict[str, robotstxt.RobotsRules] = {}
+    out = []
+    for rt, u in zip(rules_text, url):
+        if rt is None or not rt:
+            out.append(True)
+            continue
+        rules = cache.get(rt)
+        if rules is None:
+            rules = robotstxt.parse_robots(rt)
+            cache[rt] = rules
+        out.append(rules.allowed(u))
+    return pd.Series(out)
+
+
+@pandas_udf(T.DoubleType())
+def robots_crawl_delay(rules_text: pd.Series) -> pd.Series:
+    cache: dict[str, float | None] = {}
+    out = []
+    for rt in rules_text:
+        if rt is None or not rt:
+            out.append(None)
+            continue
+        if rt not in cache:
+            cache[rt] = robotstxt.robots_crawl_delay(rt)
+        out.append(cache[rt])
+    return pd.Series(out, dtype="float64")
+
+
+# --- text analysis -----------------------------------------------------------
+
+
+@pandas_udf(T.StringType())
+def detect_language(text: pd.Series) -> pd.Series:
+    return text.map(lambda t: textproc.detect_language(t) if t else "en")
+
+
+@pandas_udf(T.DoubleType())
+def quality_score(text: pd.Series) -> pd.Series:
+    return text.map(lambda t: textproc.quality_score(t) if t else 0.0).astype("float64")
+
+
+@pandas_udf(T.IntegerType())
+def token_count(text: pd.Series) -> pd.Series:
+    return text.map(lambda t: textproc.token_count(t) if t else 0).astype("int32")
+
+
+@pandas_udf(T.LongType())
+def document_fingerprint(text: pd.Series) -> pd.Series:
+    return text.map(lambda t: textproc.document_fingerprint(t) if t else 0).astype("int64")
+
+
+@pandas_udf(T.StringType())
+def sanitize_text(text: pd.Series) -> pd.Series:
+    return text.map(lambda t: textproc.sanitize_text(t) if t else "")
+
+
+def with_url_columns(df, url_col: str = "url"):
+    """Convenience: append canonical/host/query columns used by admission."""
+    return (
+        df.withColumn("url_nojs", strip_jsessionid(F.col(url_col)))
+        .withColumn("url_canon", canonicalize_url(F.col("url_nojs")))
+        .withColumn("host", url_host(F.col("url_canon")))
+        .drop("url_nojs")
+    )

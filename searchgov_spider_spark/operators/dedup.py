@@ -1,0 +1,179 @@
+"""Large-scale text deduplication operators (training-data pipeline).
+
+All hot-path hashing stays JVM-side (md5/xxhash64/regexp built-ins compiled
+by whole-stage codegen); Python appears only in the simhash kernel, which is
+an Arrow-batched numpy UDF.  Designed so each operator is a pure
+DataFrame -> DataFrame function usable over a 100-TB documents table:
+
+  * exact_duplicates       hash-groupBy (one shuffle on the digest)
+  * minhash_signature      per-row, shuffle-free, codegen'd
+  * minhash_dedup          groupBy signature (one shuffle)
+  * minhash_lsh_pairs      band -> bucket join -> exact-jaccard verify
+  * simhash_64             vectorized numpy UDF, per-row
+  * ngram_jaccard_pairs    exact verify for a candidate pair set
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+TOKEN_PATTERN = "[a-z0-9]+"
+
+
+def tokens_col(text_col: str):
+    """JVM-side tokenizer shared by all dedup ops (matches the DuckDB oracle
+    expression regexp_extract_all(lower(text), '[a-z0-9]+'))."""
+    return F.expr(f"regexp_extract_all(lower({text_col}), '{TOKEN_PATTERN}', 0)")
+
+
+def shingles_col(text_col: str, k: int = 3):
+    """Token k-gram shingle strings (space-joined); whole-document shingle
+    for texts shorter than k tokens."""
+    toks = f"regexp_extract_all(lower({text_col}), '{TOKEN_PATTERN}', 0)"
+    return F.expr(
+        f"CASE WHEN size({toks}) >= {k} THEN "
+        f"transform(sequence(0, size({toks}) - {k}), i -> "
+        f"concat_ws(' ', slice({toks}, i + 1, {k}))) "
+        f"ELSE array(concat_ws(' ', {toks})) END"
+    )
+
+
+def exact_duplicates(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Exact dedup via content digest: every doc annotated with its content
+    hash, group size, and the canonical representative (min id)."""
+    hashed = docs.select(F.col(id_col), F.md5(F.col(text_col)).alias("content_hash"))
+    groups = hashed.groupBy("content_hash").agg(
+        F.count("*").alias("dup_count"), F.min(id_col).alias("representative")
+    )
+    return hashed.join(groups, "content_hash").select(
+        id_col, "content_hash", "dup_count", "representative"
+    )
+
+
+def minhash_signature(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text", k: int = 8) -> DataFrame:
+    """k-permutation MinHash, md5-based: sig_i = min over shingles of
+    md5(i || ':' || shingle).  Fully JVM-side (portable to the DuckDB oracle);
+    a production variant swaps md5 for xxhash64 with identical structure."""
+    df = docs.select(F.col(id_col), shingles_col(text_col).alias("shingles"))
+    sig_cols = [
+        F.array_min(F.expr(f"transform(shingles, s -> md5(concat('{i}:', s)))")).alias(f"minhash_{i}")
+        for i in range(k)
+    ]
+    return df.select(id_col, *sig_cols)
+
+
+def minhash_dedup(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text", k: int = 8) -> DataFrame:
+    """Near-dup clustering at signature granularity: docs sharing the full
+    k-hash signature are grouped (equivalent to Jaccard ≈ 1 cluster)."""
+    sig = minhash_signature(docs, id_col, text_col, k)
+    sig = sig.withColumn("signature", F.concat_ws("|", *[F.col(f"minhash_{i}") for i in range(k)]))
+    groups = sig.groupBy("signature").agg(
+        F.count("*").alias("cluster_size"), F.min(id_col).alias("representative")
+    )
+    return sig.join(groups, "signature").select(id_col, "signature", "cluster_size", "representative")
+
+
+def minhash_lsh_pairs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 16,
+    bands: int = 8,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """Banded-LSH candidate generation + exact-Jaccard verification.
+
+    Pipeline: signature -> band keys -> self-join per band bucket (the only
+    shuffle, on band hash) -> distinct candidate pairs -> exact shingle
+    Jaccard filter >= threshold.  Scale note: bucket join is on
+    (band_id, band_hash); AQE skew-join splits hot buckets.
+    """
+    rows = k // bands
+    sig = minhash_signature(docs, id_col, text_col, k).persist()
+    band_cols = []
+    for b in range(bands):
+        parts = [F.col(f"minhash_{i}") for i in range(b * rows, (b + 1) * rows)]
+        band_cols.append(F.struct(F.lit(b).alias("band"), F.md5(F.concat_ws("|", *parts)).alias("bh")))
+    banded = sig.select(F.col(id_col), F.explode(F.array(*band_cols)).alias("bk")).select(
+        id_col, F.col("bk.band").alias("band"), F.col("bk.bh").alias("bh")
+    )
+    left = banded.alias("l")
+    right = banded.alias("r")
+    cand = (
+        left.join(right, ["band", "bh"])
+        .filter(F.col(f"l.{id_col}") < F.col(f"r.{id_col}"))
+        .select(F.col(f"l.{id_col}").alias("id_a"), F.col(f"r.{id_col}").alias("id_b"))
+        .distinct()
+    )
+    sh = docs.select(F.col(id_col), shingles_col(text_col).alias("sh"))
+    verified = (
+        cand.join(sh.select(F.col(id_col).alias("id_a"), F.col("sh").alias("sh_a")), "id_a")
+        .join(sh.select(F.col(id_col).alias("id_b"), F.col("sh").alias("sh_b")), "id_b")
+        .withColumn(
+            "jaccard",
+            F.size(F.array_intersect("sh_a", "sh_b"))
+            / F.size(F.array_union("sh_a", "sh_b")),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+    )
+    return verified
+
+
+def ngram_jaccard_pairs(docs: DataFrame, pairs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Exact n-gram Jaccard for an explicit candidate pair set (id_a, id_b)."""
+    sh = docs.select(F.col(id_col), shingles_col(text_col).alias("sh"))
+    return (
+        pairs.join(sh.select(F.col(id_col).alias("id_a"), F.col("sh").alias("sh_a")), "id_a")
+        .join(sh.select(F.col(id_col).alias("id_b"), F.col("sh").alias("sh_b")), "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.round(
+                F.size(F.array_intersect("sh_a", "sh_b")) / F.size(F.array_union("sh_a", "sh_b")), 6
+            ).alias("jaccard"),
+        )
+    )
+
+
+# --- SimHash (vectorized numpy UDF; no SQL analog) ---------------------------
+
+
+def _simhash_batch(texts: pd.Series) -> pd.Series:
+    import re
+
+    token_re = re.compile(TOKEN_PATTERN)
+    out = np.zeros(len(texts), dtype=np.int64)
+    for row, text in enumerate(texts):
+        if not text:
+            continue
+        toks = token_re.findall(text.lower())
+        if not toks:
+            continue
+        uniq, counts = np.unique(np.asarray(toks, dtype=object), return_counts=True)
+        # FNV-1a per token, vectorized bit unpack
+        hashes = np.array(
+            [np.uint64(int.from_bytes(__import__("hashlib").blake2b(t.encode(), digest_size=8).digest(), "big")) for t in uniq],
+            dtype=np.uint64,
+        )
+        bits = ((hashes[:, None] >> np.arange(64, dtype=np.uint64)) & np.uint64(1)).astype(np.int64)
+        votes = ((bits * 2 - 1) * counts[:, None]).sum(axis=0)
+        sim = np.uint64(0)
+        for i in np.nonzero(votes > 0)[0]:
+            sim |= np.uint64(1) << np.uint64(i)
+        out[row] = np.int64(sim.astype(np.int64))
+    return pd.Series(out)
+
+
+simhash_64 = F.pandas_udf(_simhash_batch, T.LongType())
+
+
+def simhash_dedup(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """SimHash per doc + hamming-ball clustering at distance 0 (same hash)."""
+    hashed = docs.select(F.col(id_col), simhash_64(F.col(text_col)).alias("simhash"))
+    groups = hashed.groupBy("simhash").agg(F.count("*").alias("cluster_size"), F.min(id_col).alias("representative"))
+    return hashed.join(groups, "simhash").select(id_col, "simhash", "cluster_size", "representative")

@@ -1,0 +1,109 @@
+"""Embedding similarity search: brute-force cosine top-k + LSH-bucketed ANN.
+
+Brute force is the correctness baseline (exact, one pass, no shuffle beyond
+the final top-k); the random-hyperplane LSH variant is the 100-TB scale path
+(bucket join prunes candidates by ~2^bits before exact scoring).
+
+Vector math stays JVM-side where the built-ins allow
+(aggregate/zip_with dot products); the hyperplane projection is a vectorized
+numpy pandas UDF (one matmul per Arrow batch).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+
+def _dot_expr(a: str, b: str) -> str:
+    return f"aggregate(zip_with({a}, {b}, (x, y) -> cast(x as double) * cast(y as double)), cast(0.0 as double), (acc, v) -> acc + v)"
+
+
+def _norm_expr(a: str) -> str:
+    return f"sqrt(aggregate({a}, cast(0.0 as double), (acc, v) -> acc + cast(v as double) * cast(v as double)))"
+
+
+def cosine_topk(
+    embeddings: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact brute-force cosine top-k against a literal query vector.
+
+    Plan shape: one narrow pass computing the score (codegen'd lambda
+    functions, no UDF), then a global top-k (``orderBy ... limit`` compiles
+    to TakeOrderedAndProject — per-partition heaps + driver merge, no full
+    sort shuffle).
+    """
+    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    qnorm = float(np.sqrt(np.dot(query_vec, query_vec)))
+    scored = embeddings.withColumn("_q", q).select(
+        F.col(id_col),
+        (
+            F.expr(_dot_expr(vec_col, "_q"))
+            / (F.expr(_norm_expr(vec_col)) * F.lit(qnorm))
+        ).alias("cosine"),
+    )
+    return scored.orderBy(F.desc("cosine"), F.asc(id_col)).limit(k)
+
+
+def hyperplanes(dim: int, bits: int, seed: int = 42) -> np.ndarray:
+    rng = np.random.default_rng(seed)
+    return rng.standard_normal((bits, dim)).astype(np.float64)
+
+
+def with_lsh_bucket(
+    embeddings: DataFrame,
+    dim: int,
+    bits: int = 12,
+    seed: int = 42,
+    vec_col: str = "embedding",
+    out_col: str = "bucket",
+) -> DataFrame:
+    """Random-hyperplane (SRP) LSH bucket id per row — one matmul per batch."""
+    planes = hyperplanes(dim, bits, seed)
+    bc = embeddings.sparkSession.sparkContext.broadcast(planes)
+
+    @F.pandas_udf(T.IntegerType())
+    def bucket(vecs: pd.Series) -> pd.Series:
+        mat = np.stack(vecs.to_numpy())  # (n, dim)
+        signs = mat @ bc.value.T > 0  # (n, bits)
+        weights = (1 << np.arange(signs.shape[1])).astype(np.int64)
+        return pd.Series((signs @ weights).astype(np.int32))
+
+    return embeddings.withColumn(out_col, bucket(F.col(vec_col)))
+
+
+def ann_topk_lsh(
+    embeddings: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    bits: int = 8,
+    probe_hamming: int = 1,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+) -> DataFrame:
+    """Approximate top-k: probe the query's bucket plus all buckets within
+    ``probe_hamming`` bit flips (multi-probe), exact-score the candidates.
+
+    Candidate count ≈ n * (1 + bits) / 2^bits — the scale path when brute
+    force over every row is too expensive.
+    """
+    dim = len(query_vec)
+    planes = hyperplanes(dim, bits, seed)
+    signs = (planes @ np.asarray(query_vec)) > 0
+    weights = (1 << np.arange(bits)).astype(np.int64)
+    base = int(signs @ weights)
+    probes = {base}
+    if probe_hamming >= 1:
+        for i in range(bits):
+            probes.add(base ^ (1 << i))
+    bucketed = with_lsh_bucket(embeddings, dim, bits, seed, vec_col)
+    candidates = bucketed.filter(F.col("bucket").isin([int(p) for p in probes]))
+    return cosine_topk(candidates, query_vec, k, id_col, vec_col)

@@ -1,0 +1,560 @@
+"""Driver-contract query surface: Spark queries + DuckDB oracle SQL.
+
+Each entry in QUERIES is a (spark, sf_dir) -> DataFrame callable exercising
+one operator family from SURVEY.md §2; ORACLES holds the equivalent ANSI SQL
+for DuckDB over the same parquet tables (views: region nation customer
+supplier part orders lineitem events documents embeddings).  Column names and
+rounding are aligned on both sides (the driver hash-compares values after
+sorting columns by name).
+
+Non-SQL-expressible operators (crawl BFS, simhash, LSH, multimodal) have no
+oracle entry — the driver records a rows-only check; their correctness gates
+live in tests/ against pure-Python oracles instead.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .functions import udfs
+from .operators import dedup, similarity, textstats
+from .operators.dedup import TOKEN_PATTERN
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+
+
+# ---------------------------------------------------------------------------
+# Relational operator surface (scans/filters/joins/aggs/sorts/sets —
+# SURVEY.md §2.1-2.6 re-expressed over the driver's TPC-H-ish tables)
+# ---------------------------------------------------------------------------
+
+
+def q01_pricing_summary(spark, sf_dir):
+    """Hash aggregation with partial/final combine (A1 family): TPC-H Q1 shape."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("sum_disc_price"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+def q02_revenue_by_nation(spark, sf_dir):
+    """Broadcast-hash joins of small dims (J1 analog: lookup enrichment)."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    n = _t(spark, sf_dir, "nation")
+    return (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("n_name")
+        .agg(F.round(F.sum("o_totalprice"), 2).alias("revenue"), F.count("*").alias("n_orders"))
+    )
+
+
+def q03_customers_without_orders(spark, sf_dir):
+    """Anti-join (J5/F7 family: the dedup 'not seen' probe)."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select("c_custkey", "c_name")
+
+
+def q04_top_customers(spark, sf_dir):
+    """Global top-k (O5/O6 family) — TakeOrderedAndProject, no full sort."""
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.groupBy("o_custkey")
+        .agg(F.round(F.sum("o_totalprice"), 2).alias("revenue"))
+        .orderBy(F.desc("revenue"), F.asc("o_custkey"))
+        .limit(10)
+    )
+
+
+def q05_priority_with_big_items(spark, sf_dir):
+    """Semi-join (EXISTS) + count per group."""
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        o.join(li.filter(F.col("l_quantity") > 45), o.o_orderkey == li.l_orderkey, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("n_orders"))
+    )
+
+
+def q06_revenue_forecast(spark, sf_dir):
+    """Predicate-pushdown scan + single agg (F2-F5 filter family): TPC-H Q6 shape."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01"))
+        & (F.col("l_discount").between(0.02, 0.06))
+        & (F.col("l_quantity") < 24)
+    ).agg(F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2).alias("revenue"))
+
+
+def q07_top_orders_per_customer(spark, sf_dir):
+    """Windowed per-key top-k (O1/P1 family: the politeness row_number cap)."""
+    from pyspark.sql.window import Window
+
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+    return (
+        o.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 3)
+        .select("o_custkey", "o_orderkey", "rk")
+    )
+
+
+def q08_nations_union(spark, sf_dir):
+    """UNION + distinct (U2 family: sitemap-source union)."""
+    c = _t(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nationkey"))
+    s = _t(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nationkey"))
+    return c.unionByName(s).distinct()
+
+
+def q09_customer_only_nations(spark, sf_dir):
+    """EXCEPT (U1 family: sitemap delta)."""
+    c = _t(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nationkey")).distinct()
+    s = _t(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nationkey")).distinct()
+    return c.exceptAll(s).select("nationkey")
+
+
+def q10_events_daily(spark, sf_dir):
+    """Event-time daily rollup (A1/T3 family: DAP group-sum by (domain,date))."""
+    e = _t(spark, sf_dir, "events")
+    return (
+        e.groupBy(
+            F.date_format("ts", "yyyy-MM-dd").alias("day"),
+            F.col("event_type"),
+        )
+        .agg(F.count("*").alias("n_events"), F.round(F.sum("value"), 2).alias("total_value"))
+    )
+
+
+def q11_avg_daily_value(spark, sf_dir):
+    """Trailing-window average (A2: get_avg_daily_visits_by_domain semantics —
+    sum over window / days_back, reference dap/datastore.py:38-77)."""
+    e = _t(spark, sf_dir, "events")
+    return (
+        e.filter(F.col("ts") >= F.lit("2024-01-01"))
+        .groupBy("event_type")
+        .agg(F.round(F.sum("value") / F.lit(28.0), 4).alias("avg_daily_value"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Crawl scalar surface (F-C, F4, X10, X11) — constructed-URL oracles
+# ---------------------------------------------------------------------------
+
+
+def q12_canonicalize(spark, sf_dir):
+    """URL canonicalization (F-C): messy aliases -> canonical form."""
+    d = _t(spark, sf_dir, "documents")
+    messy = F.concat(
+        F.lit("HTTPS://Example.GOV:443/docs/"), F.col("doc_id").cast("string"), F.lit("?b=2&a=1#frag")
+    )
+    return d.select(F.col("doc_id"), udfs.canonicalize_url(messy).alias("url_canon"))
+
+
+def q13_strip_jsessionid(spark, sf_dir):
+    """jsessionid strip (F4, middlewares.py:58-65)."""
+    d = _t(spark, sf_dir, "documents")
+    raw = F.concat(
+        F.lit("https://example.gov/p/"), F.col("doc_id").cast("string"),
+        F.lit(";jsessionid=A1B2C3?q=1"),
+    )
+    return d.select(F.col("doc_id"), udfs.strip_jsessionid(raw).alias("url_clean"))
+
+
+def q14_url_parts(spark, sf_dir):
+    """URL part extraction (X10: host/domain/basename/extension)."""
+    d = _t(spark, sf_dir, "documents")
+    url = F.concat(
+        F.lit("https://www.agency"), (F.col("doc_id") % 10).cast("string"),
+        F.lit(".gov/files/report"), F.col("doc_id").cast("string"), F.lit(".pdf?x=1"),
+    )
+    return d.select(
+        F.col("doc_id"),
+        udfs.url_host(url).alias("host"),
+        udfs.domain_name(url).alias("domain"),
+        udfs.url_extension(url).alias("ext"),
+    )
+
+
+def q15_doc_ids(spark, sf_dir):
+    """Document id = sha256(url) (X11, indexing/helpers.py:176-179)."""
+    d = _t(spark, sf_dir, "documents")
+    url = F.concat(F.lit("https://example.gov/docs/"), F.col("doc_id").cast("string"))
+    return d.select(F.col("doc_id"), F.sha2(url, 256).alias("id"))
+
+
+# ---------------------------------------------------------------------------
+# Training-data operators (dedup / similarity / text analysis)
+# ---------------------------------------------------------------------------
+
+
+def _docs_with_dups(spark, sf_dir):
+    """documents ∪ exact copies (doc_id+100000) — deterministic dup injection
+    shared with the SQL oracle."""
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    copies = d.filter(F.col("doc_id") % 5 == 0).select(
+        (F.col("doc_id") + 100000).alias("doc_id"), F.col("text")
+    )
+    return d.unionByName(copies)
+
+
+def q16_exact_dedup(spark, sf_dir):
+    """Exact dedup via content digest (hash-groupBy; one shuffle)."""
+    return dedup.exact_duplicates(_docs_with_dups(spark, sf_dir))
+
+
+def q17_token_stats(spark, sf_dir):
+    """JVM-side token/char statistics (quality-signal primitives)."""
+    return textstats.token_stats(_t(spark, sf_dir, "documents"))
+
+
+def q18_minhash_signature(spark, sf_dir):
+    """MinHash signatures (k=4, md5 permutations) — near-dup primitive."""
+    return dedup.minhash_signature(_t(spark, sf_dir, "documents"), k=4)
+
+
+def q19_minhash_dedup(spark, sf_dir):
+    """Signature-level near-dup clustering on the dup-injected corpus."""
+    return dedup.minhash_dedup(_docs_with_dups(spark, sf_dir), k=4)
+
+
+def q20_jaccard_pairs(spark, sf_dir):
+    """Exact n-gram Jaccard for an explicit pair set (adjacent doc ids)."""
+    d = _t(spark, sf_dir, "documents")
+    pairs = d.filter((F.col("doc_id") % 2 == 0) & (F.col("doc_id") < 100)).select(
+        F.col("doc_id").alias("id_a"), (F.col("doc_id") + 1).alias("id_b")
+    )
+    return dedup.ngram_jaccard_pairs(d, pairs)
+
+
+def q21_cosine_topk(spark, sf_dir):
+    """Brute-force cosine top-k against the vec_id=0 embedding."""
+    emb = _t(spark, sf_dir, "embeddings")
+    qvec = [float(x) for x in emb.filter(F.col("vec_id") == 0).select("embedding").head()[0]]
+    top = similarity.cosine_topk(emb, qvec, k=10)
+    from pyspark.sql.window import Window
+
+    return top.withColumn("rank", F.row_number().over(Window.orderBy(F.desc("cosine"), F.asc("vec_id")))).select(
+        "vec_id", "rank"
+    )
+
+
+# --- rows-only (non-SQL-expressible) ----------------------------------------
+
+
+def q22_text_analysis(spark, sf_dir):
+    """Language-ID + quality + fingerprint (heuristic kernels; pytest-gated)."""
+    d = _t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        udfs.detect_language(F.col("text")).alias("detected_lang"),
+        udfs.quality_score(F.col("text")).alias("quality"),
+        udfs.document_fingerprint(F.col("text")).alias("fingerprint"),
+    )
+
+
+def q23_simhash(spark, sf_dir):
+    """SimHash dedup clusters (vectorized numpy UDF)."""
+    return dedup.simhash_dedup(_docs_with_dups(spark, sf_dir))
+
+
+def q24_crawl_bfs(spark, sf_dir):
+    """The flagship crawl loop on the deterministic synthetic web
+    (pytest-gated against the pure-Python reference BFS)."""
+    from .crawl import CrawlEngine, CrawlPolicy
+    from .synth import webgen
+    from .synth.spark_gen import PAGES_SCHEMA
+
+    import shutil
+    import tempfile
+
+    n_pages, n_hosts = 800, 8
+    pdf = webgen.pages_pandas(n_pages, n_hosts)
+    pages = spark.createDataFrame(pdf, schema=PAGES_SCHEMA)
+    robots = spark.createDataFrame(webgen.robots_pandas(n_hosts))
+    policy = CrawlPolicy(allowed_domains=[webgen.host_name(0), webgen.host_name(1)], depth_limit=10)
+    ckpt = tempfile.mkdtemp(prefix="crawl_q24_")
+    try:
+        engine = CrawlEngine(spark, pages, robots, policy, ckpt, bloom_shards=4, bloom_bits=1 << 16)
+        run = engine.run([webgen.page_url(0, 0)], max_rounds=32)
+        docs = run.documents(spark)
+        out = docs.select("url", "crawl_depth", "seq", "title", "language").toPandas()
+    finally:
+        shutil.rmtree(ckpt, ignore_errors=True)
+    return spark.createDataFrame(out)
+
+
+def q25_lsh_near_dup_pairs(spark, sf_dir):
+    """Banded MinHash-LSH near-dup pairs with exact-Jaccard verification."""
+    return dedup.minhash_lsh_pairs(_docs_with_dups(spark, sf_dir), k=16, bands=8, threshold=0.8)
+
+
+def q26_ann_lsh(spark, sf_dir):
+    """LSH-bucketed approximate nearest neighbours (scale path of q21)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    qvec = [float(x) for x in emb.filter(F.col("vec_id") == 0).select("embedding").head()[0]]
+    return similarity.ann_topk_lsh(emb, qvec, k=10, bits=8).select("vec_id", F.round("cosine", 4).alias("cosine"))
+
+
+def q27_multimodal_features(spark, sf_dir):
+    """Binary-media feature plumbing via mapInPandas (decode stubbed)."""
+    from .operators import multimodal
+
+    media = multimodal.synthetic_media(spark, n=96)
+    feats = multimodal.extract_features(media)
+    return feats.select("media_id", "media_type", "n_bytes", F.round(F.element_at("feature", 1), 5).alias("f0"))
+
+
+def q28_robots_eval(spark, sf_dir):
+    """robots.txt allow/deny evaluation (P2) over constructed URLs."""
+    from .synth import webgen
+
+    n_hosts = 8
+    robots = spark.createDataFrame(webgen.robots_pandas(n_hosts))
+    d = _t(spark, sf_dir, "documents")
+    urls = d.select(
+        "doc_id",
+        F.concat(
+            F.lit("https://host"), (F.col("doc_id") % n_hosts).cast("string"),
+            F.lit(".example.gov"),
+            F.when(F.col("doc_id") % 3 == 0, F.lit("/blocked/x")).otherwise(F.lit("/ok/x")),
+        ).alias("url"),
+    ).withColumn("host", udfs.url_host(F.col("url")))
+    return urls.join(F.broadcast(robots), "host", "left").select(
+        "doc_id", "url", udfs.robots_allowed(F.col("rules_text"), F.col("url")).alias("allowed")
+    )
+
+
+# ---------------------------------------------------------------------------
+# registry + oracle SQL
+# ---------------------------------------------------------------------------
+
+QUERIES = {
+    "q01_pricing_summary": q01_pricing_summary,
+    "q02_revenue_by_nation": q02_revenue_by_nation,
+    "q03_customers_without_orders": q03_customers_without_orders,
+    "q04_top_customers": q04_top_customers,
+    "q05_priority_with_big_items": q05_priority_with_big_items,
+    "q06_revenue_forecast": q06_revenue_forecast,
+    "q07_top_orders_per_customer": q07_top_orders_per_customer,
+    "q08_nations_union": q08_nations_union,
+    "q09_customer_only_nations": q09_customer_only_nations,
+    "q10_events_daily": q10_events_daily,
+    "q11_avg_daily_value": q11_avg_daily_value,
+    "q12_canonicalize": q12_canonicalize,
+    "q13_strip_jsessionid": q13_strip_jsessionid,
+    "q14_url_parts": q14_url_parts,
+    "q15_doc_ids": q15_doc_ids,
+    "q16_exact_dedup": q16_exact_dedup,
+    "q17_token_stats": q17_token_stats,
+    "q18_minhash_signature": q18_minhash_signature,
+    "q19_minhash_dedup": q19_minhash_dedup,
+    "q20_jaccard_pairs": q20_jaccard_pairs,
+    "q21_cosine_topk": q21_cosine_topk,
+    "q22_text_analysis": q22_text_analysis,
+    "q23_simhash": q23_simhash,
+    "q24_crawl_bfs": q24_crawl_bfs,
+    "q25_lsh_near_dup_pairs": q25_lsh_near_dup_pairs,
+    "q26_ann_lsh": q26_ann_lsh,
+    "q27_multimodal_features": q27_multimodal_features,
+    "q28_robots_eval": q28_robots_eval,
+}
+
+_DUP_DOCS_SQL = (
+    "(SELECT doc_id, text FROM documents "
+    "UNION ALL SELECT doc_id + 100000 AS doc_id, text FROM documents WHERE doc_id % 5 = 0)"
+)
+
+_TOKS = f"regexp_extract_all(lower(text), '{TOKEN_PATTERN}')"
+_SHINGLES = (
+    f"CASE WHEN len({_TOKS}) >= 3 THEN "
+    f"list_transform(range(1, len({_TOKS}) - 1), i -> "
+    f"{_TOKS}[i] || ' ' || {_TOKS}[i+1] || ' ' || {_TOKS}[i+2]) "
+    f"ELSE [array_to_string({_TOKS}, ' ')] END"
+)
+
+
+def _minhash_sql(src: str, k: int = 4) -> str:
+    sig_cols = ", ".join(
+        f"list_aggregate(list_transform(shingles, s -> md5('{i}:' || s)), 'min') AS minhash_{i}"
+        for i in range(k)
+    )
+    return f"SELECT doc_id, {sig_cols} FROM (SELECT doc_id, {_SHINGLES} AS shingles FROM {src})"
+
+
+ORACLES = {
+    "q01_pricing_summary": """
+        SELECT l_returnflag, l_linestatus,
+               round(sum(l_quantity), 2) AS sum_qty,
+               round(sum(l_extendedprice), 2) AS sum_base_price,
+               round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+               count(*) AS count_order
+        FROM lineitem WHERE l_shipdate <= '1998-09-02'
+        GROUP BY l_returnflag, l_linestatus
+    """,
+    "q02_revenue_by_nation": """
+        SELECT n_name, round(sum(o_totalprice), 2) AS revenue, count(*) AS n_orders
+        FROM orders JOIN customer ON o_custkey = c_custkey
+        JOIN nation ON c_nationkey = n_nationkey
+        GROUP BY n_name
+    """,
+    "q03_customers_without_orders": """
+        SELECT c_custkey, c_name FROM customer
+        WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)
+    """,
+    "q04_top_customers": """
+        SELECT o_custkey, round(sum(o_totalprice), 2) AS revenue
+        FROM orders GROUP BY o_custkey
+        ORDER BY revenue DESC, o_custkey ASC LIMIT 10
+    """,
+    "q05_priority_with_big_items": """
+        SELECT o_orderpriority, count(*) AS n_orders FROM orders
+        WHERE EXISTS (SELECT 1 FROM lineitem WHERE l_orderkey = o_orderkey AND l_quantity > 45)
+        GROUP BY o_orderpriority
+    """,
+    "q06_revenue_forecast": """
+        SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue FROM lineitem
+        WHERE l_shipdate >= '1996-01-01' AND l_shipdate < '1997-01-01'
+          AND l_discount BETWEEN 0.02 AND 0.06 AND l_quantity < 24
+    """,
+    "q07_top_orders_per_customer": """
+        SELECT o_custkey, o_orderkey, rk FROM (
+            SELECT o_custkey, o_orderkey,
+                   row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey ASC) AS rk
+            FROM orders) WHERE rk <= 3
+    """,
+    "q08_nations_union": """
+        SELECT c_nationkey AS nationkey FROM customer
+        UNION SELECT s_nationkey AS nationkey FROM supplier
+    """,
+    "q09_customer_only_nations": """
+        SELECT DISTINCT c_nationkey AS nationkey FROM customer
+        EXCEPT SELECT DISTINCT s_nationkey AS nationkey FROM supplier
+    """,
+    "q10_events_daily": """
+        SELECT strftime(ts, '%Y-%m-%d') AS day, event_type,
+               count(*) AS n_events, round(sum(value), 2) AS total_value
+        FROM events GROUP BY 1, 2
+    """,
+    "q11_avg_daily_value": """
+        SELECT event_type, round(sum(value) / 28.0, 4) AS avg_daily_value
+        FROM events WHERE ts >= '2024-01-01' GROUP BY event_type
+    """,
+    "q12_canonicalize": """
+        SELECT doc_id, 'https://example.gov/docs/' || doc_id || '?a=1&b=2' AS url_canon
+        FROM documents
+    """,
+    "q13_strip_jsessionid": """
+        SELECT doc_id, 'https://example.gov/p/' || doc_id || '?q=1' AS url_clean
+        FROM documents
+    """,
+    "q14_url_parts": """
+        SELECT doc_id,
+               'www.agency' || (doc_id % 10) || '.gov' AS host,
+               'agency' || (doc_id % 10) || '.gov' AS domain,
+               'pdf' AS ext
+        FROM documents
+    """,
+    "q15_doc_ids": """
+        SELECT doc_id, sha256('https://example.gov/docs/' || doc_id) AS id FROM documents
+    """,
+    "q16_exact_dedup": f"""
+        WITH d AS (SELECT doc_id, md5(text) AS content_hash FROM {_DUP_DOCS_SQL}),
+        g AS (SELECT content_hash, count(*) AS dup_count, min(doc_id) AS representative
+              FROM d GROUP BY content_hash)
+        SELECT d.doc_id, d.content_hash, g.dup_count, g.representative
+        FROM d JOIN g USING (content_hash)
+    """,
+    "q17_token_stats": f"""
+        SELECT doc_id,
+               len({_TOKS}) AS n_tokens,
+               len(list_distinct({_TOKS})) AS n_unique_tokens,
+               length(text) AS n_chars,
+               round(length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) * 1.0
+                     / greatest(length(text), 1), 6) AS alpha_ratio
+        FROM documents
+    """,
+    "q18_minhash_signature": _minhash_sql("documents"),
+    "q19_minhash_dedup": f"""
+        WITH sig AS (
+            SELECT doc_id,
+                   concat_ws('|', minhash_0, minhash_1, minhash_2, minhash_3) AS signature
+            FROM ({_minhash_sql(_DUP_DOCS_SQL)})
+        ), g AS (
+            SELECT signature, count(*) AS cluster_size, min(doc_id) AS representative
+            FROM sig GROUP BY signature
+        )
+        SELECT sig.doc_id, sig.signature, g.cluster_size, g.representative
+        FROM sig JOIN g USING (signature)
+    """,
+    "q20_jaccard_pairs": f"""
+        WITH sh AS (SELECT doc_id, list_distinct({_SHINGLES}) AS s FROM documents),
+        pairs AS (SELECT doc_id AS id_a, doc_id + 1 AS id_b FROM documents
+                  WHERE doc_id % 2 = 0 AND doc_id < 100)
+        SELECT id_a, id_b,
+               round(len(list_distinct(list_intersect(a.s, b.s))) * 1.0
+                     / len(list_distinct(list_concat(a.s, b.s))), 6) AS jaccard
+        FROM pairs JOIN sh a ON a.doc_id = id_a JOIN sh b ON b.doc_id = id_b
+    """,
+    "q21_cosine_topk": """
+        SELECT vec_id, rank FROM (
+            SELECT vec_id, row_number() OVER (
+                ORDER BY list_cosine_similarity(embedding,
+                    (SELECT embedding FROM embeddings WHERE vec_id = 0)) DESC, vec_id ASC) AS rank
+            FROM embeddings)
+        WHERE rank <= 10
+    """,
+}
+
+
+def entry(spark: SparkSession) -> DataFrame:
+    """Flagship: crawl the deterministic synthetic web, enrich the extracted
+    documents with training-data signals, and dedup them against the existing
+    sf0.001 corpus (anti-join on content digest)."""
+    import shutil
+    import tempfile
+
+    from .crawl import CrawlEngine, CrawlPolicy
+    from .synth import webgen
+    from .synth.spark_gen import PAGES_SCHEMA
+
+    sf_dir = "/root/testdata/sf0.001"
+    n_pages, n_hosts = 600, 6
+    pages = spark.createDataFrame(webgen.pages_pandas(n_pages, n_hosts), schema=PAGES_SCHEMA)
+    robots = spark.createDataFrame(webgen.robots_pandas(n_hosts))
+    policy = CrawlPolicy(
+        allowed_domains=[webgen.host_name(0), webgen.host_name(1)], depth_limit=8
+    )
+    ckpt = tempfile.mkdtemp(prefix="crawl_entry_")
+    try:
+        engine = CrawlEngine(spark, pages, robots, policy, ckpt, bloom_shards=4, bloom_bits=1 << 16)
+        run = engine.run([webgen.page_url(0, 0)], max_rounds=16)
+        docs = run.documents(spark)
+        enriched = docs.select(
+            "id", "url", "crawl_depth", "seq", "title", "language", "content",
+            udfs.quality_score(F.col("content")).alias("quality"),
+            udfs.token_count(F.col("content")).alias("n_tokens"),
+            udfs.document_fingerprint(F.col("content")).alias("fingerprint"),
+            F.md5(F.col("content")).alias("content_hash"),
+        )
+        corpus = _t(spark, sf_dir, "documents").select(F.md5(F.col("text")).alias("content_hash"))
+        result = enriched.join(corpus, "content_hash", "left_anti").drop("content")
+        out = result.toPandas()
+    finally:
+        shutil.rmtree(ckpt, ignore_errors=True)
+    return spark.createDataFrame(out)

@@ -1,0 +1,114 @@
+"""Checkpointed crawl-state storage (Iceberg-snapshot semantics on parquet).
+
+The north_rule requires crawl state (frontier, seen-set shards, per-host
+budgets) checkpointed per round so a killed run resumes exactly.  The sandbox
+has no Iceberg runtime jars, so this module provides the same semantics with
+parquet round-directories plus an atomically-renamed ``manifest.json`` per
+round (SURVEY.md §7.1 step 7): a round is committed iff its manifest exists,
+and resume reads the highest committed round.  The writer interface is kept
+narrow so an Iceberg-backed implementation can drop in (append/overwrite +
+snapshot tag per round).
+
+Layout:
+    <root>/round_00000/frontier/        parquet (unfetched frontier entries)
+    <root>/round_00000/host_state/      parquet
+    <root>/round_00000/documents/       parquet (this round's extracted docs)
+    <root>/round_00000/manifest.json    commit marker {round, next_seq, counts}
+    <root>/seen/round_00000/            parquet delta of newly-seen url hashes
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+class CheckpointStore:
+    def __init__(self, root: str):
+        self.root = root
+        os.makedirs(root, exist_ok=True)
+
+    # -- paths ---------------------------------------------------------------
+    def round_dir(self, rnd: int) -> str:
+        return os.path.join(self.root, f"round_{rnd:05d}")
+
+    def manifest_path(self, rnd: int) -> str:
+        return os.path.join(self.round_dir(rnd), "manifest.json")
+
+    def seen_delta_dir(self, rnd: int) -> str:
+        return os.path.join(self.root, "seen", f"round_{rnd:05d}")
+
+    def seed_seen_dir(self) -> str:
+        """Seen-delta written at bootstrap (seed URLs, before round 0)."""
+        return os.path.join(self.root, "seen", "seed")
+
+    # -- write ----------------------------------------------------------------
+    def write_table(self, df: DataFrame, rnd: int, name: str) -> str:
+        path = os.path.join(self.round_dir(rnd), name)
+        df.write.mode("overwrite").parquet(path)
+        return path
+
+    def write_seen_delta(self, df: DataFrame, rnd: int) -> str:
+        path = self.seen_delta_dir(rnd)
+        df.write.mode("overwrite").parquet(path)
+        return path
+
+    def commit_round(self, rnd: int, manifest: dict) -> None:
+        """Atomic commit: manifest written to a temp file then renamed."""
+        tmp = self.manifest_path(rnd) + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump({"round": rnd, **manifest}, f)
+        os.replace(tmp, self.manifest_path(rnd))
+
+    def drop_uncommitted(self, rnd: int) -> None:
+        """Remove a partially-written round (crash cleanup before rerun)."""
+        if not os.path.exists(self.manifest_path(rnd)):
+            shutil.rmtree(self.round_dir(rnd), ignore_errors=True)
+            shutil.rmtree(self.seen_delta_dir(rnd), ignore_errors=True)
+
+    # -- read -----------------------------------------------------------------
+    def committed_rounds(self) -> list[int]:
+        out = []
+        if not os.path.isdir(self.root):
+            return out
+        for entry in sorted(os.listdir(self.root)):
+            if entry.startswith("round_"):
+                rnd = int(entry.split("_")[1])
+                if os.path.exists(self.manifest_path(rnd)):
+                    out.append(rnd)
+        return out
+
+    def last_committed(self) -> int | None:
+        rounds = self.committed_rounds()
+        return rounds[-1] if rounds else None
+
+    def read_manifest(self, rnd: int) -> dict:
+        with open(self.manifest_path(rnd)) as f:
+            return json.load(f)
+
+    def read_table(self, spark: SparkSession, rnd: int, name: str) -> DataFrame:
+        return spark.read.parquet(os.path.join(self.round_dir(rnd), name))
+
+    def read_seen(self, spark: SparkSession, upto_round: int) -> DataFrame | None:
+        """Union of the seed delta and all seen-deltas up to ``upto_round``."""
+        paths = [self.seed_seen_dir()] if os.path.isdir(self.seed_seen_dir()) else []
+        paths += [self.seen_delta_dir(r) for r in range(upto_round + 1) if os.path.isdir(self.seen_delta_dir(r))]
+        if not paths:
+            return None
+        return spark.read.parquet(*paths)
+
+    def read_documents(self, spark: SparkSession, upto_round: int | None = None) -> DataFrame | None:
+        last = self.last_committed() if upto_round is None else upto_round
+        if last is None:
+            return None
+        paths = []
+        for r in range(last + 1):
+            p = os.path.join(self.round_dir(r), "documents")
+            if os.path.isdir(p) and os.path.exists(self.manifest_path(r)):
+                paths.append(p)
+        if not paths:
+            return None
+        return spark.read.parquet(*paths)

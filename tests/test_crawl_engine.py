@@ -1,0 +1,160 @@
+"""End-to-end crawl tests: Spark engine vs the pure-Python reference BFS.
+
+The analog of the reference's golden full-crawl tests
+(test_domain_spider_full_crawl.py:57-123): identical visited-URL sets,
+per-URL depths, FIFO discovery order, and byte-identical extracted text.
+"""
+
+import shutil
+
+import pytest
+
+from searchgov_spider_spark.crawl import CrawlEngine, CrawlPolicy, reference_crawl
+from searchgov_spider_spark.kernels.urlnorm import canonicalize_url
+from searchgov_spider_spark.synth import webgen
+from searchgov_spider_spark.synth.spark_gen import PAGES_SCHEMA
+
+N_PAGES, N_HOSTS = 400, 5
+
+
+def _pages_dict():
+    return {
+        canonicalize_url(r["url"]): r["html"]
+        for r in (
+            webgen.build_page(h, k, p, N_HOSTS) for h, k, p in webgen.page_index(N_PAGES, N_HOSTS)
+        )
+    }
+
+
+def _robots_dict():
+    return {webgen.host_name(h): webgen.robots_text(h, N_HOSTS) for h in range(N_HOSTS)}
+
+
+@pytest.fixture(scope="module")
+def web(spark):
+    pages_pdf = webgen.pages_pandas(N_PAGES, N_HOSTS)
+    pages_df = spark.createDataFrame(pages_pdf, schema=PAGES_SCHEMA).persist()
+    robots_df = spark.createDataFrame(webgen.robots_pandas(N_HOSTS))
+    return pages_df, robots_df
+
+
+POLICIES = {
+    "full-depth20": CrawlPolicy(allowed_domains=[webgen.host_name(0)], depth_limit=20),
+    "deny-tag": CrawlPolicy(allowed_domains=[webgen.host_name(0)], depth_limit=20, deny_paths=["/tag/"]),
+    "two-hosts-qs": CrawlPolicy(
+        allowed_domains=[webgen.host_name(0), webgen.host_name(1)],
+        depth_limit=3,
+        allow_query_string=True,
+    ),
+    "depth2": CrawlPolicy(allowed_domains=[webgen.host_name(0)], depth_limit=2),
+}
+
+
+def run_both(spark, web, policy, tmp_path, **engine_kw):
+    pages_df, robots_df = web
+    start = [webgen.page_url(0, 0)]
+    oracle = reference_crawl(_pages_dict(), _robots_dict(), start, policy)
+    ckpt = str(tmp_path / "ckpt")
+    shutil.rmtree(ckpt, ignore_errors=True)
+    engine = CrawlEngine(
+        spark, pages_df, robots_df, policy, ckpt,
+        bloom_shards=4, bloom_bits=1 << 14, **engine_kw,
+    )
+    run = engine.run(start, max_rounds=64)
+    return oracle, run, engine
+
+
+@pytest.mark.parametrize("name", list(POLICIES))
+def test_visited_set_and_depth_match_oracle(spark, web, tmp_path, name):
+    policy = POLICIES[name]
+    oracle, run, _ = run_both(spark, web, policy, tmp_path / name)
+    seen = run.seen(spark)
+    got = {(r["url_canon"], r["depth"]) for r in seen.collect()}
+    expected = {(u, d) for u, d in oracle.depth.items()}
+    assert got == expected, f"{name}: visited set mismatch ({len(got)} vs {len(expected)})"
+
+    docs = run.documents(spark)
+    fetched = {r["url"] for r in docs.select("url").collect()}
+    assert fetched == oracle.fetched
+
+
+def test_fifo_order_matches_oracle(spark, web, tmp_path):
+    # ample budget => rounds == depth levels => admission order must equal
+    # the reference FIFO order exactly (SURVEY.md §2.5 O1)
+    policy = POLICIES["full-depth20"]
+    oracle, run, _ = run_both(spark, web, policy, tmp_path / "fifo")
+    seen = run.seen(spark)
+    ordered = [r["url_canon"] for r in seen.orderBy("seq").collect()]
+    assert ordered == oracle.order
+    seqs = [r["seq"] for r in seen.orderBy("seq").collect()]
+    assert seqs == list(range(len(ordered)))  # dense FIFO sequence
+
+
+def test_extracted_text_byte_identical(spark, web, tmp_path):
+    # input_hint invariant: byte-identical extracted text per URL between the
+    # distributed pandas-UDF path and the single-node kernel reference
+    policy = POLICIES["full-depth20"]
+    pages_df, _ = web
+    _, run, _ = run_both(spark, web, policy, tmp_path / "parity")
+    docs = run.documents(spark).select("url", "content")
+    joined = docs.join(pages_df.selectExpr("url", "text as expected_text"), "url", "inner")
+    assert joined.count() == docs.count()
+    mismatches = joined.filter("content != expected_text").count()
+    assert mismatches == 0
+
+
+def test_politeness_caps_fetches_per_round(spark, web, tmp_path):
+    # crawl_delay=1s and 8-second rounds => at most 8 fetches per host-round
+    policy = POLICIES["depth2"]
+    pages_df, robots_df = web
+    start = [webgen.page_url(0, 0)]
+    ckpt = str(tmp_path / "polite")
+    engine = CrawlEngine(
+        spark, pages_df, robots_df, policy, ckpt,
+        round_seconds=8.0, bloom_shards=4, bloom_bits=1 << 14,
+    )
+    run = engine.run(start, max_rounds=64)
+    # single allowed host => per-round fetch count must be <= 8
+    for m in run.metrics:
+        assert m["selected"] <= 8, m
+    # crawl still completes (tokens refill every round)
+    oracle = reference_crawl(_pages_dict(), _robots_dict(), start, policy)
+    seen = run.seen(spark)
+    assert {r["url_canon"] for r in seen.collect()} == set(oracle.depth)
+
+
+def test_resume_reproduces_visited_set(spark, web, tmp_path):
+    policy = POLICIES["full-depth20"]
+    pages_df, robots_df = web
+    start = [webgen.page_url(0, 0)]
+    oracle = reference_crawl(_pages_dict(), _robots_dict(), start, policy)
+
+    ckpt = str(tmp_path / "resume")
+    engine = CrawlEngine(spark, pages_df, robots_df, policy, ckpt, bloom_shards=4, bloom_bits=1 << 14)
+    partial = engine.run(start, max_rounds=2)  # "killed" after 2 rounds
+    assert partial.rounds == 2
+    resumed = engine.run(start, max_rounds=64, resume=True)
+
+    seen = resumed.seen(spark)
+    ordered = [r["url_canon"] for r in seen.orderBy("seq").collect()]
+    assert ordered == oracle.order
+    docs = resumed.documents(spark)
+    assert {r["url"] for r in docs.select("url").collect()} == oracle.fetched
+
+
+def test_oracle_sanity():
+    # structural sanity of the synthetic graph + oracle itself
+    policy = POLICIES["full-depth20"]
+    res = reference_crawl(_pages_dict(), _robots_dict(), [webgen.page_url(0, 0)], policy)
+    assert len(res.order) > 20
+    assert res.depth[canonicalize_url(webgen.page_url(0, 0))] == 0
+    # robots: /blocked/ pages never visited
+    assert not any("/blocked/" in u for u in res.order)
+    # qs filter: no query URLs admitted under allow_query_string=False
+    assert not any("?" in u for u in res.order)
+    # deny-tag strictly smaller
+    res_deny = reference_crawl(
+        _pages_dict(), _robots_dict(), [webgen.page_url(0, 0)], POLICIES["deny-tag"]
+    )
+    assert set(res_deny.order) < set(res.order)
+    assert not any("/tag/" in u for u in res_deny.order)
