@@ -1,0 +1,161 @@
+#!/usr/bin/env python
+"""Benchmark harness (driver contract): one JSON line on stdout.
+
+Headline = the flagship crawl (URLs fetched+deduped/sec) over the
+deterministic synthetic web at the target scale factor, run at TWO
+parallelism levels — local[8] and local[N] (N = SPARK_GRAFT_CPUS, default
+32) — on the SAME input, evidencing the north_rule's two-cluster-size
+scaling criterion: efficiency = (rate_N / rate_8) / (N / 8).
+
+Plus per-query wall seconds for the headline relational / dedup / similarity
+queries at $SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1).
+
+Env knobs:
+  SPARK_GRAFT_SF_DIR   testdata dir (default /root/testdata/sf0.1)
+  SPARK_GRAFT_CPUS     high-parallelism level (default 32)
+  BENCH_SKIP_SCALING   set to skip the local[8] run (fast iteration)
+  BENCH_CRAWL_PAGES    override synthetic web size
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from searchgov_spider_spark.session import build_session  # noqa: E402
+from searchgov_spider_spark.synth import webgen  # noqa: E402
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+BENCH_QUERIES = [
+    "q01_pricing_summary",
+    "q02_revenue_by_nation",
+    "q06_revenue_forecast",
+    "q07_top_orders_per_customer",
+    "q10_events_daily",
+    "q16_exact_dedup",
+    "q17_token_stats",
+    "q18_minhash_signature",
+    "q21_cosine_topk",
+    "q22_text_analysis",
+    "q25_lsh_near_dup_pairs",
+]
+
+
+def _sf() -> float:
+    base = os.path.basename(SF_DIR.rstrip("/"))
+    try:
+        return float(base.replace("sf", ""))
+    except ValueError:
+        return 0.1
+
+
+def crawl_bench(cores: int, n_pages: int, n_hosts: int) -> dict:
+    """One full crawl at local[cores]; returns urls/s and wall seconds."""
+    from searchgov_spider_spark.crawl import CrawlEngine, CrawlPolicy
+    from searchgov_spider_spark.synth.spark_gen import generate_pages
+
+    spark = build_session(
+        app_name=f"bench-crawl-{cores}",
+        master=f"local[{cores}]",
+        shuffle_partitions=max(32, cores * 2),
+    )
+    try:
+        gen_t0 = time.monotonic()
+        pages = generate_pages(spark, n_pages, n_hosts)  # parquet-cached
+        robots = spark.createDataFrame(webgen.robots_pandas(n_hosts))
+        gen_s = time.monotonic() - gen_t0
+        policy = CrawlPolicy(allowed_domains=["example.gov"], depth_limit=50)
+        ckpt = tempfile.mkdtemp(prefix=f"bench_crawl_{cores}_")
+        engine = CrawlEngine(
+            spark, pages, robots, policy, ckpt,
+            round_seconds=1e6,  # ample politeness budget: measure engine throughput
+            bloom_shards=32, bloom_bits=1 << 22,
+        )
+        t0 = time.monotonic()
+        run = engine.run([webgen.page_url(0, 0)], max_rounds=64)
+        wall = time.monotonic() - t0
+        fetched = run.total_fetched()
+        deduped = sum(m.get("admitted", 0) for m in run.metrics)
+        shutil.rmtree(ckpt, ignore_errors=True)
+        return {
+            "cores": cores,
+            "wall_s": round(wall, 2),
+            "gen_s": round(gen_s, 2),
+            "fetched": fetched,
+            "admitted": deduped,
+            "rounds": run.rounds,
+            "urls_per_sec": round(fetched / wall, 2) if wall > 0 else 0.0,
+            "round_walls": [m["round_wall_s"] for m in run.metrics],
+        }
+    finally:
+        spark.stop()
+
+
+def query_bench() -> dict:
+    from searchgov_spider_spark import queries as Q
+
+    spark = build_session(app_name="bench-queries", master=f"local[{CPUS}]")
+    timings = {}
+    try:
+        for name in BENCH_QUERIES:
+            fn = Q.QUERIES[name]
+            t0 = time.monotonic()
+            fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
+            timings[name] = round(time.monotonic() - t0, 3)
+    finally:
+        spark.stop()
+    return timings
+
+
+def main() -> None:
+    sf = _sf()
+    n_pages = int(os.environ.get("BENCH_CRAWL_PAGES", webgen.SF_PAGES.get(sf, int(2_000_000 * sf))))
+    n_hosts = webgen.SF_HOSTS.get(sf, max(20, int(2_000 * sf)))
+
+    total_t0 = time.monotonic()
+    queries = query_bench()
+
+    high = crawl_bench(CPUS, n_pages, n_hosts)
+    queries["crawl_sf_web"] = high["wall_s"]
+
+    extras = {
+        "crawl": {f"local{CPUS}": high},
+        "crawl_urls_per_sec": high["urls_per_sec"],
+    }
+    if not os.environ.get("BENCH_SKIP_SCALING"):
+        low = crawl_bench(8, n_pages, n_hosts)
+        extras["crawl"]["local8"] = low
+        eff = (high["urls_per_sec"] / low["urls_per_sec"]) / (CPUS / 8) if low["urls_per_sec"] else 0.0
+        extras["scaling"] = {
+            "low_cores": 8,
+            "high_cores": CPUS,
+            "urls_per_sec_low": low["urls_per_sec"],
+            "urls_per_sec_high": high["urls_per_sec"],
+            "efficiency": round(eff, 3),
+        }
+
+    total = round(time.monotonic() - total_t0, 2)
+    print(
+        json.dumps(
+            {
+                "metric": "crawl+query wall seconds (headline: URLs fetched+deduped/sec in extras)",
+                "value": total,
+                "unit": "sec",
+                "queries": queries,
+                "sf": sf,
+                "extras": extras,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

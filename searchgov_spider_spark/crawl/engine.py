@@ -152,9 +152,11 @@ class CrawlEngine:
         fetched = selected.join(self.pages, "url_canon", "left")
         found = fetched.filter(F.col("html").isNotNull())
         extracted = (
-            found.withColumn("doc", udfs.extract_doc(F.col("html"), F.col("url_canon"), F.col("lang")))
-            .withColumn("links", udfs.extract_links(F.col("html"), F.col("url_canon")))
-            .select("url_canon", "url_hash", "host", "depth", "seq", "source_url", "doc", "links")
+            found.withColumn("doc", udfs.extract_doc_links(F.col("html"), F.col("url_canon"), F.col("lang")))
+            .select(
+                "url_canon", "url_hash", "host", "depth", "seq", "source_url",
+                "doc", F.col("doc.links").alias("links"),
+            )
             .persist()
         )
         documents = extracted.select(

@@ -76,6 +76,11 @@ DOC_STRUCT = T.StructType(
     ]
 )
 
+# doc + links in one parse (the engine's hot path: avoids parsing the HTML twice)
+DOC_LINKS_STRUCT = T.StructType(
+    list(DOC_STRUCT.fields) + [T.StructField("links", T.ArrayType(T.StringType()))]
+)
+
 
 @pandas_udf(T.ArrayType(T.StringType()))
 def extract_links(html: pd.Series, base_url: pd.Series) -> pd.Series:
@@ -98,6 +103,20 @@ def extract_doc(html: pd.Series, url: pd.Series, lang_hint: pd.Series) -> pd.Dat
         doc = htmlx.extract_html_doc(textproc.decode_bytes(bytes(body)), u or "", lh or "")
         rows.append((doc.title, doc.description, doc.keywords, doc.language, doc.content))
     return pd.DataFrame(rows, columns=["title", "description", "keywords", "language", "content"])
+
+
+@pandas_udf(DOC_LINKS_STRUCT)
+def extract_doc_links(html: pd.Series, url: pd.Series, lang_hint: pd.Series) -> pd.DataFrame:
+    rows = []
+    for body, u, lh in zip(html, url, lang_hint):
+        if body is None:
+            rows.append(("", "", "", "", "", []))
+            continue
+        doc = htmlx.extract_html_doc(textproc.decode_bytes(bytes(body)), u or "", lh or "")
+        rows.append((doc.title, doc.description, doc.keywords, doc.language, doc.content, doc.links))
+    return pd.DataFrame(
+        rows, columns=["title", "description", "keywords", "language", "content", "links"]
+    )
 
 
 @pandas_udf(T.StringType())

@@ -65,7 +65,7 @@ def q02_revenue_by_nation(spark, sf_dir):
 def q03_customers_without_orders(spark, sf_dir):
     """Anti-join (J5/F7 family: the dedup 'not seen' probe)."""
     c = _t(spark, sf_dir, "customer")
-    o = _t(spark, sf_dir, "orders")
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 400000)
     return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select("c_custkey", "c_name")
 
 
@@ -124,8 +124,18 @@ def q08_nations_union(spark, sf_dir):
 
 def q09_customer_only_nations(spark, sf_dir):
     """EXCEPT (U1 family: sitemap delta)."""
-    c = _t(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nationkey")).distinct()
-    s = _t(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nationkey")).distinct()
+    c = (
+        _t(spark, sf_dir, "customer")
+        .filter(F.col("c_acctbal") > 9000)
+        .select(F.col("c_nationkey").alias("nationkey"))
+        .distinct()
+    )
+    s = (
+        _t(spark, sf_dir, "supplier")
+        .filter(F.col("s_acctbal") > 5000)
+        .select(F.col("s_nationkey").alias("nationkey"))
+        .distinct()
+    )
     return c.exceptAll(s).select("nationkey")
 
 
@@ -415,7 +425,7 @@ ORACLES = {
     """,
     "q03_customers_without_orders": """
         SELECT c_custkey, c_name FROM customer
-        WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)
+        WHERE c_custkey NOT IN (SELECT o_custkey FROM orders WHERE o_totalprice > 400000)
     """,
     "q04_top_customers": """
         SELECT o_custkey, round(sum(o_totalprice), 2) AS revenue
@@ -443,8 +453,8 @@ ORACLES = {
         UNION SELECT s_nationkey AS nationkey FROM supplier
     """,
     "q09_customer_only_nations": """
-        SELECT DISTINCT c_nationkey AS nationkey FROM customer
-        EXCEPT SELECT DISTINCT s_nationkey AS nationkey FROM supplier
+        SELECT DISTINCT c_nationkey AS nationkey FROM customer WHERE c_acctbal > 9000
+        EXCEPT SELECT DISTINCT s_nationkey AS nationkey FROM supplier WHERE s_acctbal > 5000
     """,
     "q10_events_daily": """
         SELECT strftime(ts, '%Y-%m-%d') AS day, event_type,
