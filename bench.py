@@ -79,8 +79,11 @@ def crawl_bench(cores: int, n_pages: int, n_hosts: int) -> dict:
             round_seconds=1e6,  # ample politeness budget: measure engine throughput
             bloom_shards=32, bloom_bits=1 << 22,
         )
+        # seed list = every host root (the reference crawls a 1,790-seed list;
+        # breadth comes from the seeds, not from cross-host link chains)
+        start_urls = [webgen.page_url(h, 0) for h in range(n_hosts)]
         t0 = time.monotonic()
-        run = engine.run([webgen.page_url(0, 0)], max_rounds=64)
+        run = engine.run(start_urls, max_rounds=64)
         wall = time.monotonic() - t0
         fetched = run.total_fetched()
         deduped = sum(m.get("admitted", 0) for m in run.metrics)

@@ -42,7 +42,7 @@ from pyspark.sql import functions as F
 from ..functions import udfs
 from ..storage.tables import CheckpointStore
 from . import politeness
-from .bloom import PartitionedBloom, bloom_from_df, build_shard_bitmaps
+from .bloom import PartitionedBloom, build_shard_bitmaps
 from .frontier import (
     apply_admission_filters,
     apply_robots_filter,
@@ -50,7 +50,7 @@ from .frontier import (
     dedup_first_in_batch,
 )
 from .reference_bfs import CrawlPolicy
-from .seqno import assign_global_seq
+from .seqno import SMALL_BATCH_THRESHOLD, assign_global_seq, assign_seq_small
 
 FRONTIER_COLS = ["url_canon", "url_hash", "host", "depth", "seq", "source_url"]
 SEEN_COLS = ["url_hash", "url_canon", "depth", "seq"]
@@ -84,6 +84,7 @@ class CrawlEngine:
         round_seconds: float = 3600.0,
         bloom_shards: int = 16,
         bloom_bits: int = 1 << 20,
+        bloom_min_seen: int = 500_000,
         fetch_partitions: int | None = None,
         hot_host_threshold: int = 200_000,
     ):
@@ -94,12 +95,18 @@ class CrawlEngine:
         self.default_budget = max(1, int(round_seconds / politeness.DEFAULT_CRAWL_DELAY))
         self.bloom_shards = bloom_shards
         self.bloom_bits = bloom_bits
+        self.bloom_min_seen = bloom_min_seen
+        self._bloom_built = False
         self.hot_host_threshold = hot_host_threshold
         self.fetch_partitions = fetch_partitions or max(8, spark.sparkContext.defaultParallelism)
         self.robots = robots.persist() if robots is not None else None
         self.budgets = politeness.static_budgets(self.robots, round_seconds)
+        self.min_budget = self.default_budget
         if self.budgets is not None:
             self.budgets = self.budgets.persist()
+            rows = self.budgets.agg(F.min("budget").alias("m")).collect()
+            if rows and rows[0]["m"] is not None:
+                self.min_budget = min(self.min_budget, int(rows[0]["m"]))
         # fetch store: canonical-keyed pages, partitioned once on the join key
         # so per-round fetch joins shuffle only the fetch batch (J4)
         self.pages = (
@@ -142,14 +149,24 @@ class CrawlEngine:
             timings[name] = round(now - _last[0], 3)
             _last[0] = now
 
-        # politeness-capped FIFO selection (static budgets; see module doc)
-        salt = 8 if frontier_hint > self.hot_host_threshold else 1
-        selected = politeness.select_per_host_static(
-            frontier, self.budgets, self.default_budget, salt_buckets=salt
-        ).persist()
+        # politeness-capped FIFO selection (static budgets; see module doc).
+        # Fast path: when the whole frontier is within every host's budget the
+        # cap cannot bind — selection is the identity and the per-host window
+        # shuffle (and the frontier anti-join below) are skipped entirely.
+        budget_binds = frontier_hint > self.min_budget
+        if budget_binds:
+            salt = 8 if frontier_hint > self.hot_host_threshold else 1
+            selected = politeness.select_per_host_static(
+                frontier, self.budgets, self.default_budget, salt_buckets=salt
+            ).persist()
+        else:
+            selected = frontier
 
         # fetch join (simulated network: S4/J4) + extraction (X1-X18)
-        fetched = selected.join(self.pages, "url_canon", "left")
+        obs_sel = Observation()
+        fetched = selected.observe(obs_sel, F.count(F.lit(1)).alias("n")).join(
+            self.pages, "url_canon", "left"
+        )
         found = fetched.filter(F.col("html").isNotNull())
         extracted = (
             found.withColumn("doc", udfs.extract_doc_links(F.col("html"), F.col("url_canon"), F.col("lang")))
@@ -175,12 +192,11 @@ class CrawlEngine:
         obs_docs = Observation()
         self.store.write_table(documents.observe(obs_docs, F.count(F.lit(1)).alias("n")), rnd, "documents")
         n_docs = int(obs_docs.get["n"])
-        n_selected = selected.count()  # cached — cheap after the write above
+        n_selected = int(obs_sel.get["n"])
         mark("fetch_extract_docs")
 
         if n_selected == 0:
             remaining = frontier.count()
-            selected.unpersist()
             extracted.unpersist()
             metrics = {
                 "selected": 0, "fetched": 0, "missed": 0, "admitted": 0,
@@ -205,28 +221,54 @@ class CrawlEngine:
             self.policy,
         )
         candidates = apply_robots_filter(candidates, self.robots)
-        candidates = dedup_first_in_batch(candidates, ["parent_seq", "pos"])
-        new_admits = dedup_against_seen(self.spark, candidates, seen, bloom)
-        new_admits, n_admitted = assign_global_seq(new_admits, ["parent_seq", "pos"], start=next_seq)
+        candidates = dedup_first_in_batch(candidates, ["parent_seq", "pos"]).persist()
+        # Bloom prefiltering pays once the seen set is large (the anti-join
+        # shuffle it avoids outweighs the probe); below the threshold the
+        # plain anti-join is cheaper.  next_seq == |seen| by construction.
+        # On first crossing, the filter is (re)built COMPLETE from the full
+        # seen set — a Bloom with missing members would admit duplicates.
+        use_bloom = next_seq >= self.bloom_min_seen
+        if use_bloom and not self._bloom_built:
+            for shard_id, bitmap in build_shard_bitmaps(
+                seen, "url_hash", self.bloom_shards, self.bloom_bits, bloom.k
+            ):
+                bloom.merge_shard_bytes(shard_id, bitmap)
+            self._bloom_built = True
+        new_admits = dedup_against_seen(self.spark, candidates, seen, bloom if use_bloom else None)
+        # FIFO sequence: small batches (estimated from fan-out) avoid the
+        # pre-count pass; the exact count comes from the write Observation
+        est_admits = n_selected * 8
+        if est_admits < SMALL_BATCH_THRESHOLD:
+            new_admits = assign_seq_small(new_admits, ["parent_seq", "pos"], start=next_seq)
+        else:
+            new_admits, _ = assign_global_seq(new_admits, ["parent_seq", "pos"], start=next_seq)
         new_admits = new_admits.persist()
-        mark("admission_seq")
+        mark("admission_plan")
 
-        # state transition + checkpoint
-        frontier_next = (
-            frontier.join(selected.select("seq"), "seq", "left_anti")
-            .select(*FRONTIER_COLS)
-            .unionByName(new_admits.select(*FRONTIER_COLS))
-        )
+        # state transition + checkpoint.  Fast path: everything in the
+        # frontier was selected, so the next frontier is just the new admits.
+        obs_adm = Observation()
+        admits_obs = new_admits.observe(obs_adm, F.count(F.lit(1)).alias("n")).select(*FRONTIER_COLS)
+        if budget_binds:
+            frontier_next = (
+                frontier.join(selected.select("seq"), "seq", "left_anti")
+                .select(*FRONTIER_COLS)
+                .unionByName(admits_obs)
+            )
+        else:
+            frontier_next = admits_obs
         obs_frontier = Observation()
         self.store.write_table(
             frontier_next.observe(obs_frontier, F.count(F.lit(1)).alias("n")), rnd, "frontier"
         )
         remaining = int(obs_frontier.get["n"])
+        n_admitted = int(obs_adm.get["n"])
         mark("frontier_write")
 
-        seen_delta = new_admits.select(*SEEN_COLS)
-        self.store.write_seen_delta(seen_delta, rnd)
-        if n_admitted > 0:
+        seen_from_frontier = not budget_binds
+        if not seen_from_frontier:
+            self.store.write_seen_delta(new_admits.select(*SEEN_COLS), rnd)
+        if self._bloom_built and n_admitted > 0:
             for shard_id, bitmap in build_shard_bitmaps(
                 new_admits, "url_hash", self.bloom_shards, self.bloom_bits, bloom.k
             ):
@@ -238,8 +280,10 @@ class CrawlEngine:
         # anti-join or the logical plan doubles every round
         seen.unpersist()
         seen_next = self.store.read_seen(self.spark, rnd).persist()
-        selected.unpersist()
+        if budget_binds:
+            selected.unpersist()
         extracted.unpersist()
+        candidates.unpersist()
         new_admits.unpersist()
 
         metrics = {
@@ -249,6 +293,7 @@ class CrawlEngine:
             "admitted": n_admitted,
             "remaining": remaining,
             "next_seq": next_seq + n_admitted,
+            "seen_from_frontier": seen_from_frontier,
             "round_wall_s": round(time.monotonic() - t0, 3),
             "timings": timings,
             "stop": remaining == 0,
@@ -269,7 +314,6 @@ class CrawlEngine:
             frontier = self.store.read_table(spark, last, "frontier")
             next_seq = manifest["next_seq"]
             seen = self.store.read_seen(spark, last).persist()
-            bloom = bloom_from_df(seen, "url_hash", self.bloom_shards, self.bloom_bits)
             start_round = last + 1
             self.store.drop_uncommitted(start_round)
             frontier_hint = manifest.get("remaining", 0)
@@ -279,9 +323,11 @@ class CrawlEngine:
             # seeds enter the seen set at admission time (T1/F7)
             frontier.select(*SEEN_COLS).write.mode("overwrite").parquet(self.store.seed_seen_dir())
             seen = spark.read.parquet(self.store.seed_seen_dir()).persist()
-            bloom = bloom_from_df(seen, "url_hash", self.bloom_shards, self.bloom_bits)
             start_round = 0
             frontier_hint = next_seq
+        # built lazily (complete) once the seen set crosses bloom_min_seen
+        bloom = PartitionedBloom(self.bloom_shards, self.bloom_bits)
+        self._bloom_built = False
 
         for rnd in range(start_round, start_round + max_rounds):
             metrics, seen = self._run_round(rnd, frontier, seen, bloom, next_seq, frontier_hint)

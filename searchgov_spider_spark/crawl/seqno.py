@@ -25,6 +25,14 @@ from pyspark.sql.window import Window
 SMALL_BATCH_THRESHOLD = 65_536
 
 
+def assign_seq_small(df: DataFrame, order_cols: list[str], seq_col: str = "seq", start: int = 0) -> DataFrame:
+    """Single-partition window sequence — no pre-count action, for batches
+    already known (hinted) to be small.  The caller reads the exact batch
+    size afterwards from an Observation on the write."""
+    w = Window.orderBy(*[F.col(c) for c in order_cols])
+    return df.withColumn(seq_col, (F.row_number().over(w) + F.lit(start) - 1).cast("long"))
+
+
 def assign_global_seq(
     df: DataFrame,
     order_cols: list[str],

@@ -92,13 +92,25 @@ class CheckpointStore:
     def read_table(self, spark: SparkSession, rnd: int, name: str) -> DataFrame:
         return spark.read.parquet(os.path.join(self.round_dir(rnd), name))
 
+    SEEN_COLS = ["url_hash", "url_canon", "depth", "seq"]
+
     def read_seen(self, spark: SparkSession, upto_round: int) -> DataFrame | None:
-        """Union of the seed delta and all seen-deltas up to ``upto_round``."""
+        """Union of the seed delta and all seen-deltas up to ``upto_round``.
+
+        Rounds where the next frontier exactly equals the newly-admitted set
+        (politeness fast path) skip the separate seen-delta write; their
+        frontier directory doubles as the delta (manifest flag
+        ``seen_from_frontier``).
+        """
         paths = [self.seed_seen_dir()] if os.path.isdir(self.seed_seen_dir()) else []
-        paths += [self.seen_delta_dir(r) for r in range(upto_round + 1) if os.path.isdir(self.seen_delta_dir(r))]
+        for r in range(upto_round + 1):
+            if os.path.isdir(self.seen_delta_dir(r)):
+                paths.append(self.seen_delta_dir(r))
+            elif os.path.exists(self.manifest_path(r)) and self.read_manifest(r).get("seen_from_frontier"):
+                paths.append(os.path.join(self.round_dir(r), "frontier"))
         if not paths:
             return None
-        return spark.read.parquet(*paths)
+        return spark.read.parquet(*paths).select(*self.SEEN_COLS)
 
     def read_documents(self, spark: SparkSession, upto_round: int | None = None) -> DataFrame | None:
         last = self.last_committed() if upto_round is None else upto_round
