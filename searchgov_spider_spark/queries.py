@@ -350,6 +350,59 @@ def q28_robots_eval(spark, sf_dir):
     )
 
 
+def q29_sitemap_delta(spark, sf_dir):
+    """Sitemap snapshot delta (U1: EXCEPT over consecutive snapshots)."""
+    from . import flows
+    from .synth import webgen
+
+    snaps = spark.createDataFrame(webgen.sitemap_snapshots_pandas(8))
+    return flows.sitemap_delta(snaps)
+
+
+def q30_dap_pipeline(spark, sf_dir):
+    """DAP pipeline: normalize+validate (F13/X16) -> group-sum (A1) ->
+    trailing average (A2) -> broadcast enrichment join (J1)."""
+    from . import flows
+    from .synth import webgen
+
+    raw = spark.createDataFrame(webgen.dap_visits_pandas(8))
+    dap = flows.dap_transform(raw)
+    avg = flows.dap_avg_daily_visits(dap, anchor_date=20240128, days_back=28)
+    docs = spark.createDataFrame(
+        [(f"doc{h}", webgen.host_name(h)) for h in range(10)], "id string, domain_name string"
+    )
+    return flows.enrich_documents_with_dap(docs, avg)
+
+
+def q31_freshness(spark, sf_dir):
+    """Freshness HEAD-check routing (F14/S15) against the live pages table."""
+    from . import flows
+    from .synth import webgen
+    from .synth.spark_gen import PAGES_SCHEMA
+
+    pages = spark.createDataFrame(webgen.pages_pandas(400, 5), schema=PAGES_SCHEMA)
+    from pyspark.sql import functions as FF
+
+    docs = pages.select(FF.sha2("url", 256).alias("id"), FF.col("url")).limit(200).unionByName(
+        spark.createDataFrame([(f"gone{i}", f"https://host0.example.gov/deleted{i}") for i in range(50)], "id string, url string")
+    )
+    return flows.freshness_check(docs, pages)
+
+
+def q32_seeds_validation(spark, sf_dir):
+    """Crawl-config validation as DataFrame checks (S2/F10)."""
+    from . import flows
+    from .synth.spark_gen import generate_support_tables
+
+    seeds = generate_support_tables(spark, 8)["seeds"]
+    bad = spark.createDataFrame(
+        [("dup", "h.gov", "https://h.gov/", False, False, "csv", 3, None, None, None, None)] * 2
+        + [("bad", "h.gov", "x", False, False, "nope", 999, None, None, None, None)],
+        seeds.schema,
+    )
+    return flows.validate_seeds(seeds.unionByName(bad))
+
+
 # ---------------------------------------------------------------------------
 # registry + oracle SQL
 # ---------------------------------------------------------------------------
@@ -383,6 +436,10 @@ QUERIES = {
     "q26_ann_lsh": q26_ann_lsh,
     "q27_multimodal_features": q27_multimodal_features,
     "q28_robots_eval": q28_robots_eval,
+    "q29_sitemap_delta": q29_sitemap_delta,
+    "q30_dap_pipeline": q30_dap_pipeline,
+    "q31_freshness": q31_freshness,
+    "q32_seeds_validation": q32_seeds_validation,
 }
 
 _DUP_DOCS_SQL = (

@@ -34,7 +34,7 @@ _CACHE_ROOT = os.path.join(os.path.dirname(os.path.dirname(os.path.dirname(os.pa
 def _gen_pages(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
     for pdf in batches:
         rows = [
-            webgen.build_page(int(r.h), int(r.k), int(r.host_pages), int(r.n_hosts))
+            webgen.build_page(int(r.h), int(r.k), int(r.host_pages), int(r.n_hosts), int(r.branch))
             for r in pdf.itertuples(index=False)
         ]
         yield pd.DataFrame(rows, columns=[f.name for f in PAGES_SCHEMA.fields])
@@ -46,16 +46,18 @@ def generate_pages(
     n_hosts: int,
     cache: bool = True,
     partitions: int | None = None,
+    branch: int = 3,
 ) -> DataFrame:
     """Pages table, distributed-generated and parquet-cached."""
-    cache_dir = os.path.join(_CACHE_ROOT, f"pages_{n_pages}_{n_hosts}")
+    cache_dir = os.path.join(_CACHE_ROOT, f"pages_{n_pages}_{n_hosts}" + (f"_b{branch}" if branch != 3 else ""))
     if cache and os.path.exists(os.path.join(cache_dir, "_SUCCESS")):
         return spark.read.parquet(cache_dir)
     partitions = partitions or max(8, spark.sparkContext.defaultParallelism)
     sizes = webgen.host_sizes(n_pages, n_hosts)
     # index rows are tiny; build host offsets driver-side, explode page ids in Spark
     hosts_df = spark.createDataFrame(
-        [(h, sizes[h], n_hosts) for h in range(n_hosts)], "h int, host_pages int, n_hosts int"
+        [(h, sizes[h], n_hosts, branch) for h in range(n_hosts)],
+        "h int, host_pages int, n_hosts int, branch int",
     )
     index = (
         hosts_df.withColumn("k", F.explode(F.sequence(F.lit(0), F.col("host_pages") - 1)))

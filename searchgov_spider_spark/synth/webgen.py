@@ -88,11 +88,15 @@ def page_url(h: int, k: int) -> str:
     return f"https://{host_name(h)}{page_path(k)}"
 
 
-def page_links(h: int, k: int, host_pages: int, n_hosts: int) -> list[str]:
-    """Raw hrefs as they appear in the page HTML (pre-canonicalization)."""
+def page_links(h: int, k: int, host_pages: int, n_hosts: int, branch: int = 3) -> list[str]:
+    """Raw hrefs as they appear in the page HTML (pre-canonicalization).
+
+    ``branch`` is the link-tree fan-out (tests/fixtures use 3; the bench web
+    uses a higher fan-out so BFS depth — and hence round count — stays low).
+    """
     links: list[str] = []
     base_host = host_name(h)
-    for i, c in enumerate((3 * k + 1, 3 * k + 2, 3 * k + 3)):
+    for i, c in enumerate(range(branch * k + 1, branch * k + branch + 1)):
         if c >= host_pages:
             continue
         path = page_path(c)
@@ -104,8 +108,8 @@ def page_links(h: int, k: int, host_pages: int, n_hosts: int) -> list[str]:
             links.append(path)
     if k % 4 == 0:
         links.append(f"/static/file{k}.zip")
-    if k % 6 == 0 and 3 * k + 3 < host_pages:
-        links.append(f"{page_path(3 * k + 3)}?ref=nav")
+    if k % 6 == 0 and branch * k + branch < host_pages:
+        links.append(f"{page_path(branch * k + branch)}?ref=nav")
     if k % 7 == 0 and n_hosts > 1:
         links.append(f"https://{host_name((h + 1) % n_hosts)}/")
     if k % 8 == 0:
@@ -121,7 +125,7 @@ def _salad(rng: random.Random, words: list[str], n: int) -> str:
     return " ".join(rng.choice(words) for _ in range(n))
 
 
-def build_page(h: int, k: int, host_pages: int, n_hosts: int) -> dict:
+def build_page(h: int, k: int, host_pages: int, n_hosts: int, branch: int = 3) -> dict:
     """Pure page constructor: (h, k, sizes) -> pages-table row."""
     rng = random.Random(f"{SEED}:{h}:{k}")
     lang = page_lang(k)
@@ -134,7 +138,8 @@ def build_page(h: int, k: int, host_pages: int, n_hosts: int) -> dict:
         para2 += " Café résumé über."
     desc = f"Synthetic page {k} on {host_name(h)}." if k % 3 == 0 else ""
     link_html = "".join(
-        f'<a href="{href}">link {i}</a>\n' for i, href in enumerate(page_links(h, k, host_pages, n_hosts))
+        f'<a href="{href}">link {i}</a>\n'
+        for i, href in enumerate(page_links(h, k, host_pages, n_hosts, branch))
     )
     meta_desc = f'<meta name="description" content="{desc}">' if desc else ""
     html = (

@@ -1,0 +1,138 @@
+"""Tests for ancillary flows: sitemap delta, freshness, DAP, sinks, config
+validation — each against a hand-computed or pure-Python oracle."""
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import functions as F
+
+from searchgov_spider_spark import flows
+from searchgov_spider_spark.synth import webgen
+
+
+class TestSitemapDelta:
+    def test_delta_matches_generator(self, spark):
+        snaps = spark.createDataFrame(webgen.sitemap_snapshots_pandas(5))
+        out = flows.sitemap_delta(snaps).collect()
+        # generator adds pages 4 and 5 per sitemap in the second snapshot
+        got = {(r["sitemap_url"], r["page_url"]) for r in out}
+        expected = {
+            (f"https://{webgen.host_name(h)}/sitemap.xml", webgen.page_url(h, k))
+            for h in range(3)
+            for k in (4, 5)
+        }
+        assert got == expected
+
+    def test_no_previous_snapshot_all_new(self, spark):
+        snaps = spark.createDataFrame(
+            [("s", "u1", dt.datetime(2024, 1, 1)), ("s", "u2", dt.datetime(2024, 1, 1))],
+            "sitemap_url string, page_url string, snapshot_ts timestamp",
+        )
+        assert flows.sitemap_delta(snaps).count() == 2
+
+
+class TestFreshness:
+    def test_dispositions(self, spark):
+        docs = spark.createDataFrame(
+            [("a", "https://h.gov/alive"), ("b", "https://h.gov/dead")], "id string, url string"
+        )
+        pages = spark.createDataFrame([("https://h.gov/alive",)], "url string")
+        out = {r["id"]: r for r in flows.freshness_check(docs, pages).collect()}
+        assert out["a"]["status_code"] == 200 and out["a"]["disposition"] == "ok"
+        assert not out["a"]["marked_for_deletion"]
+        assert out["b"]["status_code"] == 404 and out["b"]["disposition"] == "marked_for_deletion"
+        assert out["b"]["marked_for_deletion"]
+
+    def test_max_results(self, spark):
+        docs = spark.createDataFrame([(str(i), f"https://h.gov/{i}") for i in range(10)], "id string, url string")
+        pages = spark.createDataFrame([("https://h.gov/0",)], "url string")
+        assert flows.freshness_check(docs, pages, max_results=3).count() == 3
+
+
+class TestDap:
+    def test_transform_filters_and_sums(self, spark):
+        raw = spark.createDataFrame(
+            [
+                ("WWW.Example.GOV", 20240101, 10),
+                ("example.gov", 20240101, 5),       # merges with the row above
+                ("(not set)", 20240101, 7),
+                ("12.34", 20240101, 7),
+                (".gov", 20240101, 7),
+                ("localhost", 20240101, 7),
+                ("other.gov", 20240102, 3),
+            ],
+            "domain string, date int, visits int",
+        )
+        out = {(r["domain"], r["date"]): r["visits"] for r in flows.dap_transform(raw).collect()}
+        assert out == {("example.gov", 20240101): 15, ("other.gov", 20240102): 3}
+
+    def test_avg_daily_and_enrichment(self, spark):
+        dap = spark.createDataFrame(
+            [("example.gov", 20240101 + i, 28) for i in range(28)], "domain string, date int, visits long"
+        )
+        avg = flows.dap_avg_daily_visits(dap, anchor_date=20240131, days_back=28)
+        assert avg.collect()[0]["avg_daily_visits"] == 28
+        docs = spark.createDataFrame(
+            [("d1", "www.example.gov"), ("d2", "unknown.gov")], "id string, domain_name string"
+        )
+        enriched = {r["id"]: r["dap_domain_visits_count"] for r in flows.enrich_documents_with_dap(docs, avg).collect()}
+        assert enriched == {"d1": 28, "d2": None}
+
+
+class TestSinks:
+    def test_urls_csv_rotation(self, spark, tmp_path):
+        df = spark.createDataFrame([(f"https://h.gov/{i}",) for i in range(100)], "url string").coalesce(1)
+        path = str(tmp_path / "urls")
+        flows.write_urls_csv(df, path, max_records_per_file=30)
+        import glob
+
+        files = glob.glob(f"{path}/part-*")
+        assert len(files) >= 4  # 100/30 -> rotated into >= 4 files
+        lines = sum(1 for f in files for _ in open(f))
+        assert lines == 100
+
+    def test_urls_out_prunes_heavy_columns(self, spark):
+        df = spark.createDataFrame([("u", "c", "b")], "url string, content string, content_type string")
+        assert set(flows.urls_out(df).columns) == {"url"}
+
+    def test_content_type_filter(self, spark):
+        df = spark.createDataFrame(
+            [("a", "text/html; charset=utf-8"), ("b", "application/pdf"), ("c", "image/png"), ("d", "text/plain")],
+            "id string, content_type string",
+        )
+        os_ids = {r["id"] for r in flows.filter_by_content_type(df, "opensearch").collect()}
+        csv_ids = {r["id"] for r in flows.filter_by_content_type(df, "csv").collect()}
+        assert os_ids == {"a", "b"}
+        assert csv_ids == {"a", "b", "d"}
+
+
+class TestSeedsValidation:
+    def test_violations(self, spark):
+        rows = [
+            ("ok", "h.gov", "https://h.gov/", "csv", 3),
+            ("ok", "h.gov", "https://h.gov/", "csv", 3),          # duplicate name
+            ("bad-depth", "h.gov", "https://h.gov/", "csv", 300),
+            ("bad-target", "h.gov", "https://h.gov/", "nope", 3),
+            ("bad-url", "h.gov", "x", "endpoint", 3),
+        ]
+        seeds = spark.createDataFrame(
+            rows, "name string, allowed_domains string, starting_urls string, output_target string, depth_limit int"
+        )
+        v = {(r["value"], r["violation"]) for r in flows.validate_seeds(seeds).collect()}
+        assert ("ok", "duplicate_name") in v
+        assert ("bad-depth", "depth_out_of_bounds") in v
+        assert ("bad-target", "invalid_output_target") in v
+        assert ("bad-url", "invalid_starting_urls") in v
+
+    def test_clean_seeds_pass(self, spark):
+        from searchgov_spider_spark.synth.spark_gen import generate_support_tables
+
+        seeds = generate_support_tables(spark, 5)["seeds"]
+        assert flows.validate_seeds(seeds).count() == 0
+
+
+def test_spider_id_shape():
+    sid = flows.spider_id("a", "b", "c")
+    assert len(sid) == 10
+    assert sid == flows.spider_id("a", "b", "c")
+    assert sid != flows.spider_id("a", "b", "d")
