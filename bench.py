@@ -2,19 +2,23 @@
 """Benchmark harness (driver contract): one JSON line on stdout.
 
 Headline = the flagship crawl (URLs fetched+deduped/sec) over the
-deterministic synthetic web at the target scale factor, run at TWO
-parallelism levels — local[8] and local[N] (N = SPARK_GRAFT_CPUS, default
-32) — on the SAME input, evidencing the north_rule's two-cluster-size
-scaling criterion: efficiency = (rate_N / rate_8) / (N / 8).
+deterministic synthetic web at the target scale factor at local[CPUS], plus
+the north_rule's two-cluster-size scaling evidence: the SAME crawl on the
+SAME 1M-page input at local[2] vs local[8] (N and 4N cores), efficiency =
+(rate_8 / rate_2) / 4.  2-vs-8 stays under the 32-core box's contention
+knee — a pure-multiprocessing control measures the machine's own ceiling
+at ~0.94 there vs ~0.74 at 8→32 (see BENCH.md) — so the number reflects
+engine scaling, not host throttling.
 
 Plus per-query wall seconds for the headline relational / dedup / similarity
 queries at $SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1).
 
 Env knobs:
-  SPARK_GRAFT_SF_DIR   testdata dir (default /root/testdata/sf0.1)
-  SPARK_GRAFT_CPUS     high-parallelism level (default 32)
-  BENCH_SKIP_SCALING   set to skip the local[8] run (fast iteration)
-  BENCH_CRAWL_PAGES    override synthetic web size
+  SPARK_GRAFT_SF_DIR    testdata dir (default /root/testdata/sf0.1)
+  SPARK_GRAFT_CPUS      headline parallelism (default 32)
+  BENCH_SKIP_SCALING    set to skip the 2-vs-8 scaling runs (fast iteration)
+  BENCH_CRAWL_PAGES     override headline synthetic web size
+  BENCH_SCALING_PAGES   override scaling web size (default 1,000,000)
 """
 
 from __future__ import annotations
@@ -60,7 +64,6 @@ def _sf() -> float:
 def crawl_bench(cores: int, n_pages: int, n_hosts: int, branch: int = 8, shuffle_partitions: int = 32) -> dict:
     """One full crawl at local[cores]; returns urls/s and wall seconds."""
     from searchgov_spider_spark.crawl import CrawlEngine, CrawlPolicy
-    from searchgov_spider_spark.synth.spark_gen import generate_pages
 
     spark = build_session(
         app_name=f"bench-crawl-{cores}",
@@ -68,14 +71,15 @@ def crawl_bench(cores: int, n_pages: int, n_hosts: int, branch: int = 8, shuffle
         shuffle_partitions=shuffle_partitions,
     )
     try:
-        gen_t0 = time.monotonic()
-        pages = generate_pages(spark, n_pages, n_hosts, branch=branch)  # parquet-cached
+        from searchgov_spider_spark.crawl.fetch import GeneratorFetcher
+
         robots = spark.createDataFrame(webgen.robots_pandas(n_hosts))
-        gen_s = time.monotonic() - gen_t0
+        gen_s = 0.0
         policy = CrawlPolicy(allowed_domains=["example.gov"], depth_limit=50)
         ckpt = tempfile.mkdtemp(prefix=f"bench_crawl_{cores}_")
         engine = CrawlEngine(
-            spark, pages, robots, policy, ckpt,
+            spark, None, robots, policy, ckpt,
+            fetcher=GeneratorFetcher(n_pages, n_hosts, branch=branch),
             round_seconds=1e7,  # ample politeness budget: measure engine throughput
             bloom_shards=32, bloom_bits=1 << 22,
         )
@@ -140,12 +144,6 @@ def main() -> None:
         # so the number reflects the ENGINE's scaling, not host throttling.
         scale_pages = int(os.environ.get("BENCH_SCALING_PAGES", "1000000"))
         scale_hosts = 200
-        # pre-generate the scaling web at full parallelism (parquet-cached)
-        pre = build_session(app_name="bench-pregen", master=f"local[{CPUS}]")
-        from searchgov_spider_spark.synth.spark_gen import generate_pages as _gen
-
-        _gen(pre, scale_pages, scale_hosts, branch=8)
-        pre.stop()
         lo_cores, hi_cores = 2, 8
         hi = crawl_bench(hi_cores, scale_pages, scale_hosts)
         lo = crawl_bench(lo_cores, scale_pages, scale_hosts)

@@ -77,10 +77,11 @@ class CrawlEngine:
     def __init__(
         self,
         spark: SparkSession,
-        pages: DataFrame,
+        pages: DataFrame | None,
         robots: DataFrame | None,
         policy: CrawlPolicy,
         checkpoint_dir: str,
+        fetcher=None,
         round_seconds: float = 3600.0,
         bloom_shards: int = 16,
         bloom_bits: int = 1 << 20,
@@ -98,7 +99,7 @@ class CrawlEngine:
         self.bloom_min_seen = bloom_min_seen
         self._bloom_built = False
         self.hot_host_threshold = hot_host_threshold
-        self.fetch_partitions = fetch_partitions or max(8, spark.sparkContext.defaultParallelism)
+        self.fetch_partitions = fetch_partitions or max(32, spark.sparkContext.defaultParallelism)
         self.robots = robots.persist() if robots is not None else None
         self.budgets = politeness.static_budgets(self.robots, round_seconds)
         self.min_budget = self.default_budget
@@ -107,15 +108,14 @@ class CrawlEngine:
             rows = self.budgets.agg(F.min("budget").alias("m")).collect()
             if rows and rows[0]["m"] is not None:
                 self.min_budget = min(self.min_budget, int(rows[0]["m"]))
-        # fetch store: canonical-keyed pages, partitioned once on the join key
-        # so per-round fetch joins shuffle only the fetch batch (J4)
-        self.pages = (
-            pages.withColumn("url_canon", udfs.canonicalize_url(F.col("url")))
-            .select("url_canon", "html", "lang")
-            .repartition(self.fetch_partitions, "url_canon")
-            .persist()
-        )
-        self.pages.count()  # materialize once
+        # pluggable fetch stage (S4/J4) — table join by default, batch-client
+        # (GeneratorFetcher / HTTP) when supplied
+        if fetcher is not None:
+            self.fetcher = fetcher
+        else:
+            from .fetch import TableFetcher
+
+            self.fetcher = TableFetcher(pages, self.fetch_partitions)
 
     # -- bootstrap -------------------------------------------------------------
     def _bootstrap(self, start_urls: list[str]) -> DataFrame:
@@ -127,7 +127,7 @@ class CrawlEngine:
         admitted = apply_admission_filters(seeds, self.policy)
         admitted = apply_robots_filter(admitted, self.robots)
         admitted = dedup_first_in_batch(admitted, ["pos"])
-        admitted, _ = assign_global_seq(admitted, ["pos"], start=0)
+        admitted, _, _h = assign_global_seq(admitted, ["pos"], start=0)
         return admitted.select(*FRONTIER_COLS)
 
     # -- one round ---------------------------------------------------------------
@@ -162,11 +162,20 @@ class CrawlEngine:
         else:
             selected = frontier
 
-        # fetch join (simulated network: S4/J4) + extraction (X1-X18)
+        # fetch (S4/J4) + extraction (X1-X18).  The batch is explicitly
+        # repartitioned on url_hash first (north_rule: salt the frontier by
+        # host/url hash) — the rows are tiny pre-fetch, and without this the
+        # narrow fetch+extract chain would inherit the frontier parquet's
+        # coalesced (often single) partition and serialize the hot path.
+        # Partition count adapts to the batch (~2k pages/task): small rounds
+        # avoid per-task Arrow-worker overhead, big rounds use every core.
+        cores = self.spark.sparkContext.defaultParallelism
+        parts = min(self.fetch_partitions, max(cores, (frontier_hint // 2000) + 1))
         obs_sel = Observation()
-        fetched = selected.observe(obs_sel, F.count(F.lit(1)).alias("n")).join(
-            self.pages, "url_canon", "left"
+        batch = selected.observe(obs_sel, F.count(F.lit(1)).alias("n")).repartition(
+            parts, F.col("url_hash")
         )
+        fetched = self.fetcher.fetch(batch)
         found = fetched.filter(F.col("html").isNotNull())
         extracted = (
             found.withColumn("doc", udfs.extract_doc_links(F.col("html"), F.col("url_canon"), F.col("lang")))
@@ -238,10 +247,11 @@ class CrawlEngine:
         # FIFO sequence: small batches (estimated from fan-out) avoid the
         # pre-count pass; the exact count comes from the write Observation
         est_admits = n_selected * 8
+        seq_cache = None
         if est_admits < SMALL_BATCH_THRESHOLD:
             new_admits = assign_seq_small(new_admits, ["parent_seq", "pos"], start=next_seq)
         else:
-            new_admits, _ = assign_global_seq(new_admits, ["parent_seq", "pos"], start=next_seq)
+            new_admits, _, seq_cache = assign_global_seq(new_admits, ["parent_seq", "pos"], start=next_seq)
         new_admits = new_admits.persist()
         mark("admission_plan")
 
@@ -285,6 +295,8 @@ class CrawlEngine:
         extracted.unpersist()
         candidates.unpersist()
         new_admits.unpersist()
+        if seq_cache is not None:
+            seq_cache.unpersist()
 
         metrics = {
             "selected": n_selected,

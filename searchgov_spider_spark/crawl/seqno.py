@@ -40,33 +40,33 @@ def assign_global_seq(
     start: int = 0,
     num_partitions: int | None = None,
     small_threshold: int = SMALL_BATCH_THRESHOLD,
-) -> tuple[DataFrame, int]:
+) -> tuple[DataFrame, int, DataFrame]:
     """Dense global sequence ``start..start+n-1`` in ``order_cols`` order.
 
-    Returns ``(df_with_seq, total_rows)``.  The input is persisted during
-    assignment (the caller's next action materializes the result cheaply).
-    Small batches (< small_threshold) take a single-partition window — the
-    right plan for a bounded batch; large batches take the two-pass
+    Returns ``(df_with_seq, total_rows, cache_handle)`` — the handle is the
+    internally persisted intermediate; the caller unpersists it after
+    materializing the result.  Small batches (< small_threshold) take a
+    single-partition window; large batches take the two-pass
     range-partitioned scheme described above.  Deterministic either way.
     """
     spark = df.sparkSession
     df = df.persist()
     total = df.count()
     if total == 0:
-        return df.withColumn(seq_col, F.lit(0).cast("long")), 0
+        return df.withColumn(seq_col, F.lit(0).cast("long")), 0, df
     if total < small_threshold:
         w = Window.orderBy(*[F.col(c) for c in order_cols])
         out = df.withColumn(seq_col, (F.row_number().over(w) + F.lit(start) - 1).cast("long"))
-        return out, total
+        return out, total, df
 
     if num_partitions is None:
         num_partitions = max(1, spark.sparkContext.defaultParallelism)
     ranged = df.repartitionByRange(num_partitions, *[F.col(c) for c in order_cols]).sortWithinPartitions(
         *order_cols
     )
-    ranged = ranged.withColumn("_pid", F.spark_partition_id())
-    ranged.persist()
+    ranged = ranged.withColumn("_pid", F.spark_partition_id()).persist()
     counts = {r["_pid"]: r["cnt"] for r in ranged.groupBy("_pid").agg(F.count("*").alias("cnt")).collect()}
+    df.unpersist()  # superseded by the ranged cache
     offsets = {}
     running = start
     for pid in sorted(counts):
@@ -82,4 +82,4 @@ def assign_global_seq(
         .withColumn(seq_col, (F.col("_offset") + F.col("_rn") - F.lit(1)).cast("long"))
         .drop("_pid", "_rn", "_offset")
     )
-    return out, total
+    return out, total, ranged

@@ -34,6 +34,7 @@ from __future__ import annotations
 
 import datetime as dt
 import random
+import re
 
 import pandas as pd
 
@@ -125,8 +126,36 @@ def _salad(rng: random.Random, words: list[str], n: int) -> str:
     return " ".join(rng.choice(words) for _ in range(n))
 
 
-def build_page(h: int, k: int, host_pages: int, n_hosts: int, branch: int = 3) -> dict:
-    """Pure page constructor: (h, k, sizes) -> pages-table row."""
+_URL_RE = re.compile(r"^https://host(\d+)\.example\.gov(/.*)?$")
+_PATH_RE = re.compile(r"^/(?:tag/|blocked/)?p(\d+)$")
+
+
+def url_to_hk(url: str) -> tuple[int, int] | None:
+    """Inverse of page_url: canonical URL -> (host_index, page_index).
+
+    Returns None for URLs that don't address a generated page (the analog of
+    an HTTP 404)."""
+    m = _URL_RE.match(url)
+    if not m:
+        return None
+    h = int(m.group(1))
+    path = m.group(2) or "/"
+    if path == "/":
+        return h, 0
+    m2 = _PATH_RE.match(path)
+    if not m2:
+        return None
+    k = int(m2.group(1))
+    if page_path(k) != path:
+        return None
+    return h, k
+
+
+def build_page(h: int, k: int, host_pages: int, n_hosts: int, branch: int = 3, with_text: bool = True) -> dict:
+    """Pure page constructor: (h, k, sizes) -> pages-table row.
+
+    ``with_text=False`` skips the (expensive) oracle text-extraction column —
+    the fetch path only needs the html bytes."""
     rng = random.Random(f"{SEED}:{h}:{k}")
     lang = page_lang(k)
     words = _ES_WORDS if lang == "es" else _EN_WORDS
@@ -152,13 +181,15 @@ def build_page(h: int, k: int, host_pages: int, n_hosts: int, branch: int = 3) -
     encoding = "latin-1" if latin1 else "utf-8"
     html_bytes = html.encode(encoding)
     url = page_url(h, k)
-    return {
+    row = {
         "url": url,
         "warc_ts": EPOCH + dt.timedelta(seconds=h * 100_000 + k),
         "html": html_bytes,
-        "text": extract_text(html_bytes, url),
         "lang": lang,
     }
+    if with_text:
+        row["text"] = extract_text(html_bytes, url)
+    return row
 
 
 def page_index(n_pages: int, n_hosts: int) -> list[tuple[int, int, int]]:
@@ -172,7 +203,7 @@ def page_index(n_pages: int, n_hosts: int) -> list[tuple[int, int, int]]:
 
 def pages_pandas(n_pages: int, n_hosts: int) -> pd.DataFrame:
     rows = [build_page(h, k, p, n_hosts) for h, k, p in page_index(n_pages, n_hosts)]
-    return pd.DataFrame(rows)
+    return pd.DataFrame(rows, columns=["url", "warc_ts", "html", "text", "lang"])
 
 
 # --- robots (FIXTURES.md table 3) -------------------------------------------

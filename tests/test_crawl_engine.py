@@ -142,6 +142,31 @@ def test_resume_reproduces_visited_set(spark, web, tmp_path):
     assert {r["url"] for r in docs.select("url").collect()} == oracle.fetched
 
 
+def test_generator_fetcher_matches_table_fetcher(spark, web, tmp_path):
+    # the live-fetch-shaped GeneratorFetcher must produce the identical crawl
+    # (visited set, order, extracted text) as the table-join fetcher
+    from searchgov_spider_spark.crawl.fetch import GeneratorFetcher
+
+    policy = POLICIES["full-depth20"]
+    pages_df, robots_df = web
+    start = [webgen.page_url(0, 0)]
+    oracle = reference_crawl(_pages_dict(), _robots_dict(), start, policy)
+    ckpt = str(tmp_path / "genfetch")
+    engine = CrawlEngine(
+        spark, None, robots_df, policy, ckpt,
+        fetcher=GeneratorFetcher(N_PAGES, N_HOSTS, branch=3),
+        bloom_shards=4, bloom_bits=1 << 14,
+    )
+    run = engine.run(start, max_rounds=64)
+    seen = run.seen(spark)
+    assert [r["url_canon"] for r in seen.orderBy("seq").collect()] == oracle.order
+    docs = run.documents(spark)
+    joined = docs.select("url", "content").join(
+        pages_df.selectExpr("url", "text as expected_text"), "url"
+    )
+    assert joined.filter("content != expected_text").count() == 0
+
+
 def test_oracle_sanity():
     # structural sanity of the synthetic graph + oracle itself
     policy = POLICIES["full-depth20"]

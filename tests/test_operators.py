@@ -119,7 +119,7 @@ class TestSeqno:
 
         rows = [(i % 7, i, f"u{i}") for i in range(500)]
         df = spark.createDataFrame(rows, "depth int, pos int, url string")
-        out, total = assign_global_seq(df, ["depth", "pos"], start=100)
+        out, total, _ = assign_global_seq(df, ["depth", "pos"], start=100)
         assert total == 500
         got = [(r["depth"], r["pos"], r["seq"]) for r in out.orderBy("seq").collect()]
         expected_order = sorted(rows, key=lambda r: (r[0], r[1]))
@@ -130,7 +130,7 @@ class TestSeqno:
         from searchgov_spider_spark.crawl.seqno import assign_global_seq
 
         df = spark.range(0, 3000).select(F.col("id").alias("pos"))
-        out, total = assign_global_seq(df, ["pos"], start=0, small_threshold=100, num_partitions=6)
+        out, total, _ = assign_global_seq(df, ["pos"], start=0, small_threshold=100, num_partitions=6)
         assert total == 3000
         seqs = [r["seq"] for r in out.orderBy("pos").collect()]
         assert seqs == list(range(3000))
