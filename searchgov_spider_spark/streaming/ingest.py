@@ -1,0 +1,106 @@
+"""Structured-Streaming surfaces (SURVEY.md §2.7).
+
+The crawl loop itself is a driver-driven micro-batch (rounds = depth levels,
+processing-time only, no event-time/watermarks — matching the reference,
+T6).  Two genuinely streaming-shaped flows are exposed here:
+
+  * ``stream_seed_ingestion`` — continuous frontier feeding: new seed-URL
+    files appended to a directory are canonicalized, validated and admitted
+    into a frontier staging table via ``readStream``/``foreachBatch``
+    (the streaming analog of the reference's cron-scheduled crawl starts,
+    scrapy_scheduler.py).
+  * ``stream_fetch_metrics`` — event-time windowed fetch metrics with a
+    watermark for late events (the spidermon metrics analog, monitors.py:
+    21-48, upgraded to event-time since a real cluster emits metrics with
+    lag).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..functions import udfs
+
+SEED_SCHEMA = T.StructType(
+    [
+        T.StructField("url", T.StringType()),
+        T.StructField("output_target", T.StringType()),
+    ]
+)
+
+METRIC_SCHEMA = T.StructType(
+    [
+        T.StructField("ts", T.TimestampType()),
+        T.StructField("host", T.StringType()),
+        T.StructField("status", T.StringType()),  # fetched | missed | denied
+    ]
+)
+
+
+def stream_seed_ingestion(
+    spark: SparkSession,
+    seeds_dir: str,
+    staging_dir: str,
+    checkpoint_dir: str,
+):
+    """readStream over a seed-drop directory -> canonicalized staging table.
+
+    Each micro-batch canonicalizes, hashes and dedups (within batch) the new
+    seed URLs and appends them to the frontier staging parquet; the crawl
+    engine picks staged rows up at its next run.  Returns the streaming query
+    (caller awaits/stops it).
+    """
+
+    def admit_batch(batch: DataFrame, batch_id: int) -> None:
+        out = (
+            batch.filter(F.col("url").isNotNull())
+            .withColumn("url_canon", udfs.canonicalize_url(udfs.strip_jsessionid(F.col("url"))))
+            .withColumn("host", udfs.url_host(F.col("url_canon")))
+            .withColumn("url_hash", udfs.url_seen_hash(F.col("url_canon")))
+            .dropDuplicates(["url_canon"])
+            .withColumn("batch_id", F.lit(batch_id))
+        )
+        out.write.mode("append").parquet(staging_dir)
+
+    stream = spark.readStream.schema(SEED_SCHEMA).json(seeds_dir)
+    return (
+        stream.writeStream.foreachBatch(admit_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def windowed_fetch_metrics(events: DataFrame, window: str = "1 minute", watermark: str = "2 minutes") -> DataFrame:
+    """Event-time windowed fetch metrics with late-data watermark.
+
+    Works on both a streaming and a batch DataFrame of METRIC_SCHEMA rows
+    (the transformation is identical; tests exercise it through a stream).
+    """
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window).alias("w"), F.col("status"))
+        .agg(F.count("*").alias("n"))
+        .select(F.col("w.start").alias("window_start"), "status", "n")
+    )
+
+
+def stream_fetch_metrics(
+    spark: SparkSession,
+    metrics_dir: str,
+    checkpoint_dir: str,
+    query_name: str = "fetch_metrics",
+):
+    """readStream over engine metric drops -> windowed counts (memory sink)."""
+    stream = spark.readStream.schema(METRIC_SCHEMA).json(metrics_dir)
+    agg = windowed_fetch_metrics(stream)
+    return (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(query_name)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
