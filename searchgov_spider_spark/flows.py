@@ -35,6 +35,38 @@ def sitemap_delta(snapshots: DataFrame) -> DataFrame:
     )
 
 
+def expand_sitemaps(spark, sitemap_bodies: DataFrame, roots: list[str], max_depth: int = 10) -> DataFrame:
+    """Recursive sitemap expansion (S7, sitemap_monitor.py:194-258).
+
+    ``sitemap_bodies`` = (sitemap_url, body xml).  <sitemapindex> recursion
+    is an iterative driver loop: each level is one DataFrame join+parse
+    (SURVEY.md §2.1 S7); page URLs accumulate per root.
+    Returns (root_sitemap, page_url) rows.
+    """
+    bodies = sitemap_bodies.select(F.col("sitemap_url"), F.col("body"))
+    current = spark.createDataFrame([(r, r) for r in roots], "root string, sitemap_url string")
+    visited = current.select("root", "sitemap_url")
+    pages = None
+    for _ in range(max_depth + 1):
+        parsed = current.join(bodies, "sitemap_url", "inner").withColumn(
+            "p", udfs.parse_sitemap(F.col("body"))
+        )
+        level_pages = parsed.select("root", F.explode("p.page_urls").alias("page_url"))
+        pages = level_pages if pages is None else pages.unionByName(level_pages)
+        children = (
+            parsed.select("root", F.explode("p.child_sitemaps").alias("sitemap_url"))
+            .join(visited, ["root", "sitemap_url"], "left_anti")
+            .distinct()
+        )
+        children = children.persist()
+        if children.count() == 0:
+            children.unpersist()
+            break
+        visited = visited.unionByName(children)
+        current = children
+    return pages.distinct()
+
+
 # --- freshness check (F14/S15; spiders/freshness_spider.py:124-174) ----------
 
 

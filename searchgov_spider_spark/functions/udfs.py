@@ -127,6 +127,31 @@ def extract_text(html: pd.Series, url: pd.Series) -> pd.Series:
     return pd.Series(out)
 
 
+# --- sitemaps ----------------------------------------------------------------
+
+SITEMAP_STRUCT = T.StructType(
+    [
+        T.StructField("kind", T.StringType()),
+        T.StructField("page_urls", T.ArrayType(T.StringType())),
+        T.StructField("child_sitemaps", T.ArrayType(T.StringType())),
+    ]
+)
+
+
+@pandas_udf(SITEMAP_STRUCT)
+def parse_sitemap(body: pd.Series) -> pd.DataFrame:
+    from ..kernels import sitemapxml
+
+    rows = []
+    for b in body:
+        if b is None:
+            rows.append(("invalid", [], []))
+            continue
+        p = sitemapxml.parse_sitemap_xml(b)
+        rows.append((p.kind, p.page_urls, p.child_sitemaps))
+    return pd.DataFrame(rows, columns=["kind", "page_urls", "child_sitemaps"])
+
+
 # --- robots ------------------------------------------------------------------
 
 

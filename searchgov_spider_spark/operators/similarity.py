@@ -79,6 +79,46 @@ def with_lsh_bucket(
     return embeddings.withColumn(out_col, bucket(F.col(vec_col)))
 
 
+def embedding_near_dup_pairs(
+    embeddings: DataFrame,
+    dim: int,
+    threshold: float = 0.95,
+    bits: int = 10,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs via SRP-LSH bucketing.
+
+    Scale path: rows sharing an LSH bucket (P[same bucket] rises with
+    cosine) are pairwise-scored inside the bucket only — the self-join is on
+    ``bucket``, so the shuffle is bucket-local instead of a full cross join.
+    Recall is governed by ``bits`` (fewer bits = bigger buckets = higher
+    recall, more comparisons).  Exact cosine verification keeps precision.
+    """
+    b = with_lsh_bucket(embeddings, dim, bits, seed, vec_col).select(
+        F.col(id_col), F.col(vec_col), F.col("bucket")
+    )
+    left = b.alias("l")
+    right = b.alias("r")
+    pairs = (
+        left.join(right, "bucket")
+        .filter(F.col(f"l.{id_col}") < F.col(f"r.{id_col}"))
+        .select(
+            F.col(f"l.{id_col}").alias("id_a"),
+            F.col(f"r.{id_col}").alias("id_b"),
+            (
+                F.expr(_dot_expr(f"l.{vec_col}", f"r.{vec_col}"))
+                / (F.expr(_norm_expr(f"l.{vec_col}")) * F.expr(_norm_expr(f"r.{vec_col}")))
+            ).alias("cosine"),
+        )
+        .filter(F.col("cosine") >= threshold)
+        .select("id_a", "id_b", F.round("cosine", 6).alias("cosine"))
+        .distinct()
+    )
+    return pairs
+
+
 def ann_topk_lsh(
     embeddings: DataFrame,
     query_vec: list[float],

@@ -403,6 +403,52 @@ def q32_seeds_validation(spark, sf_dir):
     return flows.validate_seeds(seeds.unionByName(bad))
 
 
+def q33_sitemap_expand(spark, sf_dir):
+    """Recursive sitemap-XML expansion (S7): index -> children -> page urls."""
+    from . import flows
+    from .synth import webgen
+
+    rows = []
+    for h in range(4):
+        host = webgen.host_name(h)
+        rows.append(
+            (f"https://{host}/sitemap.xml",
+             f"<sitemapindex><sitemap><loc>https://{host}/sitemap-0.xml</loc></sitemap>"
+             f"<sitemap><loc>https://{host}/sitemap-1.xml</loc></sitemap></sitemapindex>")
+        )
+        for part in range(2):
+            locs = "".join(
+                f"<url><loc>{webgen.page_url(h, k)}</loc></url>" for k in range(part * 5, part * 5 + 5)
+            )
+            rows.append((f"https://{host}/sitemap-{part}.xml", f"<urlset>{locs}</urlset>"))
+    bodies = spark.createDataFrame(rows, "sitemap_url string, body string")
+    roots = [f"https://{webgen.host_name(h)}/sitemap.xml" for h in range(4)]
+    return flows.expand_sitemaps(spark, bodies, roots)
+
+
+def _embeddings_with_dups(spark, sf_dir):
+    emb = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    copies = emb.filter(F.col("vec_id") % 10 == 0).select(
+        (F.col("vec_id") + 100000).alias("vec_id"), F.col("embedding")
+    )
+    return emb.unionByName(copies)
+
+
+def q34_embedding_near_dup(spark, sf_dir):
+    """Embedding-cosine near-dup pairs via SRP-LSH bucketing + exact verify.
+
+    Oracle-able: injected exact-duplicate vectors always share every LSH
+    bucket (recall 1.0 for cosine==1 pairs), and random 64-d vectors never
+    reach the 0.95 threshold — so LSH output == brute-force output.
+    """
+    from .operators import similarity
+
+    emb = _embeddings_with_dups(spark, sf_dir)
+    return similarity.embedding_near_dup_pairs(emb, dim=64, threshold=0.95, bits=8).select(
+        "id_a", "id_b", F.round("cosine", 4).alias("cosine")
+    )
+
+
 # ---------------------------------------------------------------------------
 # registry + oracle SQL
 # ---------------------------------------------------------------------------
@@ -440,6 +486,8 @@ QUERIES = {
     "q30_dap_pipeline": q30_dap_pipeline,
     "q31_freshness": q31_freshness,
     "q32_seeds_validation": q32_seeds_validation,
+    "q33_sitemap_expand": q33_sitemap_expand,
+    "q34_embedding_near_dup": q34_embedding_near_dup,
 }
 
 _DUP_DOCS_SQL = (
@@ -585,6 +633,17 @@ ORACLES = {
                     (SELECT embedding FROM embeddings WHERE vec_id = 0)) DESC, vec_id ASC) AS rank
             FROM embeddings)
         WHERE rank <= 10
+    """,
+    "q34_embedding_near_dup": """
+        WITH e AS (
+            SELECT vec_id, embedding FROM embeddings
+            UNION ALL
+            SELECT vec_id + 100000 AS vec_id, embedding FROM embeddings WHERE vec_id % 10 = 0
+        )
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+               round(list_cosine_similarity(a.embedding, b.embedding), 4) AS cosine
+        FROM e a JOIN e b ON a.vec_id < b.vec_id
+        WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.95
     """,
 }
 
