@@ -19,6 +19,9 @@ from .textproc import (
 )
 from .urlnorm import (
     canonicalize_url,
+    get_title_from_filename,
+    separate_filename,
+    url_base_extension,
     dap_domain_is_valid,
     dap_domain_normalize,
     doc_id,
@@ -51,6 +54,9 @@ __all__ = [
     "token_count",
     "tokenize",
     "canonicalize_url",
+    "get_title_from_filename",
+    "separate_filename",
+    "url_base_extension",
     "dap_domain_is_valid",
     "dap_domain_normalize",
     "doc_id",

@@ -20,36 +20,42 @@ import re
 
 # --- sanitization ----------------------------------------------------------
 
-_ENTITIES = {"&#13;": "\r", "&#10;": "\n", "&nbsp;": " ", "&amp;": "&", "&lt;": "<", "&gt;": ">", "&quot;": '"', "&#39;": "'"}
+# exactly the reference's replacement set (helpers/content.py:20): the HTML
+# parser has already decoded generic entities by this point; only these
+# space-entity artifacts are handled here, with &nbsp; -> NBSP (collapsed to
+# a plain space by the final whitespace pass, as in the reference)
+_ENTITIES = {"&#13;": "\r", "&#10;": "\n", "&nbsp;": " "}
 
-# A newline is kept (as a space) only when the previous non-space character
-# ends a sentence/clause; otherwise lines are joined directly.  Mirrors the
-# reference's NON_PUNCTUATION_NEWLINES collapse (helpers/content.py:5,18-26).
-_SENTENCE_END = ".!?:;\"')]}"
-
-_NON_PRINTABLE_RE = re.compile(r"[\x00-\x08\x0b\x0c\x0e-\x1f\x7f]")
-_WS_SQUASH_RE = re.compile(r"[ \t\f\v]+")
+_WS_COLLAPSE_RE = re.compile(r"\s+")
 
 
 def clean_line(line: str) -> str:
-    """Squash internal whitespace and strip a single line."""
-    return _WS_SQUASH_RE.sub(" ", line).strip()
+    """Sanitize one line: entity replace, drop non-printable non-space
+    characters, collapse internal whitespace (helpers/content.py:8-26).
+
+    Whitespace control characters (\\t \\x0b \\x0c ...) are KEPT and collapse
+    to spaces; non-space control characters are removed outright — matching
+    the reference's ``isprintable() or isspace()`` filter byte-for-byte.
+    """
+    for entity, repl in _ENTITIES.items():
+        line = line.replace(entity, repl)
+    line = "".join(c for c in line if c.isprintable() or c.isspace())
+    return " ".join(line.split()).strip()
 
 
 def sanitize_text(text: str) -> str:
-    """Entity replace, strip non-printables, newline collapse, whitespace squash.
+    """Reference sanitize pipeline (helpers/content.py:29-57), byte-exact:
+    per-line clean -> drop empty lines -> join -> remove U+2424 -> collapse
+    all whitespace runs to single spaces.
 
-    Deterministic reimplementation of the reference sanitize pipeline
-    (helpers/content.py:29-42): entity decode -> drop control chars ->
-    join lines (space-joined after sentence punctuation, space-joined
-    otherwise too but empty lines dropped) -> squash runs of spaces.
+    Deviation: returns "" where the reference returns None for falsy input
+    (Spark string-column semantics); tests map None <-> "".
     """
-    for entity, repl in _ENTITIES.items():
-        text = text.replace(entity, repl)
-    text = _NON_PRINTABLE_RE.sub("", text)
+    if not text:
+        return ""
     lines = [clean_line(ln) for ln in text.splitlines()]
-    lines = [ln for ln in lines if ln]
-    return _WS_SQUASH_RE.sub(" ", " ".join(lines)).strip()
+    joined = " ".join(ln for ln in lines if ln).replace("␤", "")
+    return _WS_COLLAPSE_RE.sub(" ", joined).strip()
 
 
 # --- encoding cascade ------------------------------------------------------

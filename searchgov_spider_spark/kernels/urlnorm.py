@@ -95,8 +95,9 @@ def url_host(url: str) -> str:
 
 
 def url_path(url: str) -> str:
-    """Path component (reference indexing/helpers.py:153-156 get_url_path)."""
-    return urlsplit(url).path
+    """Path component, http-prefixed first (reference indexing/helpers.py
+    get_url_path)."""
+    return urlsplit(ensure_http_prefix(url)).path
 
 
 def url_query(url: str) -> str:
@@ -104,14 +105,18 @@ def url_query(url: str) -> str:
 
 
 def ensure_http_prefix(url: str) -> str:
-    """Prefix scheme-less URLs with https:// (reference indexing/helpers.py:143-150)."""
-    if re.match(r"^[a-zA-Z][a-zA-Z0-9+.-]*://", url):
-        return url
-    return f"https://{url}"
+    """Prefix with https:// unless already http(s) (reference
+    indexing/helpers.py ensure_http_prefix — a literal startswith check,
+    so e.g. "ftp://x" also gets prefixed, matching the reference exactly)."""
+    return url if url.startswith(("http://", "https://")) else f"https://{url}"
 
 
 def url_extension(url: str) -> str:
-    """Lowercased final-segment file extension without the dot ('' if none)."""
+    """Lowercased final-segment file extension without the dot ('' if none).
+
+    Used by the link-extraction deny filter (case-insensitive, as Scrapy's
+    LinkExtractor compares lowered extensions); for the document-field
+    extension with original case see url_base_extension."""
     path = urlsplit(url).path
     base = posixpath.basename(path)
     if "." not in base:
@@ -119,18 +124,55 @@ def url_extension(url: str) -> str:
     return base.rsplit(".", 1)[1].lower()
 
 
+def url_base_extension(url: str) -> tuple[str, str, str]:
+    """(stem, suffix-without-dot, full name) of the URL basename, case
+    preserved (reference indexing/helpers.py get_base_extension)."""
+    url = ensure_http_prefix(url)
+    name = posixpath.basename(urlsplit(url).path)
+    if name.endswith("."):
+        name = name[:-1]
+    if "." in name:
+        stem, _, suffix = name.rpartition(".")
+        return stem, suffix, name
+    return name, "", name
+
+
 def url_basename(url: str) -> str:
-    """Final path segment stem (reference indexing/helpers.py:159-166)."""
-    base = posixpath.basename(urlsplit(url).path)
-    if "." in base:
-        return base.rsplit(".", 1)[0]
-    return base
+    """Final path segment stem (reference indexing/helpers.py get_base_extension)."""
+    return url_base_extension(url)[0]
 
 
 def domain_name(url: str) -> str:
-    """Hostname without a leading ``www.`` (reference indexing/helpers.py:169-173)."""
-    host = url_host(url)
-    return host[4:] if host.startswith("www.") else host
+    """The URL's netloc, case and ``www.`` preserved (reference
+    indexing/helpers.py get_domain_name returns ``urlparse(url).netloc``;
+    DAP matching strips ``www.`` separately at join time)."""
+    url = ensure_http_prefix(url)
+    return urlsplit(url).netloc
+
+
+_CAMEL_OR_SEP_RE = re.compile(
+    r"(?<!^)(?=[A-Z][a-z])|(?<=[a-z])(?=[A-Z])|[-_+~,%]|(?<=\D)(?=\d)|(?<=\d)(?=\D)"
+)
+
+
+def separate_filename(filename: str) -> str:
+    """Split a filename into words at camelCase, separator and letter/digit
+    boundaries, keeping capitalization (reference indexing/helpers.py
+    separate_filename)."""
+    from urllib.parse import unquote_plus
+
+    basename = unquote_plus(filename).rsplit(".", 1)[0].replace(".", " ")
+    words = _CAMEL_OR_SEP_RE.split(basename)
+    return " ".join(str(w).strip() for w in words if w)
+
+
+def get_title_from_filename(filename: str) -> str:
+    """Unquoted filename stem for use as a document title (reference
+    indexing/helpers.py get_title_from_filename)."""
+    from pathlib import Path
+    from urllib.parse import unquote_plus
+
+    return Path(unquote_plus(filename)).stem
 
 
 def doc_id(url: str) -> str:

@@ -581,7 +581,7 @@ ORACLES = {
     "q14_url_parts": """
         SELECT doc_id,
                'www.agency' || (doc_id % 10) || '.gov' AS host,
-               'agency' || (doc_id % 10) || '.gov' AS domain,
+               'www.agency' || (doc_id % 10) || '.gov' AS domain,
                'pdf' AS ext
         FROM documents
     """,

@@ -92,7 +92,7 @@ class TestUrlParts:
 
     def test_parts(self):
         assert url_host("https://WWW.Example.gov/a") == "www.example.gov"
-        assert domain_name("https://www.example.gov/a") == "example.gov"
+        assert domain_name("https://www.example.gov/a") == "www.example.gov"  # netloc, www kept (ref parity)
         assert url_extension("https://h.gov/a/report.PDF") == "pdf"
         assert url_extension("https://h.gov/a/page") == ""
         assert url_basename("https://h.gov/a/report.pdf") == "report"
@@ -122,6 +122,7 @@ class TestTextProc:
         assert sanitize_text("a&#13;&#10;b") == "a b"
         assert sanitize_text("  a \t b \n\n c ") == "a b c"
         assert sanitize_text("x\x00y\x07z") == "xyz"
+        assert sanitize_text("x\x0by") == "x y"  # whitespace control chars -> space (ref parity)
         assert sanitize_text("") == ""
 
     def test_decode_cascade(self):
