@@ -449,6 +449,31 @@ def q34_embedding_near_dup(spark, sf_dir):
     )
 
 
+def q35_training_pipeline(spark, sf_dir):
+    """End-to-end training-data curation pipeline (composition):
+    exact dedup (keep representatives) -> JVM quality gates (token count,
+    uniqueness ratio, alpha ratio) -> per-language corpus stats."""
+    d = _docs_with_dups(spark, sf_dir)
+    langs = _t(spark, sf_dir, "documents").select("doc_id", "lang")
+    dd = dedup.exact_duplicates(d)
+    kept = dd.filter(F.col("doc_id") == F.col("representative")).select("doc_id")
+    stats = textstats.token_stats(d.join(kept, "doc_id"))
+    gated = stats.filter(
+        (F.col("n_tokens") >= 20)
+        & (F.col("alpha_ratio") >= 0.5)
+        & (F.col("n_unique_tokens") / F.greatest(F.col("n_tokens"), F.lit(1)) >= 0.2)
+    )
+    return (
+        gated.join(langs, "doc_id")
+        .groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tokens").alias("total_tokens"),
+            F.round(F.avg("n_tokens"), 4).alias("avg_tokens"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # registry + oracle SQL
 # ---------------------------------------------------------------------------
@@ -488,6 +513,7 @@ QUERIES = {
     "q32_seeds_validation": q32_seeds_validation,
     "q33_sitemap_expand": q33_sitemap_expand,
     "q34_embedding_near_dup": q34_embedding_near_dup,
+    "q35_training_pipeline": q35_training_pipeline,
 }
 
 _DUP_DOCS_SQL = (
@@ -644,6 +670,27 @@ ORACLES = {
                round(list_cosine_similarity(a.embedding, b.embedding), 4) AS cosine
         FROM e a JOIN e b ON a.vec_id < b.vec_id
         WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.95
+    """,
+    "q35_training_pipeline": f"""
+        WITH d AS (SELECT doc_id, text FROM {_DUP_DOCS_SQL}),
+        hashed AS (SELECT doc_id, md5(text) AS h FROM d),
+        reps AS (SELECT min(doc_id) AS doc_id FROM hashed GROUP BY h),
+        stats AS (
+            SELECT d.doc_id,
+                   len({_TOKS}) AS n_tokens,
+                   len(list_distinct({_TOKS})) AS n_unique_tokens,
+                   round(length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) * 1.0
+                       / greatest(length(text), 1), 6) AS alpha_ratio
+            FROM d JOIN reps USING (doc_id)
+        )
+        SELECT lang,
+               count(*) AS n_docs,
+               sum(n_tokens) AS total_tokens,
+               round(avg(n_tokens), 4) AS avg_tokens
+        FROM stats JOIN documents USING (doc_id)
+        WHERE n_tokens >= 20 AND alpha_ratio >= 0.5
+          AND n_unique_tokens * 1.0 / greatest(n_tokens, 1) >= 0.2
+        GROUP BY lang
     """,
 }
 
