@@ -127,6 +127,37 @@ def extract_text(html: pd.Series, url: pd.Series) -> pd.Series:
     return pd.Series(out)
 
 
+# --- PDF (X4/X15; minimal-subset kernel, see kernels/pdfx.py) -----------------
+
+PDF_STRUCT = T.StructType(
+    [
+        T.StructField("title", T.StringType()),
+        T.StructField("content", T.StringType()),
+        T.StructField("links", T.ArrayType(T.StringType())),
+    ]
+)
+
+
+@pandas_udf(PDF_STRUCT)
+def extract_pdf_doc(body: pd.Series, url: pd.Series) -> pd.DataFrame:
+    """PDF -> (title, content, links).  Title = filename words
+    (separate_filename, X10); content = title + filename + text prepend
+    (transform.py:104-117,153-164, X15); links = annots ∪ text urls (U4)."""
+    from ..kernels import pdfx, urlnorm
+
+    rows = []
+    for b, u in zip(body, url):
+        if b is None:
+            rows.append(("", "", []))
+            continue
+        doc = pdfx.extract_pdf_text(bytes(b))
+        stem, _, name = urlnorm.url_base_extension(u or "")
+        title = urlnorm.separate_filename(name) if name else ""
+        content = " ".join(x for x in (title, name, doc.text) if x)
+        rows.append((title, content, doc.links))
+    return pd.DataFrame(rows, columns=["title", "content", "links"])
+
+
 # --- sitemaps ----------------------------------------------------------------
 
 SITEMAP_STRUCT = T.StructType(

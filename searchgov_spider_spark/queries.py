@@ -28,6 +28,15 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
 
 
+def _tune_session(spark: SparkSession) -> None:
+    """The driver may hand us a session with default confs (200 shuffle
+    partitions, AQE off) — set the runtime-settable knobs the crawl round
+    loop is sized for."""
+    spark.conf.set("spark.sql.shuffle.partitions", "32")
+    spark.conf.set("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "true")
+
+
 # ---------------------------------------------------------------------------
 # Relational operator surface (scans/filters/joins/aggs/sorts/sets —
 # SURVEY.md §2.1-2.6 re-expressed over the driver's TPC-H-ish tables)
@@ -293,6 +302,7 @@ def q24_crawl_bfs(spark, sf_dir):
     import shutil
     import tempfile
 
+    _tune_session(spark)
     n_pages, n_hosts = 800, 8
     pdf = webgen.pages_pandas(n_pages, n_hosts)
     pages = spark.createDataFrame(pdf, schema=PAGES_SCHEMA)
@@ -449,6 +459,29 @@ def q34_embedding_near_dup(spark, sf_dir):
     )
 
 
+def q36_pdf_extraction(spark, sf_dir):
+    """PDF text+link extraction (X4/X15/U4) over deterministic fixture PDFs."""
+    from .kernels import pdfx
+
+    rows = []
+    for i in range(64):
+        url = f"https://host0.example.gov/docs/AnnualReport{i}.pdf"
+        pdf = pdfx.make_simple_pdf(
+            [f"Annual report number {i}.", f"See https://host0.example.gov/ref{i} for data."],
+            annot_uris=[f"https://host0.example.gov/annot{i}"],
+            compress=(i % 2 == 0),
+        )
+        rows.append((url, bytearray(pdf)))
+    df = spark.createDataFrame(rows, "url string, body binary")
+    out = df.withColumn("doc", udfs.extract_pdf_doc(F.col("body"), F.col("url")))
+    return out.select(
+        "url",
+        F.col("doc.title").alias("title"),
+        F.col("doc.content").alias("content"),
+        F.size("doc.links").alias("n_links"),
+    )
+
+
 def q35_training_pipeline(spark, sf_dir):
     """End-to-end training-data curation pipeline (composition):
     exact dedup (keep representatives) -> JVM quality gates (token count,
@@ -514,6 +547,7 @@ QUERIES = {
     "q33_sitemap_expand": q33_sitemap_expand,
     "q34_embedding_near_dup": q34_embedding_near_dup,
     "q35_training_pipeline": q35_training_pipeline,
+    "q36_pdf_extraction": q36_pdf_extraction,
 }
 
 _DUP_DOCS_SQL = (
@@ -706,6 +740,7 @@ def entry(spark: SparkSession) -> DataFrame:
     from .synth import webgen
     from .synth.spark_gen import PAGES_SCHEMA
 
+    _tune_session(spark)
     sf_dir = "/root/testdata/sf0.001"
     n_pages, n_hosts = 600, 6
     pages = spark.createDataFrame(webgen.pages_pandas(n_pages, n_hosts), schema=PAGES_SCHEMA)
