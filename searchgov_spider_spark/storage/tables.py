@@ -112,6 +112,66 @@ class CheckpointStore:
             return None
         return spark.read.parquet(*paths).select(*self.SEEN_COLS)
 
+    # -- maintenance ------------------------------------------------------------
+    def compact_seen(self, spark: SparkSession, upto_round: int, buckets: int = 32) -> int:
+        """Merge the seed delta + all per-round seen deltas up to
+        ``upto_round`` into one hash-distributed parquet, replacing the seed
+        dir and removing the merged delta dirs.
+
+        Bounds file-count growth over long crawls (SURVEY.md §2.7 T2 /
+        DESIGN.md known gap).  Safe ordering: the compacted set is written to
+        a temp dir, atomically swapped in as the seed dir, and only then are
+        the old delta dirs removed — a crash at any point leaves a readable
+        (possibly duplicated) seen set, and dedup semantics tolerate
+        duplicate seen rows.  Returns the number of delta dirs removed.
+        """
+        from pyspark.sql import functions as F
+
+        seen = self.read_seen(spark, upto_round)
+        if seen is None:
+            return 0
+        tmp = self.seed_seen_dir() + ".compact"
+        seen.repartition(buckets, F.col("url_hash")).write.mode("overwrite").parquet(tmp)
+        old_seed = self.seed_seen_dir() + ".old"
+        shutil.rmtree(old_seed, ignore_errors=True)
+        if os.path.isdir(self.seed_seen_dir()):
+            os.replace(self.seed_seen_dir(), old_seed)
+        os.replace(tmp, self.seed_seen_dir())
+        shutil.rmtree(old_seed, ignore_errors=True)
+        removed = 0
+        for r in range(upto_round + 1):
+            if os.path.isdir(self.seen_delta_dir(r)):
+                shutil.rmtree(self.seen_delta_dir(r), ignore_errors=True)
+                removed += 1
+            # rounds whose frontier dir doubled as the delta: clear the flag
+            if os.path.exists(self.manifest_path(r)):
+                manifest = self.read_manifest(r)
+                if manifest.get("seen_from_frontier"):
+                    manifest["seen_from_frontier"] = False
+                    self.commit_round(r, {k: v for k, v in manifest.items() if k != "round"})
+                    removed += 1
+        return removed
+
+    def expire_rounds(self, keep_last: int) -> int:
+        """Orphan-state GC (T2, reference SCHEDULER_KEY_ORPHAN_AGE):
+        drop frontier/host_state payloads of rounds older than the last
+        ``keep_last`` committed rounds.  Documents and manifests are kept
+        (they are the output / audit trail); resume only ever needs the last
+        committed round.  Returns the number of directories removed.
+        """
+        rounds = self.committed_rounds()
+        removed = 0
+        for r in rounds[:-keep_last] if keep_last > 0 else rounds:
+            manifest = self.read_manifest(r)
+            if manifest.get("seen_from_frontier"):
+                continue  # frontier dir doubles as a live seen delta
+            for name in ("frontier", "host_state"):
+                p = os.path.join(self.round_dir(r), name)
+                if os.path.isdir(p):
+                    shutil.rmtree(p, ignore_errors=True)
+                    removed += 1
+        return removed
+
     def read_documents(self, spark: SparkSession, upto_round: int | None = None) -> DataFrame | None:
         last = self.last_committed() if upto_round is None else upto_round
         if last is None:

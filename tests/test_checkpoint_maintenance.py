@@ -1,0 +1,63 @@
+"""Checkpoint maintenance: seen-set compaction and old-round GC, including
+resume-after-compaction equivalence."""
+
+import os
+
+from searchgov_spider_spark.crawl import CrawlEngine, CrawlPolicy, reference_crawl
+from searchgov_spider_spark.synth import webgen
+from searchgov_spider_spark.synth.spark_gen import PAGES_SCHEMA
+
+N_PAGES, N_HOSTS = 400, 5
+
+
+def _run_partial(spark, tmp_path, max_rounds):
+    pages = spark.createDataFrame(webgen.pages_pandas(N_PAGES, N_HOSTS), schema=PAGES_SCHEMA)
+    robots = spark.createDataFrame(webgen.robots_pandas(N_HOSTS))
+    policy = CrawlPolicy(allowed_domains=[webgen.host_name(0)], depth_limit=20)
+    ckpt = str(tmp_path / "ckpt")
+    engine = CrawlEngine(spark, pages, robots, policy, ckpt, bloom_shards=4, bloom_bits=1 << 14)
+    run = engine.run([webgen.page_url(0, 0)], max_rounds=max_rounds)
+    return engine, run, policy
+
+
+def test_compact_then_resume_matches_oracle(spark, tmp_path):
+    engine, partial, policy = _run_partial(spark, tmp_path, max_rounds=3)
+    store = engine.store
+    last = store.last_committed()
+    before = {(r["url_canon"], r["depth"]) for r in store.read_seen(spark, last).collect()}
+
+    removed = store.compact_seen(spark, last)
+    assert removed > 0
+    after = {(r["url_canon"], r["depth"]) for r in store.read_seen(spark, last).collect()}
+    assert after == before  # compaction preserves the seen set exactly
+
+    resumed = engine.run([webgen.page_url(0, 0)], max_rounds=64, resume=True)
+    pages_dict = {
+        webgen.page_url(h, k): webgen.build_page(h, k, p, N_HOSTS)["html"]
+        for h, k, p in webgen.page_index(N_PAGES, N_HOSTS)
+    }
+    from searchgov_spider_spark.kernels.urlnorm import canonicalize_url
+
+    pages_dict = {canonicalize_url(u): b for u, b in pages_dict.items()}
+    robots_dict = {webgen.host_name(h): webgen.robots_text(h, N_HOSTS) for h in range(N_HOSTS)}
+    oracle = reference_crawl(pages_dict, robots_dict, [webgen.page_url(0, 0)], policy)
+    seen = resumed.seen(spark)
+    assert {r["url_canon"] for r in seen.collect()} == set(oracle.depth)
+    assert [r["url_canon"] for r in seen.orderBy("seq").collect()] == oracle.order
+
+
+def test_expire_rounds_keeps_resume_state(spark, tmp_path):
+    engine, run, _ = _run_partial(spark, tmp_path, max_rounds=64)
+    store = engine.store
+    last = store.last_committed()
+    # compact first so no frontier dir is still serving as a seen delta
+    store.compact_seen(spark, last)
+    removed = store.expire_rounds(keep_last=1)
+    assert removed > 0
+    # last round's frontier remains; older ones are gone
+    assert os.path.isdir(os.path.join(store.round_dir(last), "frontier"))
+    assert not os.path.isdir(os.path.join(store.round_dir(0), "frontier"))
+    # documents and the audit trail survive
+    docs = store.read_documents(spark)
+    assert docs.count() > 0
+    assert store.committed_rounds()  # manifests intact
