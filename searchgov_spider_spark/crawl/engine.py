@@ -119,12 +119,18 @@ class CrawlEngine:
 
     # -- bootstrap -------------------------------------------------------------
     def _bootstrap(self, start_urls: list[str]) -> DataFrame:
-        """Admit the seed URLs (depth 0, FIFO = listing order)."""
+        """Admit the seed URLs (depth 0, FIFO = listing order).
+
+        Seeds bypass the query-string filter, jsessionid rewrite and deny
+        paths (reference: start requests carry dont_filter=True and skip
+        get_processed_request, middlewares.py:114-115); only the offsite,
+        depth and robots checks apply.
+        """
         seeds = self.spark.createDataFrame(
             [(u, 0, "", i) for i, u in enumerate(start_urls)],
             "url string, depth int, source_url string, pos int",
         )
-        admitted = apply_admission_filters(seeds, self.policy)
+        admitted = apply_admission_filters(seeds, self.policy, is_seed=True)
         admitted = apply_robots_filter(admitted, self.robots)
         admitted = dedup_first_in_batch(admitted, ["pos"])
         admitted, _, _h = assign_global_seq(admitted, ["pos"], start=0)
@@ -287,9 +293,15 @@ class CrawlEngine:
 
         # rebuild `seen` from the durable deltas: a single flat multi-path
         # parquet relation — the lineage must NOT chain through this round's
-        # anti-join or the logical plan doubles every round
+        # anti-join or the logical plan doubles every round.  In the fast path
+        # the frontier dir IS this round's delta but the manifest is not yet
+        # committed, so it must be included explicitly — otherwise the seen
+        # set lags one round and sibling-discovered URLs get re-admitted.
         seen.unpersist()
-        seen_next = self.store.read_seen(self.spark, rnd).persist()
+        seen_next = self.store.read_seen(
+            self.spark, rnd,
+            include_frontier_rounds=(rnd,) if seen_from_frontier else (),
+        ).persist()
         if budget_binds:
             selected.unpersist()
         extracted.unpersist()

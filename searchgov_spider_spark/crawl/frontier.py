@@ -63,21 +63,29 @@ def _offsite_condition(policy: CrawlPolicy):
     return cond
 
 
-def apply_admission_filters(links: DataFrame, policy: CrawlPolicy) -> DataFrame:
+def apply_admission_filters(links: DataFrame, policy: CrawlPolicy, is_seed: bool = False) -> DataFrame:
     """Filters every discovered link; input needs a raw ``url`` column and a
-    ``depth`` column.  Output adds url_canon/host/path/url_hash columns."""
+    ``depth`` column.  Output adds url_canon/host/path/url_hash columns.
+
+    ``is_seed`` exempts the batch from the query-string filter, jsessionid
+    rewrite and deny paths — the reference's start requests carry
+    dont_filter=True and bypass get_processed_request entirely
+    (middlewares.py:114-115); only offsite/depth/robots apply to them.
+    """
+    url_nojs = F.col("url") if is_seed else udfs.strip_jsessionid(F.col("url"))
     df = (
-        links.withColumn("url_nojs", udfs.strip_jsessionid(F.col("url")))
+        links.withColumn("url_nojs", url_nojs)
         .withColumn("url_canon", udfs.canonicalize_url(F.col("url_nojs")))
         .withColumn("host", udfs.url_host(F.col("url_canon")))
         .withColumn("path", F.coalesce(F.expr("parse_url(url_canon, 'PATH')"), F.lit("")))
         .drop("url_nojs")
     )
     df = df.filter(_offsite_condition(policy))
-    if not policy.allow_query_string:
-        df = df.filter(F.expr("parse_url(url_canon, 'QUERY')").isNull())
-    for dp in policy.deny_paths:
-        df = df.filter(~F.col("path").contains(dp))
+    if not is_seed:
+        if not policy.allow_query_string:
+            df = df.filter(F.expr("parse_url(url_canon, 'QUERY')").isNull())
+        for dp in policy.deny_paths:
+            df = df.filter(~F.col("path").contains(dp))
     df = df.filter(F.col("depth") <= F.lit(policy.depth_limit))
     return df.withColumn("url_hash", udfs.url_seen_hash(F.col("url_canon")))
 

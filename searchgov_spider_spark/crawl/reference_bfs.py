@@ -70,17 +70,29 @@ def path_allowed(url: str, policy: CrawlPolicy) -> bool:
     return False
 
 
-def admit(raw_url: str, depth: int, policy: CrawlPolicy, robots: dict[str, RobotsRules], seen: set[str]) -> str | None:
-    """Run the admission pipeline; return the canonical URL if admitted."""
-    url = strip_jsessionid(raw_url)
+def admit(
+    raw_url: str,
+    depth: int,
+    policy: CrawlPolicy,
+    robots: dict[str, RobotsRules],
+    seen: set[str],
+    is_seed: bool = False,
+) -> str | None:
+    """Run the admission pipeline; return the canonical URL if admitted.
+
+    Seeds (``is_seed``) bypass the jsessionid rewrite, query-string filter
+    and deny paths — the reference's start requests are dont_filter=True
+    (middlewares.py:114-115); offsite/depth/robots still apply."""
+    url = raw_url if is_seed else strip_jsessionid(raw_url)
     canon = canonicalize_url(url)
     host = url_host(canon)
     if not host_allowed(host, policy) or not path_allowed(canon, policy):
         return None
-    if not policy.allow_query_string and url_query(canon):
-        return None
-    if any(dp in url_path(canon) for dp in policy.deny_paths):
-        return None
+    if not is_seed:
+        if not policy.allow_query_string and url_query(canon):
+            return None
+        if any(dp in url_path(canon) for dp in policy.deny_paths):
+            return None
     if depth > policy.depth_limit:
         return None
     rules = robots.get(host)
@@ -122,7 +134,7 @@ def reference_crawl(
     queue: deque[tuple[str, int]] = deque()
 
     for s in start_urls:
-        canon = admit(s, 0, policy, robots, seen)
+        canon = admit(s, 0, policy, robots, seen, is_seed=True)
         if canon:
             order.append(canon)
             depth[canon] = 0

@@ -26,14 +26,34 @@ from urllib.parse import urljoin
 from .textproc import detect_language, sanitize_text, summarize_text
 from .urlnorm import url_extension
 
-# Subset-faithful rendering of the reference FILTER_EXTENSIONS list
-# (helpers/domain_spider.py:15-48): binary/media/code assets never crawled.
+# The reference FILTER_EXTENSIONS deny list, verbatim
+# (helpers/domain_spider.py:15-48).  Matching follows Scrapy LinkExtractor
+# deny_extensions semantics: only the FINAL suffix of the URL basename is
+# compared (lowercased), so the multi-suffix entry "tar.gz" never fires
+# upstream either ("gz" does) — kept verbatim regardless.  Note the list
+# deliberately EXCLUDES xls/xlsx/doc/docx/pdf (the reference crawls and
+# indexes those content types, ALLOWED_CONTENT_TYPE :52-60).
 FILTER_EXTENSIONS = frozenset(
-    """7z 7zip apk avi bat bin bmp bz2 c cab cdr cmd com css csv dat deb dll dmg
-    exe flv gif gz ico img iso jar java jpeg jpg js json m4a m4v mid midi mkv
-    mov mp3 mp4 mpeg mpg msi odg odp ods odt ogg pct pict png pps ppt pptx psd
-    py ra ram rar rm rpm rss sh sit svg swf tar tgz wav webm webp wma wmv xls
-    xlsx xml xz z zip""".split()
+    """7z 7zip bz2 rar tar tar.gz xz zip gz tgz sfx
+    mng pct bmp gif jpg jpeg png pst psp image
+    tif tiff ai drw dxf eps ps svg cdr ico
+    mp3 wma ogg wav ra aac mid au aiff media
+    3gp asf asx avi mov mp4 mpg qt rm swf
+    wmv m4a m4v flv webm vtt xhr
+    ppt pptx pps odt ods odg odp odc odb odf
+    exe bin dmg iso apk msi dll deb rpm eventsource
+    fetch websocket
+    json md rtf csv yaml yml tsv log geojson manifest
+    dtd ini toml
+    c class cpp cs db dbf err h java font
+    hdf lock md5 pl py rev style sh swift vb
+    css rss js xml stylesheet
+    gxf spx sxd sxi sxm
+    atx cpg e00 gdbindexes gdbtable gdbtablx gdb gpkg
+    kmz mxd sbx sbn shp shx tfw las laz
+    cdf nb m tex
+    ibooks ics nc nc4 prj freelist met nit qix sgy
+    segy pro""".split()
 )
 
 LINK_TAGS = ("a", "area", "va-link")

@@ -33,6 +33,7 @@ from urllib.parse import (
     quote,
     unquote,
     urlencode,
+    urlparse,
     urlsplit,
     urlunsplit,
 )
@@ -44,7 +45,6 @@ DEFAULT_PORTS = {"http": 80, "https": 443, "ftp": 21, "ws": 80, "wss": 443}
 _PATH_SAFE = "/@:;,!$&'()*+=~-._"
 _QUERY_SAFE = "-._~"
 
-_JSESSIONID_RE = re.compile(r";jsessionid=[^?#/]*", re.IGNORECASE)
 
 
 def canonicalize_url(url: str) -> str:
@@ -78,15 +78,22 @@ def canonicalize_url(url: str) -> str:
 
 
 def strip_jsessionid(url: str) -> str:
-    """Remove a ``;jsessionid=...`` path segment.
+    """Clear the last path segment's params when they contain "jsessionid".
 
-    Mirrors reference middlewares.py:58-65 (_remove_url_jsession_id), which
-    only rewrites when "jsessionid" appears case-insensitively (call-site
-    guard middlewares.py:120-123).
+    Mirrors reference middlewares.py:58-65 (_remove_url_jsession_id) exactly:
+    ``urlparse`` exposes only the LAST segment's ``;params``; when those
+    contain "jsessionid" (case-insensitive) the ENTIRE params component is
+    dropped (so ``/a;p1;jsessionid=X?q=1`` -> ``/a?q=1``).  Occurrences in
+    mid-path segments or the query string are left untouched, as upstream.
+    The call-site guard (middlewares.py:120-123) only rewrites when
+    "jsessionid" appears case-insensitively anywhere in the URL.
     """
     if "jsessionid" not in url.lower():
         return url
-    return _JSESSIONID_RE.sub("", url)
+    parts = urlparse(url)
+    if "jsessionid" in parts.params.lower():
+        return parts._replace(params="").geturl()
+    return url
 
 
 def url_host(url: str) -> str:

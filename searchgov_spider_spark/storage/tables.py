@@ -94,19 +94,30 @@ class CheckpointStore:
 
     SEEN_COLS = ["url_hash", "url_canon", "depth", "seq"]
 
-    def read_seen(self, spark: SparkSession, upto_round: int) -> DataFrame | None:
+    def read_seen(
+        self,
+        spark: SparkSession,
+        upto_round: int,
+        include_frontier_rounds: tuple[int, ...] = (),
+    ) -> DataFrame | None:
         """Union of the seed delta and all seen-deltas up to ``upto_round``.
 
         Rounds where the next frontier exactly equals the newly-admitted set
         (politeness fast path) skip the separate seen-delta write; their
         frontier directory doubles as the delta (manifest flag
-        ``seen_from_frontier``).
+        ``seen_from_frontier``).  ``include_frontier_rounds`` forces specific
+        rounds' frontier dirs in regardless of commit state — the engine uses
+        it for the round IN PROGRESS, whose manifest is not yet written (the
+        flag-based fallback alone would lag the seen set one round behind and
+        re-admit sibling-discovered URLs).
         """
         paths = [self.seed_seen_dir()] if os.path.isdir(self.seed_seen_dir()) else []
         for r in range(upto_round + 1):
             if os.path.isdir(self.seen_delta_dir(r)):
                 paths.append(self.seen_delta_dir(r))
-            elif os.path.exists(self.manifest_path(r)) and self.read_manifest(r).get("seen_from_frontier"):
+            elif r in include_frontier_rounds or (
+                os.path.exists(self.manifest_path(r)) and self.read_manifest(r).get("seen_from_frontier")
+            ):
                 paths.append(os.path.join(self.round_dir(r), "frontier"))
         if not paths:
             return None
@@ -157,11 +168,14 @@ class CheckpointStore:
         drop frontier/host_state payloads of rounds older than the last
         ``keep_last`` committed rounds.  Documents and manifests are kept
         (they are the output / audit trail); resume only ever needs the last
-        committed round.  Returns the number of directories removed.
+        committed round, so ``keep_last`` is clamped to >= 1 — the last
+        committed round's frontier is always retained.  Returns the number of
+        directories removed.
         """
+        keep_last = max(1, keep_last)
         rounds = self.committed_rounds()
         removed = 0
-        for r in rounds[:-keep_last] if keep_last > 0 else rounds:
+        for r in rounds[:-keep_last]:
             manifest = self.read_manifest(r)
             if manifest.get("seen_from_frontier"):
                 continue  # frontier dir doubles as a live seen delta

@@ -183,3 +183,64 @@ def test_oracle_sanity():
     )
     assert set(res_deny.order) < set(res.order)
     assert not any("/tag/" in u for u in res_deny.order)
+
+
+def _custom_web_df(spark, pages: dict[str, str]):
+    rows = [(u, None, bytearray(h.encode()), "", "en") for u, h in pages.items()]
+    return spark.createDataFrame(rows, schema=PAGES_SCHEMA)
+
+
+def test_sibling_rediscovery_not_refetched(spark, tmp_path):
+    """Regression (ADVICE r2 high): non-tree web {root->x, root->y, x->y}.
+
+    A URL admitted in round r and re-discovered by a page fetched in round
+    r+1 must NOT be re-admitted — the politeness fast path previously read
+    the seen set one round stale (frontier-as-delta not yet committed) and
+    fetched /y twice with two seqs."""
+    pages = {
+        "https://diamond.gov/": '<a href="/x">x</a><a href="/y">y</a>',
+        "https://diamond.gov/x": '<a href="/y">y</a>',
+        "https://diamond.gov/y": "<p>leaf</p>",
+    }
+    policy = CrawlPolicy(allowed_domains=["diamond.gov"], depth_limit=5)
+    oracle = reference_crawl(
+        {u: h.encode() for u, h in pages.items()}, {}, ["https://diamond.gov/"], policy
+    )
+    engine = CrawlEngine(
+        spark, _custom_web_df(spark, pages), None, policy, str(tmp_path / "diamond"),
+        bloom_shards=4, bloom_bits=1 << 14,
+    )
+    run = engine.run(["https://diamond.gov/"], max_rounds=16)
+    docs = run.documents(spark).select("url").collect()
+    fetched = [r["url"] for r in docs]
+    assert sorted(fetched) == sorted(set(fetched)), "a URL was fetched more than once"
+    assert set(fetched) == oracle.fetched
+    seen = run.seen(spark)
+    ordered = [r["url_canon"] for r in seen.orderBy("seq").collect()]
+    assert ordered == oracle.order
+    assert [r["seq"] for r in seen.orderBy("seq").collect()] == list(range(len(ordered)))
+
+
+def test_seed_with_query_string_is_crawled(spark, tmp_path):
+    """Regression (ADVICE r2 medium): seeds bypass the query-string filter
+    and jsessionid rewrite (reference start requests are dont_filter=True,
+    middlewares.py:114-115) — a seed with a query string must be fetched,
+    while discovered query-string links are still dropped."""
+    seed = "https://qseed.gov/start?session=1"
+    pages = {
+        "https://qseed.gov/start?session=1": '<a href="/a">a</a><a href="/b?x=1">b</a>',
+        "https://qseed.gov/a": "<p>leaf</p>",
+        "https://qseed.gov/b?x=1": "<p>should not be fetched</p>",
+    }
+    policy = CrawlPolicy(allowed_domains=["qseed.gov"], depth_limit=5)
+    oracle = reference_crawl({u: h.encode() for u, h in pages.items()}, {}, [seed], policy)
+    assert canonicalize_url(seed) in oracle.fetched  # oracle itself honors dont_filter
+    engine = CrawlEngine(
+        spark, _custom_web_df(spark, pages), None, policy, str(tmp_path / "qseed"),
+        bloom_shards=4, bloom_bits=1 << 14,
+    )
+    run = engine.run([seed], max_rounds=8)
+    fetched = {r["url"] for r in run.documents(spark).select("url").collect()}
+    assert fetched == oracle.fetched
+    assert canonicalize_url(seed) in fetched
+    assert not any(u.endswith("/b?x=1") for u in fetched)
