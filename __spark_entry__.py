@@ -30,4 +30,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def oracle_sql() -> dict[str, str]:
-    return dict(Q.ORACLES)
+    from searchgov_spider_spark import oracles
+
+    return dict(Q.ORACLES) | oracles.build_dynamic_oracles()

@@ -1,0 +1,438 @@
+"""Dynamically-built DuckDB oracle SQL for the non-relational driver queries.
+
+The 13 queries that round 1 left as rows-only checks get hard oracles here:
+for each one the EXPECTED result is derived INDEPENDENTLY of the distributed
+Spark machinery — either as genuine DuckDB SQL over literal input VALUES
+(relational flows: sitemap delta, DAP, LSH banding), or by running the
+single-node pure-Python kernels / the pure-Python reference BFS on the driver
+and emitting the rows as a literal VALUES table.  Either way the driver's
+side-by-side comparison then verifies that the DISTRIBUTED plan (shuffles,
+joins, Arrow UDF batching, checkpoint rounds) reproduces the single-node
+semantics — exactly the north_rule's per-row invariant.
+
+Builders run at oracle_sql() time on the driver; everything they consume is
+deterministic (synthetic webgen constants, the sf0.01 parquet tables the
+driver itself compares against, seed-42 hyperplanes).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+from decimal import ROUND_HALF_UP, Decimal
+
+ORACLE_SF_DIR = os.environ.get("SPARK_GRAFT_ORACLE_SF_DIR", "/root/testdata/sf0.01")
+
+
+# --- SQL literal helpers ------------------------------------------------------
+
+
+def _lit(v) -> str:
+    if v is None:
+        return "NULL"
+    if isinstance(v, bool):
+        return "TRUE" if v else "FALSE"
+    if isinstance(v, (int,)):
+        return str(v)
+    if isinstance(v, float):
+        return repr(v)
+    s = str(v)
+    return "'" + s.replace("'", "''") + "'"
+
+
+def _values(rows: list[tuple], cols: list[tuple[str, str]]) -> str:
+    """``SELECT CAST(...) AS name, ... FROM (VALUES ...) t(...)`` literal table.
+
+    ``cols`` is (name, duckdb_type) per column; every column is cast so the
+    result schema is stable regardless of DuckDB's VALUES type inference.
+    """
+    names = [c[0] for c in cols]
+    sel = ", ".join(f"CAST({n} AS {t}) AS {n}" for n, t in cols)
+    body = ", ".join("(" + ", ".join(_lit(v) for v in r) + ")" for r in rows)
+    return f"SELECT {sel} FROM (VALUES {body}) AS t({', '.join(names)})"
+
+
+def _round_half_up(x: float, scale: int) -> float:
+    """Spark's round() on doubles: BigDecimal.valueOf(x).setScale(HALF_UP).
+    ``repr(float)`` is the same shortest decimal form Double.toString uses."""
+    return float(Decimal(repr(float(x))).quantize(Decimal(1).scaleb(-scale), rounding=ROUND_HALF_UP))
+
+
+def _docs(sf_dir: str = ORACLE_SF_DIR) -> list[tuple[int, str]]:
+    import duckdb
+
+    path = os.path.join(sf_dir, "documents.parquet")
+    return duckdb.sql(f"SELECT doc_id, text FROM read_parquet('{path}') ORDER BY doc_id").fetchall()
+
+
+def _embeddings(sf_dir: str = ORACLE_SF_DIR) -> list[tuple[int, list[float]]]:
+    import duckdb
+
+    path = os.path.join(sf_dir, "embeddings.parquet")
+    return duckdb.sql(f"SELECT vec_id, embedding FROM read_parquet('{path}') ORDER BY vec_id").fetchall()
+
+
+# --- per-query builders --------------------------------------------------------
+
+
+def q22_text_analysis() -> str:
+    """Pure-Python kernel run (textproc) -> literal expected rows."""
+    from .kernels import textproc
+
+    rows = []
+    for doc_id, text in _docs():
+        rows.append(
+            (
+                doc_id,
+                textproc.detect_language(text) if text else "en",
+                textproc.quality_score(text) if text else 0.0,
+                textproc.document_fingerprint(text) if text else 0,
+            )
+        )
+    return _values(
+        rows,
+        [("doc_id", "BIGINT"), ("detected_lang", "VARCHAR"), ("quality", "DOUBLE"), ("fingerprint", "BIGINT")],
+    )
+
+
+def _docs_with_dups_py() -> list[tuple[int, str]]:
+    base = _docs()
+    return base + [(i + 100000, t) for i, t in base if i % 5 == 0]
+
+
+def q23_simhash() -> str:
+    """SimHash values from the single-node kernel; the hamming<=3 pair
+    generation is INDEPENDENT DuckDB SQL (brute-force cross join + bit_count),
+    so the banded candidate path is verified against all-pairs truth."""
+    import pandas as pd
+
+    from .operators.dedup import _simhash_batch
+
+    docs = _docs_with_dups_py()
+    hashes = _simhash_batch(pd.Series([t for _, t in docs])).tolist()
+    rows = [(doc_id, int(h)) for (doc_id, _), h in zip(docs, hashes)]
+    vals = _values(rows, [("doc_id", "BIGINT"), ("simhash", "BIGINT")])
+    return f"""
+        WITH h AS ({vals})
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+               CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER) AS hamming
+        FROM h a JOIN h b ON a.doc_id < b.doc_id
+        WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+    """
+
+
+def q24_crawl_bfs() -> str:
+    """Pure-Python reference BFS + single-node extraction kernels -> the
+    expected (url, depth, seq, title, language) of every fetched page."""
+    from .crawl.reference_bfs import CrawlPolicy, reference_crawl
+    from .kernels.htmlx import extract_html_doc
+    from .kernels.textproc import decode_bytes
+    from .kernels.urlnorm import canonicalize_url
+    from .synth import webgen
+
+    n_pages, n_hosts = 800, 8
+    pages = {}
+    langs = {}
+    for h, k, p in webgen.page_index(n_pages, n_hosts):
+        row = webgen.build_page(h, k, p, n_hosts, with_text=False)
+        canon = canonicalize_url(row["url"])
+        pages[canon] = row["html"]
+        langs[canon] = row["lang"]
+    robots = {webgen.host_name(h): webgen.robots_text(h, n_hosts) for h in range(n_hosts)}
+    policy = CrawlPolicy(allowed_domains=[webgen.host_name(0), webgen.host_name(1)], depth_limit=10)
+    res = reference_crawl(pages, robots, [webgen.page_url(0, 0)], policy)
+    rows = []
+    for seq, url in enumerate(res.order):
+        if url not in res.fetched:
+            continue
+        doc = extract_html_doc(decode_bytes(pages[url]), url, langs[url])
+        rows.append((url, res.depth[url], seq, doc.title, doc.language))
+    return _values(
+        rows,
+        [("url", "VARCHAR"), ("crawl_depth", "INTEGER"), ("seq", "BIGINT"),
+         ("title", "VARCHAR"), ("language", "VARCHAR")],
+    )
+
+
+def q25_lsh_near_dup_pairs(k: int = 16, bands: int = 8, threshold: float = 0.8) -> str:
+    """Genuine DuckDB SQL replication of banded MinHash-LSH + exact-Jaccard
+    verify (same band layout as operators.dedup.minhash_lsh_pairs)."""
+    from .queries import _DUP_DOCS_SQL, _SHINGLES, _minhash_sql
+
+    rows = k // bands
+    band_selects = []
+    for b in range(bands):
+        parts = " || '|' || ".join(f"minhash_{i}" for i in range(b * rows, (b + 1) * rows))
+        band_selects.append(f"SELECT doc_id, {b} AS band, md5({parts}) AS bh FROM sig")
+    banded = " UNION ALL ".join(band_selects)
+    return f"""
+        WITH sig AS ({_minhash_sql(_DUP_DOCS_SQL, k)}),
+        banded AS ({banded}),
+        cand AS (
+            SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+            FROM banded a JOIN banded b ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id
+        ),
+        sh AS (SELECT doc_id, {_SHINGLES} AS s FROM {_DUP_DOCS_SQL})
+        SELECT id_a, id_b,
+               round(len(list_distinct(list_intersect(a.s, b.s))) * 1.0
+                     / len(list_distinct(list_concat(a.s, b.s))), 6) AS jaccard
+        FROM cand JOIN sh a ON a.doc_id = id_a JOIN sh b ON b.doc_id = id_b
+        WHERE len(list_distinct(list_intersect(a.s, b.s))) * 1.0
+              / len(list_distinct(list_concat(a.s, b.s))) >= {threshold}
+    """
+
+
+def _fold_dot(a, b) -> float:
+    acc = 0.0
+    for x, y in zip(a, b):
+        acc += float(x) * float(y)
+    return acc
+
+
+def _fold_norm(a) -> float:
+    acc = 0.0
+    for x in a:
+        acc += float(x) * float(x)
+    return acc ** 0.5
+
+
+def q26_ann_lsh(k: int = 10, bits: int = 8) -> str:
+    """numpy/pure-Python replication of SRP multiprobe ANN (same seed-42
+    hyperplanes, same float32 matmul, same left-fold cosine as the JVM
+    aggregate expression)."""
+    import numpy as np
+
+    from .operators.similarity import hyperplanes
+
+    emb = _embeddings()
+    qvec = [float(x) for x in next(e for i, e in emb if i == 0)]
+    dim = len(qvec)
+    planes = hyperplanes(dim, bits, seed=42)
+    weights = (1 << np.arange(bits)).astype(np.int64)
+    base = int(((planes @ np.asarray(qvec)) > 0) @ weights)
+    probes = {base} | {base ^ (1 << i) for i in range(bits)}
+
+    mat = np.stack([np.asarray(e, dtype=np.float32) for _, e in emb])
+    signs = mat @ planes.T > 0
+    buckets = (signs @ weights).astype(np.int32)
+    qnorm = float(np.sqrt(np.dot(qvec, qvec)))
+    scored = []
+    for (vec_id, vec), b in zip(emb, buckets):
+        if int(b) not in probes:
+            continue
+        cos = _fold_dot(vec, qvec) / (_fold_norm(vec) * qnorm)
+        scored.append((vec_id, cos))
+    scored.sort(key=lambda r: (-r[1], r[0]))
+    rows = [(vid, _round_half_up(c, 4)) for vid, c in scored[:k]]
+    return _values(rows, [("vec_id", "BIGINT"), ("cosine", "DOUBLE")])
+
+
+def q27_multimodal_features(n: int = 96) -> str:
+    """Single-node run of the deterministic media synth + fake decoder."""
+    from .operators.multimodal import _fake_features
+
+    rows = []
+    for i in range(n):
+        mtype = ("image", "audio", "video")[i % 3]
+        payload = hashlib.blake2b(f"media:{i}".encode(), digest_size=64).digest() * (i % 4 + 1)
+        f0 = _round_half_up(float(_fake_features(payload)[0]), 5)
+        rows.append((i, mtype, len(payload), f0))
+    return _values(
+        rows,
+        [("media_id", "BIGINT"), ("media_type", "VARCHAR"), ("n_bytes", "INTEGER"), ("f0", "DOUBLE")],
+    )
+
+
+def q28_robots_eval(n_hosts: int = 8) -> str:
+    """Pure-Python robots kernel evaluation over the same constructed URLs."""
+    from .kernels.robotstxt import parse_robots
+    from .synth import webgen
+
+    rules = {webgen.host_name(h): parse_robots(webgen.robots_text(h, n_hosts)) for h in range(n_hosts)}
+    rows = []
+    for doc_id, _ in _docs():
+        host = webgen.host_name(doc_id % n_hosts)
+        path = "/blocked/x" if doc_id % 3 == 0 else "/ok/x"
+        url = f"https://{host}{path}"
+        rows.append((doc_id, url, rules[host].allowed(url)))
+    return _values(rows, [("doc_id", "BIGINT"), ("url", "VARCHAR"), ("allowed", "BOOLEAN")])
+
+
+def q29_sitemap_delta(n_hosts: int = 8) -> str:
+    """Genuine relational oracle: the snapshot input as VALUES, the delta as
+    DuckDB window + anti-join SQL (mirrors flows.sitemap_delta)."""
+    from .synth import webgen
+
+    pdf = webgen.sitemap_snapshots_pandas(n_hosts)
+    rows = [
+        (r.sitemap_url, r.page_url, r.snapshot_ts.strftime("%Y-%m-%d %H:%M:%S"))
+        for r in pdf.itertuples()
+    ]
+    vals = _values(rows, [("sitemap_url", "VARCHAR"), ("page_url", "VARCHAR"), ("snapshot_ts", "VARCHAR")])
+    return f"""
+        WITH snaps AS ({vals}),
+        ranked AS (
+            SELECT *, dense_rank() OVER (PARTITION BY sitemap_url ORDER BY snapshot_ts DESC) AS rk
+            FROM snaps
+        ),
+        latest AS (SELECT sitemap_url, page_url, snapshot_ts FROM ranked WHERE rk = 1),
+        prev AS (SELECT sitemap_url, page_url FROM ranked WHERE rk = 2)
+        SELECT l.sitemap_url, l.page_url, l.snapshot_ts AS appeared_ts
+        FROM latest l LEFT JOIN prev p USING (sitemap_url, page_url)
+        WHERE p.page_url IS NULL
+    """
+
+
+def q30_dap_pipeline(n_hosts: int = 8) -> str:
+    """Genuine relational oracle: raw DAP rows as VALUES; normalize /
+    validate / group-sum / trailing-average / enrichment join in SQL."""
+    from .synth import webgen
+
+    raw = [(r.domain, int(r.date), int(r.visits)) for r in webgen.dap_visits_pandas(n_hosts).itertuples()]
+    docs = [(f"doc{h}", webgen.host_name(h)) for h in range(10)]
+    raw_vals = _values(raw, [("domain", "VARCHAR"), ("date", "INTEGER"), ("visits", "BIGINT")])
+    doc_vals = _values(docs, [("id", "VARCHAR"), ("domain_name", "VARCHAR")])
+    return f"""
+        WITH raw AS ({raw_vals}),
+        norm AS (
+            SELECT regexp_replace(lower(trim(domain)), '^www\\.', '') AS domain, date, visits
+            FROM raw
+        ),
+        valid AS (
+            SELECT * FROM norm
+            WHERE domain != '' AND domain != '(not set)'
+              AND NOT starts_with(domain, '.')
+              AND contains(domain, '.')
+              AND NOT regexp_matches(regexp_replace(domain, '\\.', '', 'g'), '^[0-9]+$')
+        ),
+        dap AS (SELECT domain, date, sum(visits) AS visits FROM valid GROUP BY domain, date),
+        avg_v AS (
+            SELECT domain, CAST(round(sum(visits) / 28.0) AS BIGINT) AS dap_domain_visits_count
+            FROM dap WHERE date <= 20240128 GROUP BY domain
+        ),
+        docs AS ({doc_vals})
+        SELECT d.id, d.domain_name, a.dap_domain_visits_count
+        FROM docs d
+        LEFT JOIN avg_v a ON regexp_replace(d.domain_name, '^www\\.', '') = a.domain
+    """
+
+
+def q31_freshness() -> str:
+    """Expected routing computed from the same deterministic url universe
+    (single-node): first 200 page urls live (200/ok), 50 gone docs 404."""
+    from .synth import webgen
+
+    urls = [webgen.page_url(h, k) for h, k, _ in webgen.page_index(400, 5)]
+    rows = []
+    for u in urls[:200]:
+        rows.append((hashlib.sha256(u.encode()).hexdigest(), u, 200, "ok", False, "200"))
+    for i in range(50):
+        u = f"https://host0.example.gov/deleted{i}"
+        rows.append((f"gone{i}", u, 404, "marked_for_deletion", True, "404"))
+    return _values(
+        rows,
+        [("id", "VARCHAR"), ("url", "VARCHAR"), ("status_code", "INTEGER"),
+         ("disposition", "VARCHAR"), ("marked_for_deletion", "BOOLEAN"), ("result", "VARCHAR")],
+    )
+
+
+def q32_seeds_validation() -> str:
+    """Expected violations for the seeds fixture + injected bad rows."""
+    rows = [
+        ("dup", "duplicate_name"),
+        ("bad", "invalid_starting_urls"),
+        ("bad", "depth_out_of_bounds"),
+        ("bad", "invalid_output_target"),
+    ]
+    return _values(rows, [("value", "VARCHAR"), ("violation", "VARCHAR")])
+
+
+def q33_sitemap_expand() -> str:
+    """Single-node recursive expansion of the same fixture sitemap XML via
+    the pure-Python sitemap kernel."""
+    from .kernels.sitemapxml import parse_sitemap_xml
+    from .synth import webgen
+
+    bodies = {}
+    roots = []
+    for h in range(4):
+        host = webgen.host_name(h)
+        root = f"https://{host}/sitemap.xml"
+        roots.append(root)
+        bodies[root] = (
+            f"<sitemapindex><sitemap><loc>https://{host}/sitemap-0.xml</loc></sitemap>"
+            f"<sitemap><loc>https://{host}/sitemap-1.xml</loc></sitemap></sitemapindex>"
+        )
+        for part in range(2):
+            locs = "".join(
+                f"<url><loc>{webgen.page_url(h, k)}</loc></url>" for k in range(part * 5, part * 5 + 5)
+            )
+            bodies[f"https://{host}/sitemap-{part}.xml"] = f"<urlset>{locs}</urlset>"
+    rows = set()
+    for root in roots:
+        stack, visited = [root], {root}
+        while stack:
+            sm = stack.pop()
+            body = bodies.get(sm)
+            if body is None:
+                continue
+            parsed = parse_sitemap_xml(body)
+            for u in parsed.page_urls:
+                rows.add((root, u))
+            for child in parsed.child_sitemaps:
+                if child not in visited:
+                    visited.add(child)
+                    stack.append(child)
+    return _values(sorted(rows), [("root", "VARCHAR"), ("page_url", "VARCHAR")])
+
+
+def q36_pdf_extraction(n: int = 64) -> str:
+    """Single-node pdfx kernel run over the same deterministic fixtures."""
+    from .kernels import pdfx, urlnorm
+
+    rows = []
+    for i in range(n):
+        url = f"https://host0.example.gov/docs/AnnualReport{i}.pdf"
+        pdf = pdfx.make_simple_pdf(
+            [f"Annual report number {i}.", f"See https://host0.example.gov/ref{i} for data."],
+            annot_uris=[f"https://host0.example.gov/annot{i}"],
+            compress=(i % 2 == 0),
+        )
+        doc = pdfx.extract_pdf_text(pdf)
+        stem, _, name = urlnorm.url_base_extension(url)
+        title = urlnorm.separate_filename(name) if name else ""
+        content = " ".join(x for x in (title, name, doc.text) if x)
+        rows.append((url, title, content, len(doc.links)))
+    return _values(
+        rows,
+        [("url", "VARCHAR"), ("title", "VARCHAR"), ("content", "VARCHAR"), ("n_links", "INTEGER")],
+    )
+
+
+def q37_sitemap_discovery(n_hosts: int = 8) -> str:
+    """Single-node 4-method finder over the same deterministic fixture."""
+    from .kernels.sitemapxml import find_sitemaps
+    from .synth import webgen
+
+    bases, res = webgen.sitemap_discovery_fixture(n_hosts)
+    rows = sorted((b, sm) for b in bases for sm in find_sitemaps(b, res))
+    return _values(rows, [("base_url", "VARCHAR"), ("sitemap_url", "VARCHAR")])
+
+
+def build_dynamic_oracles() -> dict[str, str]:
+    return {
+        "q22_text_analysis": q22_text_analysis(),
+        "q23_simhash": q23_simhash(),
+        "q24_crawl_bfs": q24_crawl_bfs(),
+        "q25_lsh_near_dup_pairs": q25_lsh_near_dup_pairs(),
+        "q26_ann_lsh": q26_ann_lsh(),
+        "q27_multimodal_features": q27_multimodal_features(),
+        "q28_robots_eval": q28_robots_eval(),
+        "q29_sitemap_delta": q29_sitemap_delta(),
+        "q30_dap_pipeline": q30_dap_pipeline(),
+        "q31_freshness": q31_freshness(),
+        "q32_seeds_validation": q32_seeds_validation(),
+        "q33_sitemap_expand": q33_sitemap_expand(),
+        "q36_pdf_extraction": q36_pdf_extraction(),
+        "q37_sitemap_discovery": q37_sitemap_discovery(),
+    }

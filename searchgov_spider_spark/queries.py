@@ -28,6 +28,15 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
 
 
+def _cleanup_at_exit(path: str) -> None:
+    """Defer removal of a temp dir whose parquet output is still being read
+    lazily by the caller (the crawl checkpoint itself is deleted eagerly)."""
+    import atexit
+    import shutil
+
+    atexit.register(shutil.rmtree, path, ignore_errors=True)
+
+
 def _tune_session(spark: SparkSession) -> None:
     """The driver may hand us a session with default confs (200 shuffle
     partitions, AQE off) — set the runtime-settable knobs the crawl round
@@ -288,8 +297,10 @@ def q22_text_analysis(spark, sf_dir):
 
 
 def q23_simhash(spark, sf_dir):
-    """SimHash dedup clusters (vectorized numpy UDF)."""
-    return dedup.simhash_dedup(_docs_with_dups(spark, sf_dir))
+    """SimHash near-dup pairs at hamming <= 3 (vectorized numpy UDF hash +
+    pigeonhole-banded candidate join + bit_count verify).  Oracle: brute-force
+    all-pairs bit_count in DuckDB over kernel-computed hash values."""
+    return dedup.simhash_near_dup_pairs(_docs_with_dups(spark, sf_dir), max_hamming=3)
 
 
 def q24_crawl_bfs(spark, sf_dir):
@@ -308,15 +319,22 @@ def q24_crawl_bfs(spark, sf_dir):
     pages = spark.createDataFrame(pdf, schema=PAGES_SCHEMA)
     robots = spark.createDataFrame(webgen.robots_pandas(n_hosts))
     policy = CrawlPolicy(allowed_domains=[webgen.host_name(0), webgen.host_name(1)], depth_limit=10)
-    ckpt = tempfile.mkdtemp(prefix="crawl_q24_")
+    root = tempfile.mkdtemp(prefix="crawl_q24_")
+    ckpt, out_dir = os.path.join(root, "ckpt"), os.path.join(root, "out")
     try:
         engine = CrawlEngine(spark, pages, robots, policy, ckpt, bloom_shards=4, bloom_bits=1 << 16)
         run = engine.run([webgen.page_url(0, 0)], max_rounds=32)
         docs = run.documents(spark)
-        out = docs.select("url", "crawl_depth", "seq", "title", "language").toPandas()
+        # result persists to its own parquet dir (never through the driver —
+        # a toPandas round-trip here would OOM the driver at scale); only the
+        # crawl checkpoint is deleted eagerly, the result dir at exit
+        docs.select("url", "crawl_depth", "seq", "title", "language").write.mode(
+            "overwrite"
+        ).parquet(out_dir)
     finally:
         shutil.rmtree(ckpt, ignore_errors=True)
-    return spark.createDataFrame(out)
+        _cleanup_at_exit(root)
+    return spark.read.parquet(out_dir)
 
 
 def q25_lsh_near_dup_pairs(spark, sf_dir):
@@ -337,7 +355,13 @@ def q27_multimodal_features(spark, sf_dir):
 
     media = multimodal.synthetic_media(spark, n=96)
     feats = multimodal.extract_features(media)
-    return feats.select("media_id", "media_type", "n_bytes", F.round(F.element_at("feature", 1), 5).alias("f0"))
+    # cast float32 -> double BEFORE rounding so the value is the clean
+    # 5-decimal double the oracle emits (round on raw float32 would keep
+    # float32 representation error)
+    return feats.select(
+        "media_id", "media_type", "n_bytes",
+        F.round(F.element_at("feature", 1).cast("double"), 5).alias("f0"),
+    )
 
 
 def q28_robots_eval(spark, sf_dir):
@@ -366,7 +390,11 @@ def q29_sitemap_delta(spark, sf_dir):
     from .synth import webgen
 
     snaps = spark.createDataFrame(webgen.sitemap_snapshots_pandas(8))
-    return flows.sitemap_delta(snaps)
+    # render the ts as UTC text so the DuckDB comparison is tz-independent
+    return flows.sitemap_delta(snaps).withColumn(
+        "appeared_ts",
+        F.date_format(F.to_utc_timestamp("appeared_ts", spark.conf.get("spark.sql.session.timeZone")), "yyyy-MM-dd HH:mm:ss"),
+    )
 
 
 def q30_dap_pipeline(spark, sf_dir):
@@ -396,7 +424,11 @@ def q31_freshness(spark, sf_dir):
     docs = pages.select(FF.sha2("url", 256).alias("id"), FF.col("url")).limit(200).unionByName(
         spark.createDataFrame([(f"gone{i}", f"https://host0.example.gov/deleted{i}") for i in range(50)], "id string, url string")
     )
-    return flows.freshness_check(docs, pages)
+    # flat columns only (the exception struct path is pytest-gated; structs
+    # don't survive the driver's column-sorted hash compare)
+    return flows.freshness_check(docs, pages).select(
+        "id", "url", "status_code", "disposition", "marked_for_deletion", "result"
+    )
 
 
 def q32_seeds_validation(spark, sf_dir):
@@ -482,6 +514,22 @@ def q36_pdf_extraction(spark, sf_dir):
     )
 
 
+def q37_sitemap_discovery(spark, sf_dir):
+    """4-method sitemap discovery (S8): common locations, robots directives,
+    HTML link tags, root .xml listing — body-driven over a fetched-resources
+    table.  Oracle: pure-Python kernels.sitemapxml.find_sitemaps."""
+    from . import flows
+    from .synth import webgen
+
+    bases, res = webgen.sitemap_discovery_fixture(8)
+    bases_df = spark.createDataFrame([(b,) for b in bases], "base_url string")
+    res_df = spark.createDataFrame(
+        [(u, s, c, b) for u, (s, c, b) in sorted(res.items())],
+        "url string, status_code int, content_type string, body string",
+    )
+    return flows.discover_sitemaps(spark, bases_df, res_df)
+
+
 def q35_training_pipeline(spark, sf_dir):
     """End-to-end training-data curation pipeline (composition):
     exact dedup (keep representatives) -> JVM quality gates (token count,
@@ -548,6 +596,7 @@ QUERIES = {
     "q34_embedding_near_dup": q34_embedding_near_dup,
     "q35_training_pipeline": q35_training_pipeline,
     "q36_pdf_extraction": q36_pdf_extraction,
+    "q37_sitemap_discovery": q37_sitemap_discovery,
 }
 
 _DUP_DOCS_SQL = (
@@ -719,7 +768,7 @@ ORACLES = {
         )
         SELECT lang,
                count(*) AS n_docs,
-               sum(n_tokens) AS total_tokens,
+               CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
                round(avg(n_tokens), 4) AS avg_tokens
         FROM stats JOIN documents USING (doc_id)
         WHERE n_tokens >= 20 AND alpha_ratio >= 0.5
@@ -748,7 +797,8 @@ def entry(spark: SparkSession) -> DataFrame:
     policy = CrawlPolicy(
         allowed_domains=[webgen.host_name(0), webgen.host_name(1)], depth_limit=8
     )
-    ckpt = tempfile.mkdtemp(prefix="crawl_entry_")
+    root = tempfile.mkdtemp(prefix="crawl_entry_")
+    ckpt, out_dir = os.path.join(root, "ckpt"), os.path.join(root, "out")
     try:
         engine = CrawlEngine(spark, pages, robots, policy, ckpt, bloom_shards=4, bloom_bits=1 << 16)
         run = engine.run([webgen.page_url(0, 0)], max_rounds=16)
@@ -762,7 +812,10 @@ def entry(spark: SparkSession) -> DataFrame:
         )
         corpus = _t(spark, sf_dir, "documents").select(F.md5(F.col("text")).alias("content_hash"))
         result = enriched.join(corpus, "content_hash", "left_anti").drop("content")
-        out = result.toPandas()
+        # distributed parquet write, never a driver toPandas round-trip: the
+        # flagship result must survive a 100x corpus
+        result.write.mode("overwrite").parquet(out_dir)
     finally:
         shutil.rmtree(ckpt, ignore_errors=True)
-    return spark.createDataFrame(out)
+        _cleanup_at_exit(root)
+    return spark.read.parquet(out_dir)
