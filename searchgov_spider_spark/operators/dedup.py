@@ -173,7 +173,62 @@ simhash_64 = F.pandas_udf(_simhash_batch, T.LongType())
 
 
 def simhash_dedup(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
-    """SimHash per doc + hamming-ball clustering at distance 0 (same hash)."""
+    """SimHash per doc + clustering at distance 0 (identical hash) — the
+    cheap exact-collision pass; for real hamming-ball near-dups use
+    simhash_near_dup_pairs."""
     hashed = docs.select(F.col(id_col), simhash_64(F.col(text_col)).alias("simhash"))
     groups = hashed.groupBy("simhash").agg(F.count("*").alias("cluster_size"), F.min(id_col).alias("representative"))
     return hashed.join(groups, "simhash").select(id_col, "simhash", "cluster_size", "representative")
+
+
+def simhash_bands(simhash_col: str, n_bands: int) -> list:
+    """Disjoint bit-slice band values of a 64-bit simhash (JVM-side bit ops).
+
+    Band i covers bits [i*w, (i+1)*w); the last band absorbs the remainder.
+    Any pair within hamming distance d < n_bands must agree EXACTLY on at
+    least one band (pigeonhole over the partition of the 64 bits), so
+    banding is a zero-false-negative candidate generator for d <= n_bands-1.
+    """
+    w = 64 // n_bands
+    cols = []
+    for i in range(n_bands):
+        width = w if i < n_bands - 1 else 64 - i * w
+        mask = (1 << width) - 1
+        cols.append(F.expr(f"shiftrightunsigned({simhash_col}, {i * w}) & {mask}").alias(f"band_{i}"))
+    return cols
+
+
+def simhash_near_dup_pairs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_hamming: int = 3,
+) -> DataFrame:
+    """EXACT hamming <= max_hamming simhash pairs via pigeonhole banding.
+
+    n_bands = max_hamming + 1 disjoint bit slices: a qualifying pair shares
+    at least one band value, so candidate generation has no false negatives
+    and the bit_count verify keeps precision — the output is exactly the
+    brute-force all-pairs result, but the only shuffle is the per-band
+    bucket join (never a cross join).  AQE splits skewed buckets.
+    """
+    n_bands = max_hamming + 1
+    hashed = docs.select(F.col(id_col), simhash_64(F.col(text_col)).alias("simhash")).persist()
+    bands_arr = F.array(*[c for c in simhash_bands("simhash", n_bands)])
+    banded = hashed.select(
+        F.col(id_col), F.col("simhash"), F.posexplode(bands_arr).alias("band", "bval")
+    )
+    left = banded.alias("l")
+    right = banded.alias("r")
+    pairs = (
+        left.join(right, ["band", "bval"])
+        .filter(F.col(f"l.{id_col}") < F.col(f"r.{id_col}"))
+        .select(
+            F.col(f"l.{id_col}").alias("id_a"),
+            F.col(f"r.{id_col}").alias("id_b"),
+            F.expr("bit_count(l.simhash ^ r.simhash)").alias("hamming"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .distinct()
+    )
+    return pairs

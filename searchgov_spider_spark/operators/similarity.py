@@ -79,42 +79,79 @@ def with_lsh_bucket(
     return embeddings.withColumn(out_col, bucket(F.col(vec_col)))
 
 
+def with_lsh_bands(
+    embeddings: DataFrame,
+    dim: int,
+    bits: int,
+    bands: int,
+    seed: int = 42,
+    vec_col: str = "embedding",
+    out_col: str = "bands",
+) -> DataFrame:
+    """``bands`` independent SRP bucket ids per row (``bits`` hyperplanes
+    each) — one (n, bands*bits) matmul per Arrow batch."""
+    planes = hyperplanes(dim, bands * bits, seed)
+    bc = embeddings.sparkSession.sparkContext.broadcast(planes)
+
+    @F.pandas_udf(T.ArrayType(T.IntegerType()))
+    def buckets(vecs: pd.Series) -> pd.Series:
+        mat = np.stack(vecs.to_numpy())  # (n, dim)
+        signs = (mat @ bc.value.T > 0).reshape(len(mat), bands, bits)
+        weights = (1 << np.arange(bits)).astype(np.int64)
+        ids = (signs @ weights).astype(np.int32)  # (n, bands)
+        return pd.Series(list(ids))
+
+    return embeddings.withColumn(out_col, buckets(F.col(vec_col)))
+
+
 def embedding_near_dup_pairs(
     embeddings: DataFrame,
     dim: int,
     threshold: float = 0.95,
-    bits: int = 10,
+    bits: int = 8,
+    bands: int = 12,
     seed: int = 42,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
-    """Embedding-cosine near-duplicate pairs via SRP-LSH bucketing.
+    """Embedding-cosine near-duplicate pairs via OR-amplified SRP-LSH.
 
-    Scale path: rows sharing an LSH bucket (P[same bucket] rises with
-    cosine) are pairwise-scored inside the bucket only — the self-join is on
-    ``bucket``, so the shuffle is bucket-local instead of a full cross join.
-    Recall is governed by ``bits`` (fewer bits = bigger buckets = higher
-    recall, more comparisons).  Exact cosine verification keeps precision.
+    ``bands`` independent tables of ``bits`` hyperplanes each (mirroring
+    minhash_lsh_pairs): a pair is a candidate when it shares ANY band's
+    bucket, then exact cosine keeps precision.  Recall for a pair at angle
+    θ is 1 - (1 - (1-θ/π)^bits)^bands — at the defaults (8 bits × 12 bands)
+    ≈ 0.999 for cosine 0.95, vs ≈ 0.2 for a single table.
+
+    Scale shape: only (id, band, bucket) rows go through the candidate
+    self-join (vectors are NOT exploded per band); vectors are joined back
+    for exact verification of the distinct candidate set.  The shuffle is
+    bucket-local per band, never a full cross join; AQE splits hot buckets.
     """
-    b = with_lsh_bucket(embeddings, dim, bits, seed, vec_col).select(
-        F.col(id_col), F.col(vec_col), F.col("bucket")
+    banded = with_lsh_bands(embeddings, dim, bits, bands, seed, vec_col).select(
+        F.col(id_col), F.posexplode("bands").alias("band", "bucket")
     )
-    left = b.alias("l")
-    right = b.alias("r")
-    pairs = (
-        left.join(right, "bucket")
+    left = banded.alias("l")
+    right = banded.alias("r")
+    cand = (
+        left.join(right, ["band", "bucket"])
         .filter(F.col(f"l.{id_col}") < F.col(f"r.{id_col}"))
+        .select(F.col(f"l.{id_col}").alias("id_a"), F.col(f"r.{id_col}").alias("id_b"))
+        .distinct()
+    )
+    vecs = embeddings.select(F.col(id_col), F.col(vec_col))
+    pairs = (
+        cand.join(vecs.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("_va")), "id_a")
+        .join(vecs.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("_vb")), "id_b")
         .select(
-            F.col(f"l.{id_col}").alias("id_a"),
-            F.col(f"r.{id_col}").alias("id_b"),
+            "id_a",
+            "id_b",
             (
-                F.expr(_dot_expr(f"l.{vec_col}", f"r.{vec_col}"))
-                / (F.expr(_norm_expr(f"l.{vec_col}")) * F.expr(_norm_expr(f"r.{vec_col}")))
+                F.expr(_dot_expr("_va", "_vb"))
+                / (F.expr(_norm_expr("_va")) * F.expr(_norm_expr("_vb")))
             ).alias("cosine"),
         )
         .filter(F.col("cosine") >= threshold)
         .select("id_a", "id_b", F.round("cosine", 6).alias("cosine"))
-        .distinct()
     )
     return pairs
 

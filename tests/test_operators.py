@@ -153,3 +153,88 @@ class TestBloom:
         bloom = bloom_from_df(members, "url_hash", n_shards=4, bits_per_shard=1 << 16)
         fp = with_bloom_probe(spark, others, bloom, "url_hash").filter(F.col("maybe_seen")).count()
         assert fp / 4000 < 0.02
+
+
+class TestSimhashNearDup:
+    def test_pairs_equal_bruteforce(self, spark):
+        """Banding is pigeonhole-exact: operator output must EQUAL the
+        all-pairs numpy brute force at hamming <= 3 (VERDICT r1 item 5)."""
+        base = [
+            "the quick brown fox jumps over the lazy dog and runs far away today",
+            "spark dataframes shuffle partitions across executors with adaptive query execution",
+            "government websites publish sitemap files for search engine crawlers to index",
+            "training data pipelines deduplicate documents before tokenization and sampling",
+        ]
+        rows = []
+        did = 0
+        for b in base:
+            for variant in (b, b + " extra", b.replace("the", "a"), b + " x y z w"):
+                rows.append((did, variant))
+                did += 1
+        docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+        from searchgov_spider_spark.operators.dedup import _simhash_batch
+        import pandas as pd
+
+        hashes = _simhash_batch(pd.Series([t for _, t in rows])).to_numpy().astype(np.uint64)
+        expect = set()
+        for i in range(len(rows)):
+            for j in range(i + 1, len(rows)):
+                h = int(bin(int(hashes[i]) ^ int(hashes[j])).count("1"))
+                if h <= 3:
+                    expect.add((rows[i][0], rows[j][0], h))
+
+        got = {
+            (r["id_a"], r["id_b"], r["hamming"])
+            for r in dedup.simhash_near_dup_pairs(docs, max_hamming=3).collect()
+        }
+        assert got == expect
+        assert len(expect) > 0  # the variants must actually produce near-dups
+
+    def test_band_partition_covers_64_bits(self):
+        cols = dedup.simhash_bands("simhash", 4)
+        assert len(cols) == 4
+
+
+class TestEmbeddingNearDupRecall:
+    def test_or_amplified_recall_on_perturbed_vectors(self, spark):
+        """Recall >= 0.9 for genuine (non-identical) near-dups at cosine
+        ~0.96 (VERDICT r1 item 4: single-band LSH recall was ~0.2)."""
+        rng = np.random.default_rng(7)
+        dim, n = 64, 120
+        base = rng.standard_normal((n, dim))
+        base /= np.linalg.norm(base, axis=1, keepdims=True)
+        rows = [(i, [float(x) for x in base[i]]) for i in range(n)]
+        # perturbed copies at cosine ~= 0.96 (orthogonal noise, t=0.29)
+        t = 0.2918
+        for i in range(0, n, 2):
+            noise = rng.standard_normal(dim)
+            noise -= noise @ base[i] * base[i]
+            noise /= np.linalg.norm(noise)
+            v = base[i] + t * noise
+            v /= np.linalg.norm(v)
+            rows.append((1000 + i, [float(x) for x in v]))
+        vecs = np.array([r[1] for r in rows])
+        ids = [r[0] for r in rows]
+        sims = vecs @ vecs.T
+        true_pairs = {
+            (ids[i], ids[j])
+            for i in range(len(ids))
+            for j in range(i + 1, len(ids))
+            if sims[i, j] >= 0.95 and ids[i] < ids[j]
+        } | {
+            (ids[j], ids[i])
+            for i in range(len(ids))
+            for j in range(i + 1, len(ids))
+            if sims[i, j] >= 0.95 and ids[j] < ids[i]
+        }
+        assert len(true_pairs) >= 30
+
+        emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+        got = {
+            (r["id_a"], r["id_b"])
+            for r in similarity.embedding_near_dup_pairs(emb, dim=dim, threshold=0.95).collect()
+        }
+        assert got <= true_pairs  # exact verify: no false positives
+        recall = len(got & true_pairs) / len(true_pairs)
+        assert recall >= 0.9, f"recall {recall:.3f} < 0.9 ({len(got)}/{len(true_pairs)})"
