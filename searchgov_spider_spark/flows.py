@@ -67,10 +67,105 @@ def expand_sitemaps(spark, sitemap_bodies: DataFrame, roots: list[str], max_dept
     return pages.distinct()
 
 
+def discover_sitemaps(spark, bases: DataFrame, resources: DataFrame) -> DataFrame:
+    """All four sitemap discovery methods (S8, sitemaps/sitemap_finder.py:
+    88-230), body-driven: ``resources`` = (url, status_code, content_type,
+    body) plays the HTTP layer.  Output: distinct (base_url, sitemap_url).
+
+    Per-method semantics (single-node oracle: kernels.sitemapxml.find_sitemaps):
+      1 common locations, HEAD-confirmed (status 200 + xml content type);
+      2 robots.txt ``Sitemap:`` directives, absolute-only, http->https, NOT
+        confirmed; 3 HTML <link rel=sitemap|alternate> + sitemap-ish .xml
+        hrefs, resolved+http->https, confirmed; 4 any .xml href containing
+        'sitemap', resolved, confirmed.
+
+    Everything except the RFC-3986 href resolution (one Arrow UDF) is
+    JVM-side: regexp_extract_all candidate extraction, broadcast-joined HEAD
+    confirmation.  ``bases`` is a per-domain dimension, so every join here is
+    broadcast-sized by construction.
+    """
+    from .kernels.sitemapxml import COMMON_SITEMAP_NAMES
+
+    # normalize: trailing slash + https prefix (sitemap_finder.py:95-97)
+    base = bases.select(F.col("base_url").alias("raw"))
+    base = base.select(
+        "raw",
+        F.when(F.col("raw").endswith("/"), F.col("raw")).otherwise(F.concat("raw", F.lit("/"))).alias("_b"),
+    ).select(
+        F.col("raw").alias("base_url"),
+        F.when(F.col("_b").rlike("^https?://"), F.col("_b")).otherwise(F.concat(F.lit("https://"), "_b")).alias("base"),
+    )
+
+    confirmed = resources.filter(
+        (F.col("status_code") == 200) & F.lower(F.coalesce("content_type", F.lit(""))).contains("xml")
+    ).select(F.col("url").alias("sitemap_url"), F.lit(True).alias("_ok"))
+    pages_200 = resources.filter(F.col("status_code") == 200).select("url", "body")
+
+    fix_http = lambda c: F.when(  # noqa: E731  (sitemap_finder.py:82-86)
+        c.startswith("http://"), F.concat(F.lit("https://"), F.substring(c, 8, 1 << 30))
+    ).otherwise(c)
+
+    # method 1: common locations (base ends with '/', so urljoin == concat)
+    m1 = base.select(
+        "base_url",
+        F.explode(F.array(*[F.lit(n) for n in COMMON_SITEMAP_NAMES])).alias("name"),
+        "base",
+    ).select("base_url", F.concat("base", "name").alias("sitemap_url"))
+    m1 = m1.join(F.broadcast(confirmed), "sitemap_url", "left_semi")
+
+    # method 2: robots.txt Sitemap: directives (no confirmation).  resources
+    # is the big side — broadcast the per-domain base dimension into it.
+    robots = pages_200.join(
+        F.broadcast(base.withColumn("url", F.concat("base", F.lit("robots.txt")))), "url"
+    )
+    m2 = robots.select(
+        "base_url",
+        F.explode(F.regexp_extract_all("body", F.lit(r"(?i)Sitemap:\s*(https?://\S+)"), F.lit(1))).alias("sm"),
+    ).select("base_url", fix_http(F.col("sm")).alias("sitemap_url"))
+
+    # methods 3+4 read the base page html
+    page = pages_200.join(F.broadcast(base.withColumn("url", F.col("base"))), "url")
+    link_pat = r"""<link[^>]*rel=["'](?:sitemap|alternate)["'][^>]*href=["']([^"']+)["']"""
+    smxml_pat = r"""href=["']([^"']*sitemap[^"']*\.xml)["']"""
+    anyxml_pat = r"""href=["']([^"']+\.xml)["']"""
+    m3_rel = page.select(
+        "base_url", "base",
+        F.explode(
+            F.concat(
+                F.regexp_extract_all("body", F.lit("(?i)" + link_pat), F.lit(1)),
+                F.regexp_extract_all("body", F.lit("(?i)" + smxml_pat), F.lit(1)),
+            )
+        ).alias("rel"),
+    )
+    m3 = m3_rel.select(
+        "base_url", fix_http(udfs.url_join(F.col("base"), F.col("rel"))).alias("sitemap_url")
+    ).join(F.broadcast(confirmed), "sitemap_url", "left_semi")
+    m4_rel = page.select(
+        "base_url", "base",
+        F.explode(F.regexp_extract_all("body", F.lit("(?i)" + anyxml_pat), F.lit(1))).alias("rel"),
+    ).filter(F.lower("rel").contains("sitemap"))
+    m4 = m4_rel.select(
+        "base_url", udfs.url_join(F.col("base"), F.col("rel")).alias("sitemap_url")
+    ).join(F.broadcast(confirmed), "sitemap_url", "left_semi")
+
+    return (
+        m1.select("base_url", "sitemap_url")
+        .unionByName(m2.select("base_url", "sitemap_url"))
+        .unionByName(m3.select("base_url", "sitemap_url"))
+        .unionByName(m4.select("base_url", "sitemap_url"))
+        .distinct()
+    )
+
+
 # --- freshness check (F14/S15; spiders/freshness_spider.py:124-174) ----------
 
 
-def freshness_check(documents: DataFrame, pages: DataFrame, max_results: int | None = None) -> DataFrame:
+def freshness_check(
+    documents: DataFrame,
+    pages: DataFrame,
+    max_results: int | None = None,
+    exceptions: DataFrame | None = None,
+) -> DataFrame:
     """HEAD-check analog: join indexed documents against the live pages table.
 
     Disposition routing mirrors the reference status-code rules
@@ -78,6 +173,12 @@ def freshness_check(documents: DataFrame, pages: DataFrame, max_results: int | N
     3xx/404 -> 'marked_for_deletion'; other -> 'not_marked'.  In the sandbox
     liveness = membership in ``pages`` (200) vs absence (404); a real
     deployment swaps the join for a mapInArrow HEAD-request client.
+
+    ``exceptions`` (id, exception_type, exception_message) marks fetches that
+    raised: those rows get a null status_code, result = exception type, a
+    populated ``exception`` struct, and marked_for_deletion = False — the
+    reference's FreshnessSpiderExceptionItem (items.py:40-47,112-119,
+    freshness_spider.py:130-143).
     """
     docs = documents.select("id", "url")
     if max_results is not None:
@@ -86,15 +187,32 @@ def freshness_check(documents: DataFrame, pages: DataFrame, max_results: int | N
     checked = docs.join(live, "url", "left").withColumn(
         "status_code", F.when(F.col("_live").isNotNull(), F.lit(200)).otherwise(F.lit(404))
     )
+    if exceptions is not None:
+        exc = exceptions.select("id", "exception_type", "exception_message")
+        checked = checked.join(F.broadcast(exc), "id", "left")
+    else:
+        checked = checked.withColumn("exception_type", F.lit(None).cast("string")).withColumn(
+            "exception_message", F.lit(None).cast("string")
+        )
+    is_exc = F.col("exception_type").isNotNull()
     return checked.select(
         "id",
         "url",
-        "status_code",
-        F.when(F.col("status_code") == 200, F.lit("ok"))
+        F.when(is_exc, F.lit(None).cast("int")).otherwise(F.col("status_code")).alias("status_code"),
+        F.when(is_exc, F.lit("exception"))
+        .when(F.col("status_code") == 200, F.lit("ok"))
         .when((F.col("status_code") == 404) | F.col("status_code").between(300, 399), F.lit("marked_for_deletion"))
         .otherwise(F.lit("not_marked"))
         .alias("disposition"),
-        (F.col("status_code") != 200).alias("marked_for_deletion"),
+        F.when(is_exc, F.lit(False)).otherwise(F.col("status_code") != 200).alias("marked_for_deletion"),
+        F.when(is_exc, F.col("exception_type")).otherwise(F.col("status_code").cast("string")).alias("result"),
+        F.when(
+            is_exc,
+            F.struct(
+                F.col("exception_type").alias("exception_type"),
+                F.col("exception_message").alias("exception_message"),
+            ),
+        ).alias("exception"),
     )
 
 
@@ -142,6 +260,34 @@ def enrich_documents_with_dap(documents: DataFrame, dap_avg: DataFrame) -> DataF
     exact = dap_avg.select(F.col("domain").alias("_dn"), F.col("avg_daily_visits"))
     out = docs.join(F.broadcast(exact), "_dn", "left")
     return out.drop("_dn").withColumnRenamed("avg_daily_visits", "dap_domain_visits_count")
+
+
+def dap_paged_fetch(fetch_page, limit: int = 1000) -> list[dict]:
+    """Driver-side DAP API paging loop (S14, reference dap/connect.py:27-68):
+    1-based pages of ``limit`` rows; stops at the first EMPTY page (the
+    reference keeps paging even on a short page — mirrored here).  The feed
+    is a per-domain dimension (bounded), so accumulating it on the driver is
+    the reference's own shape; the heavy work happens after createDataFrame.
+
+    ``fetch_page(page, limit) -> list[dict]`` is the injectable HTTP call.
+    """
+    out: list[dict] = []
+    page = 0
+    while True:
+        page += 1
+        rows = fetch_page(page, limit)
+        if not rows:
+            break
+        out.extend(rows)
+    return out
+
+
+def dap_ingest(spark, fetch_page, limit: int = 1000) -> DataFrame:
+    """Paged fetch -> DataFrame -> normalize/validate/group (the full S14 +
+    F13/X16/A1 ingest path)."""
+    rows = dap_paged_fetch(fetch_page, limit)
+    raw = spark.createDataFrame(rows, "domain string, date string, visits string")
+    return dap_transform(raw)
 
 
 # --- URL sinks (S9/S10; pipelines/pipelines.py:130-191) -----------------------

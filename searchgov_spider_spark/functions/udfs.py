@@ -64,6 +64,15 @@ def domain_name(urls: pd.Series) -> pd.Series:
     return urls.map(lambda u: urlnorm.domain_name(u) if u else "")
 
 
+@pandas_udf(T.StringType())
+def url_join(base: pd.Series, rel: pd.Series) -> pd.Series:
+    """RFC-3986 resolution of a (possibly relative) href against a base URL,
+    absolute hrefs passed through (sitemap_finder.py:77-80 _join_base)."""
+    from ..kernels import sitemapxml
+
+    return pd.Series([sitemapxml.join_base(b or "", r or "") for b, r in zip(base, rel)])
+
+
 # --- extraction --------------------------------------------------------------
 
 DOC_STRUCT = T.StructType(

@@ -61,11 +61,46 @@ def sanitize_text(text: str) -> str:
 # --- encoding cascade ------------------------------------------------------
 
 
+# BOM signatures checked longest-first (utf-32 BOMs contain the utf-16 ones);
+# the BOM-aware codecs (utf-8-sig / utf-16 / utf-32) strip the BOM themselves
+_BOMS = [
+    (b"\xef\xbb\xbf", "utf-8-sig"),
+    (b"\xff\xfe\x00\x00", "utf-32"),
+    (b"\x00\x00\xfe\xff", "utf-32"),
+    (b"\xff\xfe", "utf-16"),
+    (b"\xfe\xff", "utf-16"),
+]
+
+_META_CHARSET_RE = re.compile(rb"""<meta[^>]+charset\s*=\s*["']?\s*([a-zA-Z0-9_\-]+)""", re.IGNORECASE)
+
+
+def sniff_charset(data: bytes) -> str | None:
+    """BOM + ``<meta charset>`` detection (X6): the deterministic stand-in
+    for the reference's cchardet call (helpers/encoding.py:9-18), which is
+    unavailable here.  Returns a codec name or None."""
+    for bom, codec in _BOMS:
+        if data.startswith(bom):
+            return codec
+    m = _META_CHARSET_RE.search(data[:2048])
+    if m:
+        import codecs
+
+        name = m.group(1).decode("ascii", errors="replace").lower()
+        try:
+            codecs.lookup(name)
+        except LookupError:
+            return None
+        return name
+    return None
+
+
 def decode_bytes(data: bytes) -> str:
-    """utf-8 first, then latin-1, then lossy utf-8.
+    """utf-8 first, then charset sniffing (BOM / <meta charset>), then
+    latin-1, then lossy utf-8.
 
     The reference tries utf-8, then cchardet detection, then ``str(bytes)``
-    (helpers/encoding.py:9-33).  cchardet is unavailable here; latin-1 is the
+    (helpers/encoding.py:21-33).  cchardet is unavailable here; sniffing
+    covers the declared-charset cases it would catch, and latin-1 is the
     deterministic total fallback (it decodes any byte string), with a final
     utf-8-replace guard kept for parity of shape.
     """
@@ -73,6 +108,12 @@ def decode_bytes(data: bytes) -> str:
         return data.decode("utf-8")
     except UnicodeDecodeError:
         pass
+    codec = sniff_charset(data)
+    if codec is not None:
+        try:
+            return data.decode(codec)
+        except (UnicodeDecodeError, LookupError):
+            pass
     try:
         return data.decode("latin-1")
     except UnicodeDecodeError:  # pragma: no cover - latin-1 cannot fail

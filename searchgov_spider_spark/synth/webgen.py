@@ -296,6 +296,50 @@ def dap_visits_pandas(n_hosts: int, days: int = 28) -> pd.DataFrame:
 # --- sitemap snapshots (FIXTURES.md table 5) ---------------------------------
 
 
+def sitemap_discovery_fixture(n_hosts: int) -> tuple[list[str], dict[str, tuple[int, str, str]]]:
+    """Deterministic (bases, resources) web for the 4-method sitemap
+    discovery (S8).  ``resources`` maps url -> (status, content_type, body);
+    per host the fixture exercises: common-location hits and a wrong-type
+    rejection (method 1), robots ``Sitemap:`` directives incl. http->https
+    and an ignored relative one (method 2), <link rel> hrefs (method 3),
+    sitemap-named .xml hrefs with and without confirmation (method 4)."""
+    bases: list[str] = []
+    res: dict[str, tuple[int, str, str]] = {}
+    xml = "application/xml"
+    sm_body = "<urlset><url><loc>https://x/</loc></url></urlset>"
+    for h in range(n_hosts):
+        host = host_name(h)
+        base = f"https://{host}/"
+        # every 4th base is a bare domain (exercises https+slash normalize)
+        bases.append(host if h % 4 == 0 else base)
+        # method 1 targets
+        if h % 3 == 0:
+            res[f"{base}sitemap.xml"] = (200, xml, sm_body)
+        if h % 3 == 1:
+            res[f"{base}sitemap_index.xml"] = (200, xml, sm_body)
+        if h == 2:
+            res[f"{base}sitemap.xml"] = (200, "text/html", "<html>not a sitemap</html>")
+        # method 2: robots with one absolute http:// directive (fixed to
+        # https) on even hosts and a relative directive the finder ignores
+        robots_lines = ["User-agent: *", "Disallow: /internal/"]
+        if h % 2 == 0:
+            robots_lines.append(f"Sitemap: http://{host}/sm-robots.xml")
+        robots_lines.append("Sitemap: /relative-sitemap.xml")
+        res[f"{base}robots.txt"] = (200, "text/plain", "\n".join(robots_lines))
+        # methods 3/4: base page html
+        page_parts = [f"<html><head><title>{host}</title>"]
+        if h % 2 == 1:
+            page_parts.append('<link rel="sitemap" href="/linked-sitemap.xml">')
+            res[f"{base}linked-sitemap.xml"] = (200, xml, sm_body)
+        page_parts.append('</head><body><a href="files/data-sitemap.xml">data</a>')
+        if h % 2 == 0:
+            res[f"{base}files/data-sitemap.xml"] = (200, "text/xml", sm_body)
+        page_parts.append('<a href="/plain.xml">feed</a></body></html>')
+        res[f"{base}plain.xml"] = (200, xml, sm_body)  # no 'sitemap' in name: m4 skips
+        res[base] = (200, "text/html", "".join(page_parts))
+    return bases, res
+
+
 def sitemap_snapshots_pandas(n_hosts: int) -> pd.DataFrame:
     rows = []
     for h in range(min(3, n_hosts)):

@@ -136,3 +136,111 @@ def test_spider_id_shape():
     assert len(sid) == 10
     assert sid == flows.spider_id("a", "b", "c")
     assert sid != flows.spider_id("a", "b", "d")
+
+
+class TestFreshnessExceptions:
+    def test_exception_struct_routing(self, spark):
+        from searchgov_spider_spark import flows
+
+        pages = spark.createDataFrame([("https://h0.gov/a",)], "url string")
+        docs = spark.createDataFrame(
+            [("d1", "https://h0.gov/a"), ("d2", "https://h0.gov/gone"), ("d3", "https://h0.gov/timeout")],
+            "id string, url string",
+        )
+        exc = spark.createDataFrame(
+            [("d3", "TimeoutError", "Connection timed out")],
+            "id string, exception_type string, exception_message string",
+        )
+        out = {r["id"]: r for r in flows.freshness_check(docs, pages, exceptions=exc).collect()}
+        # ok row (reference would drop it from output; we keep the 'ok' disposition)
+        assert out["d1"]["status_code"] == 200 and out["d1"]["result"] == "200"
+        assert out["d1"]["exception"] is None and not out["d1"]["marked_for_deletion"]
+        # 404 -> marked for deletion, result is the status string (items.py:92-99)
+        assert out["d2"]["disposition"] == "marked_for_deletion" and out["d2"]["marked_for_deletion"]
+        assert out["d2"]["result"] == "404"
+        # exception -> null status, result = exception type, struct populated,
+        # NOT marked for deletion (items.py:112-119, freshness_spider.py:130-143)
+        assert out["d3"]["status_code"] is None
+        assert out["d3"]["result"] == "TimeoutError"
+        assert out["d3"]["exception"]["exception_type"] == "TimeoutError"
+        assert out["d3"]["exception"]["exception_message"] == "Connection timed out"
+        assert not out["d3"]["marked_for_deletion"]
+        assert out["d3"]["disposition"] == "exception"
+
+
+class TestDapPaging:
+    def test_paged_fetch_stops_on_empty_page(self):
+        from searchgov_spider_spark import flows
+
+        feed = [[{"domain": f"d{i}.gov", "date": "20240101", "visits": str(i)} for i in range(3)],
+                [{"domain": "late.gov", "date": "20240101", "visits": "7"}],
+                []]
+        calls = []
+
+        def fetch_page(page, limit):
+            calls.append((page, limit))
+            return feed[page - 1] if page <= len(feed) else []
+
+        rows = flows.dap_paged_fetch(fetch_page, limit=1000)
+        assert len(rows) == 4
+        # pages are 1-based and the loop continues past a SHORT page, stopping
+        # only on the first EMPTY page (dap/connect.py:27-68)
+        assert calls == [(1, 1000), (2, 1000), (3, 1000)]
+
+    def test_dap_ingest_end_to_end(self, spark):
+        from searchgov_spider_spark import flows
+
+        def fetch_page(page, limit):
+            if page == 1:
+                return [
+                    {"domain": "WWW.Agency.GOV", "date": "20240102", "visits": "10"},
+                    {"domain": "agency.gov", "date": "20240102", "visits": "5"},
+                    {"domain": "(not set)", "date": "20240102", "visits": "9"},
+                ]
+            return []
+
+        out = flows.dap_ingest(spark, fetch_page).collect()
+        assert len(out) == 1  # www-stripped merge + invalid dropped
+        assert out[0]["domain"] == "agency.gov" and out[0]["visits"] == 15
+
+
+class TestMonitors:
+    def test_thresholds(self):
+        from searchgov_spider_spark.crawl.monitors import MonitorSettings, run_monitors
+
+        res = {m["monitor"]: m for m in run_monitors(
+            items_scraped=10,
+            status_counts={200: 100, 500: 51, 404: 1000},
+            finish_reason="finished",
+            elapsed_seconds=10.0,
+        )}
+        assert res["item_count"]["passed"]
+        assert not res["unwanted_http_codes"]["passed"]   # 500 over max-count 50
+        assert "500" in res["unwanted_http_codes"]["detail"]
+        assert res["execution_time"]["passed"]
+        assert res["finish_reason"]["passed"]
+        # 404 is NOT in the unwanted list (settings/domain_spider.py:78)
+        ok = {m["monitor"]: m for m in run_monitors(5, {404: 1000}, "finished", 1.0)}
+        assert ok["unwanted_http_codes"]["passed"]
+        strict = MonitorSettings(min_items=6, max_execution_time_s=0.5, expected_finish_reasons=("finished",))
+        bad = {m["monitor"]: m for m in run_monitors(5, {}, "max_rounds", 1.0, strict)}
+        assert not bad["item_count"]["passed"]
+        assert not bad["execution_time"]["passed"]
+        assert not bad["finish_reason"]["passed"]
+
+    def test_monitors_from_run(self):
+        from searchgov_spider_spark.crawl.monitors import monitors_from_run
+
+        metrics = [
+            {"fetched": 10, "missed": 1, "round_wall_s": 2.0, "stop": False},
+            {"fetched": 4, "missed": 0, "round_wall_s": 1.0, "stop": True},
+        ]
+        res = {m["monitor"]: m for m in monitors_from_run(metrics)}
+        assert all(m["passed"] for m in res.values())
+        assert "items_scraped=14" in res["item_count"]["detail"]
+
+    def test_status_code_counts_distributed(self, spark):
+        from searchgov_spider_spark.crawl.monitors import status_code_counts
+
+        df = spark.createDataFrame([(200,)] * 5 + [(404,)] * 2 + [(500,)], "status_code int")
+        assert status_code_counts(df) == {200: 5, 404: 2, 500: 1}

@@ -90,6 +90,25 @@ class TestUrlParts:
         assert strip_jsessionid("https://h.gov/p;JSESSIONID=abc") == "https://h.gov/p"
         assert strip_jsessionid("https://h.gov/p?x=1") == "https://h.gov/p?x=1"
 
+    def test_jsessionid_reference_edge_cases(self):
+        # the WHOLE params component of the last segment is dropped
+        # (reference _remove_url_jsession_id uses urlparse params)
+        assert (
+            strip_jsessionid("https://h.gov/a;p1;jsessionid=X?q=1")
+            == "https://h.gov/a?q=1"
+        )
+        # mid-path segment params are NOT touched (urlparse only exposes the
+        # last segment's params)
+        assert (
+            strip_jsessionid("https://h.gov/a;jsessionid=X/b")
+            == "https://h.gov/a;jsessionid=X/b"
+        )
+        # query-string occurrences are NOT touched
+        assert (
+            strip_jsessionid("https://h.gov/a?jsessionid=X")
+            == "https://h.gov/a?jsessionid=X"
+        )
+
     def test_parts(self):
         assert url_host("https://WWW.Example.gov/a") == "www.example.gov"
         assert domain_name("https://www.example.gov/a") == "www.example.gov"  # netloc, www kept (ref parity)
@@ -266,3 +285,50 @@ Disallow: /all-denied/
         rules = "User-agent: *\nDisallow: /\n"
         assert robots_allowed(rules, "https://h.gov/") is False
         assert robots_allowed(rules, "https://h.gov/any") is False
+
+
+class TestDates:
+    def test_parse_dates_safely(self):
+        from searchgov_spider_spark.kernels.dates import parse_dates_safely
+
+        assert parse_dates_safely("2024-01-03") == "2024-01-03T00:00:00"
+        assert parse_dates_safely(None, "", "Jan 3, 2024 10:30") == "2024-01-03T10:30:00"
+        assert parse_dates_safely("not a date at all zzz qq") is None
+        assert parse_dates_safely() is None
+        import datetime as dt
+
+        assert parse_dates_safely(dt.datetime(2023, 5, 6, 7, 8, 9)) == "2023-05-06T07:08:09"
+        # first parsable wins
+        assert parse_dates_safely("", "2020-02-02", "2021-03-03") == "2020-02-02T00:00:00"
+
+    def test_parse_exif_date(self):
+        import datetime as dt
+
+        from searchgov_spider_spark.kernels.dates import parse_exif_date
+
+        assert parse_exif_date("D:20150113143419Z00'00'") == dt.datetime(2015, 1, 13, 14, 34, 19)
+        assert parse_exif_date("D:20191018122555-04'00'") == dt.datetime(2019, 10, 18, 12, 25, 55)
+        assert parse_exif_date("D:20191018162538") == dt.datetime(2019, 10, 18, 16, 25, 38)
+        assert parse_exif_date("D:20191018122555-04'00'", apply_tz_offset=True) == dt.datetime(
+            2019, 10, 18, 12, 25, 55,
+            tzinfo=dt.timezone(dt.timedelta(hours=-4)),
+        )
+        assert parse_exif_date("D:2019") is None            # malformed numeric
+        assert parse_exif_date("D:20191301000000") is None  # month 13 -> ValueError
+        assert parse_exif_date(42) == 42                    # non-string passthrough
+        assert parse_exif_date("Some Title") == "Some Title"  # sanitized string
+
+    def test_charset_sniffing(self):
+        from searchgov_spider_spark.kernels.textproc import decode_bytes, sniff_charset
+
+        # BOMs
+        assert decode_bytes("héllo".encode("utf-16")) == "héllo"          # BOM'd utf-16
+        assert sniff_charset("x".encode("utf-16-le")) is None             # no BOM
+        # meta charset declaration wins over latin-1 fallback
+        cp1252 = '<html><head><meta charset="cp1252"></head><body>’quote’</body></html>'.encode("cp1252")
+        assert "’" in decode_bytes(cp1252)
+        # declared-but-wrong charset falls through to latin-1
+        bad = b'<meta charset="utf-8">caf\xe9'
+        assert decode_bytes(bad) == bad.decode("latin-1")
+        # unknown codec name ignored
+        assert sniff_charset(b'<meta charset="notacodec">\xff') is None

@@ -102,3 +102,43 @@ class TestEmbeddingNearDup:
         # unrelated random vectors in 16-d rarely reach cosine 0.95
         false_pairs = [p for p in pairs if not (p[1] - p[0] == 100)]
         assert len(false_pairs) <= 2
+
+
+class TestSitemapDiscovery:
+    """4-method discovery (S8): Spark flow vs pure-Python kernel oracle."""
+
+    def test_flow_matches_kernel(self, spark):
+        from searchgov_spider_spark import flows
+        from searchgov_spider_spark.kernels.sitemapxml import find_sitemaps
+        from searchgov_spider_spark.synth import webgen
+
+        bases, res = webgen.sitemap_discovery_fixture(8)
+        bases_df = spark.createDataFrame([(b,) for b in bases], "base_url string")
+        res_df = spark.createDataFrame(
+            [(u, s, c, b) for u, (s, c, b) in sorted(res.items())],
+            "url string, status_code int, content_type string, body string",
+        )
+        got = {
+            (r["base_url"], r["sitemap_url"])
+            for r in flows.discover_sitemaps(spark, bases_df, res_df).collect()
+        }
+        expected = {(b, sm) for b in bases for sm in find_sitemaps(b, res)}
+        assert got == expected
+        assert len(expected) > 10
+
+    def test_each_method_contributes(self):
+        from searchgov_spider_spark.kernels.sitemapxml import find_sitemaps
+        from searchgov_spider_spark.synth import webgen
+
+        bases, res = webgen.sitemap_discovery_fixture(8)
+        all_found = {sm for b in bases for sm in find_sitemaps(b, res)}
+        assert any(s.endswith("/sitemap.xml") for s in all_found)          # method 1
+        assert any("sm-robots" in s for s in all_found)                    # method 2 (https-fixed)
+        assert all(s.startswith("https://") for s in all_found)
+        assert any("linked-sitemap" in s for s in all_found)               # method 3
+        assert any("data-sitemap" in s for s in all_found)                 # method 4
+        # confirm-rejections: host2's text/html sitemap.xml and plain.xml
+        assert "https://host2.example.gov/sitemap.xml" not in all_found
+        assert not any(s.endswith("/plain.xml") for s in all_found)
+        # relative robots directives are ignored (absolute-only regex)
+        assert not any("relative-sitemap" in s for s in all_found)
