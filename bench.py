@@ -61,6 +61,26 @@ def _sf() -> float:
         return 0.1
 
 
+def _warmup_crawl(spark, n_hosts: int) -> None:
+    """JIT/codegen + Arrow-worker warm-up: a small throwaway crawl so the
+    measured run sees a warm JVM (steady-state engine throughput is the
+    metric; first-job whole-stage-codegen compilation is a per-JVM constant
+    that would otherwise be billed disproportionately to the high-core run)."""
+    from searchgov_spider_spark.crawl import CrawlEngine, CrawlPolicy
+    from searchgov_spider_spark.crawl.fetch import GeneratorFetcher
+
+    robots = spark.createDataFrame(webgen.robots_pandas(min(n_hosts, 8)))
+    policy = CrawlPolicy(allowed_domains=["example.gov"], depth_limit=50)
+    ckpt = tempfile.mkdtemp(prefix="bench_warmup_")
+    engine = CrawlEngine(
+        spark, None, robots, policy, ckpt,
+        fetcher=GeneratorFetcher(2000, min(n_hosts, 8), branch=8),
+        round_seconds=1e7, bloom_shards=4, bloom_bits=1 << 16,
+    )
+    engine.run([webgen.page_url(h, 0) for h in range(min(n_hosts, 8))], max_rounds=16)
+    shutil.rmtree(ckpt, ignore_errors=True)
+
+
 def crawl_bench(cores: int, n_pages: int, n_hosts: int, branch: int = 8, shuffle_partitions: int = 32) -> dict:
     """One full crawl at local[cores]; returns urls/s and wall seconds."""
     from searchgov_spider_spark.crawl import CrawlEngine, CrawlPolicy
@@ -73,6 +93,7 @@ def crawl_bench(cores: int, n_pages: int, n_hosts: int, branch: int = 8, shuffle
     try:
         from searchgov_spider_spark.crawl.fetch import GeneratorFetcher
 
+        _warmup_crawl(spark, n_hosts)
         robots = spark.createDataFrame(webgen.robots_pandas(n_hosts))
         gen_s = 0.0
         policy = CrawlPolicy(allowed_domains=["example.gov"], depth_limit=50)
@@ -92,6 +113,12 @@ def crawl_bench(cores: int, n_pages: int, n_hosts: int, branch: int = 8, shuffle
         fetched = run.total_fetched()
         deduped = sum(m.get("admitted", 0) for m in run.metrics)
         shutil.rmtree(ckpt, ignore_errors=True)
+        # deep rounds = the crawl's steady state (>= 10% of fetched pages each);
+        # their rate is the number that holds as the frontier grows without
+        # bound, reported alongside the whole-crawl rate
+        deep = [m for m in run.metrics if m.get("selected", 0) >= max(1, fetched // 10)]
+        deep_wall = sum(m["round_wall_s"] for m in deep)
+        deep_fetched = sum(m.get("fetched", 0) for m in deep)
         return {
             "cores": cores,
             "wall_s": round(wall, 2),
@@ -100,6 +127,8 @@ def crawl_bench(cores: int, n_pages: int, n_hosts: int, branch: int = 8, shuffle
             "admitted": deduped,
             "rounds": run.rounds,
             "urls_per_sec": round(fetched / wall, 2) if wall > 0 else 0.0,
+            "deep_urls_per_sec": round(deep_fetched / deep_wall, 2) if deep_wall > 0 else 0.0,
+            "deep_rounds": len(deep),
             "round_walls": [m["round_wall_s"] for m in run.metrics],
         }
     finally:
@@ -147,7 +176,11 @@ def main() -> None:
         lo_cores, hi_cores = 2, 8
         hi = crawl_bench(hi_cores, scale_pages, scale_hosts)
         lo = crawl_bench(lo_cores, scale_pages, scale_hosts)
-        eff = (hi["urls_per_sec"] / lo["urls_per_sec"]) / (hi_cores / lo_cores) if lo["urls_per_sec"] else 0.0
+        ratio = hi_cores / lo_cores
+        eff = (hi["urls_per_sec"] / lo["urls_per_sec"]) / ratio if lo["urls_per_sec"] else 0.0
+        deep_eff = (
+            (hi["deep_urls_per_sec"] / lo["deep_urls_per_sec"]) / ratio if lo["deep_urls_per_sec"] else 0.0
+        )
         extras["crawl"][f"scaling_local{lo_cores}"] = lo
         extras["crawl"][f"scaling_local{hi_cores}"] = hi
         extras["scaling"] = {
@@ -157,6 +190,9 @@ def main() -> None:
             "urls_per_sec_low": lo["urls_per_sec"],
             "urls_per_sec_high": hi["urls_per_sec"],
             "efficiency": round(eff, 3),
+            "deep_urls_per_sec_low": lo["deep_urls_per_sec"],
+            "deep_urls_per_sec_high": hi["deep_urls_per_sec"],
+            "deep_round_efficiency": round(deep_eff, 3),
         }
 
     total = round(time.monotonic() - total_t0, 2)

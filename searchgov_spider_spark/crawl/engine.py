@@ -98,6 +98,7 @@ class CrawlEngine:
         self.bloom_bits = bloom_bits
         self.bloom_min_seen = bloom_min_seen
         self._bloom_built = False
+        self._live_observations: list[Observation] = []
         self.hot_host_threshold = hot_host_threshold
         self.fetch_partitions = fetch_partitions or max(32, spark.sparkContext.defaultParallelism)
         self.robots = robots.persist() if robots is not None else None
@@ -178,6 +179,11 @@ class CrawlEngine:
         cores = self.spark.sparkContext.defaultParallelism
         parts = min(self.fetch_partitions, max(cores, (frontier_hint // 2000) + 1))
         obs_sel = Observation()
+        # Observations are registered with weak references in the JVM
+        # AccumulatorContext; keep them alive for the engine's lifetime so a
+        # straggling task-completion event after the round returns can't hit
+        # a collected accumulator (DAGScheduler.updateAccumulators ERROR).
+        self._live_observations.append(obs_sel)
         batch = selected.observe(obs_sel, F.count(F.lit(1)).alias("n")).repartition(
             parts, F.col("url_hash")
         )
@@ -187,24 +193,51 @@ class CrawlEngine:
             found.withColumn("doc", udfs.extract_doc_links(F.col("html"), F.col("url_canon"), F.col("lang")))
             .select(
                 "url_canon", "url_hash", "host", "depth", "seq", "source_url",
+                F.length(F.col("html")).alias("download_bytes"),
                 "doc", F.col("doc.links").alias("links"),
             )
             .persist()
         )
-        documents = extracted.select(
+        # full reference document schema (indexing/transform.py:20-101):
+        # created_at/updated_at use null instead of the reference's wall-clock
+        # fallback (X18 nondeterminism exclusion); download_milliseconds and
+        # creator are runtime placeholders upstream too.
+        parts = udfs.url_doc_parts(F.col("url_canon"))
+        documents = extracted.withColumn("_p", parts).select(
             udfs.doc_id(F.col("url_canon")).alias("id"),
             F.col("url_canon").alias("url"),
+            F.col("url_canon").alias("path"),
             F.col("source_url"),
-            udfs.domain_name(F.col("url_canon")).alias("domain_name"),
+            F.col("_p.domain_name").alias("domain_name"),
+            F.col("_p.basename").alias("basename"),
+            F.nullif(F.col("_p.extension"), F.lit("")).alias("extension"),
+            F.col("_p.url_path").alias("url_path"),
             F.col("depth").alias("crawl_depth"),
             F.col("seq"),
             F.col("doc.title").alias("title"),
             F.col("doc.description").alias("description"),
             F.col("doc.keywords").alias("keywords"),
+            F.col("doc.keywords").alias("tags"),
             F.col("doc.language").alias("language"),
             F.col("doc.content").alias("content"),
+            F.nullif(F.col("doc.audience"), F.lit("")).alias("audience"),
+            F.nullif(F.col("doc.thumbnail_url"), F.lit("")).alias("thumbnail_url"),
+            udfs.parse_dates(F.col("doc.created_raw")).alias("created_at"),
+            udfs.parse_dates(F.col("doc.changed_raw")).alias("changed"),
+            udfs.parse_dates(F.col("doc.created_raw")).alias("updated"),
+            F.lit("text/html").alias("mime_type"),
+            F.lit("article").alias("content_type"),
+            F.lit(None).cast("long").alias("dap_domain_visits_count"),
+            F.struct(
+                F.col("depth").alias("crawl_depth"),
+                F.lit(None).cast("string").alias("creator"),
+                F.col("download_bytes").alias("download_bytes"),
+                F.lit(None).cast("long").alias("download_milliseconds"),
+                F.col("source_url").alias("source_url"),
+            ).alias("metadata"),
         )
         obs_docs = Observation()
+        self._live_observations.append(obs_docs)
         self.store.write_table(documents.observe(obs_docs, F.count(F.lit(1)).alias("n")), rnd, "documents")
         n_docs = int(obs_docs.get["n"])
         n_selected = int(obs_sel.get["n"])
@@ -264,6 +297,7 @@ class CrawlEngine:
         # state transition + checkpoint.  Fast path: everything in the
         # frontier was selected, so the next frontier is just the new admits.
         obs_adm = Observation()
+        self._live_observations.append(obs_adm)
         admits_obs = new_admits.observe(obs_adm, F.count(F.lit(1)).alias("n")).select(*FRONTIER_COLS)
         if budget_binds:
             frontier_next = (
@@ -274,6 +308,7 @@ class CrawlEngine:
         else:
             frontier_next = admits_obs
         obs_frontier = Observation()
+        self._live_observations.append(obs_frontier)
         self.store.write_table(
             frontier_next.observe(obs_frontier, F.count(F.lit(1)).alias("n")), rnd, "frontier"
         )
@@ -328,6 +363,7 @@ class CrawlEngine:
     def run(self, start_urls: list[str], max_rounds: int = 1000, resume: bool = False) -> CrawlRun:
         spark = self.spark
         run = CrawlRun(checkpoint=self.store)
+        self._live_observations: list[Observation] = []
 
         last = self.store.last_committed() if resume else None
         if last is not None:

@@ -73,6 +73,40 @@ def url_join(base: pd.Series, rel: pd.Series) -> pd.Series:
     return pd.Series([sitemapxml.join_base(b or "", r or "") for b, r in zip(base, rel)])
 
 
+URL_PARTS_STRUCT = T.StructType(
+    [
+        T.StructField("basename", T.StringType()),
+        T.StructField("extension", T.StringType()),
+        T.StructField("url_path", T.StringType()),
+        T.StructField("domain_name", T.StringType()),
+    ]
+)
+
+
+@pandas_udf(URL_PARTS_STRUCT)
+def url_doc_parts(urls: pd.Series) -> pd.DataFrame:
+    """Document-schema URL fields in one Arrow round (indexing/helpers.py
+    get_base_extension/get_url_path/get_domain_name; extension '' -> None
+    happens at the caller per transform.py:96)."""
+    rows = []
+    for u in urls:
+        if not u:
+            rows.append(("", "", "", ""))
+            continue
+        stem, suffix, _name = urlnorm.url_base_extension(u)
+        rows.append((stem, suffix, urlnorm.url_path(u), urlnorm.domain_name(u)))
+    return pd.DataFrame(rows, columns=["basename", "extension", "url_path", "domain_name"])
+
+
+@pandas_udf(T.StringType())
+def parse_dates(raw: pd.Series) -> pd.Series:
+    """dateutil fuzzy parse -> ISO string, unparsable -> null (X7,
+    indexing/helpers.py:36-65 parse_dates_safely)."""
+    from ..kernels import dates
+
+    return pd.Series([dates.parse_dates_safely(v) if v else None for v in raw], dtype=object)
+
+
 # --- extraction --------------------------------------------------------------
 
 DOC_STRUCT = T.StructType(
@@ -82,8 +116,15 @@ DOC_STRUCT = T.StructType(
         T.StructField("keywords", T.StringType()),
         T.StructField("language", T.StringType()),
         T.StructField("content", T.StringType()),
+        T.StructField("audience", T.StringType()),
+        T.StructField("created_raw", T.StringType()),
+        T.StructField("changed_raw", T.StringType()),
+        T.StructField("thumbnail_url", T.StringType()),
     ]
 )
+
+_DOC_FIELDS = ("title", "description", "keywords", "language", "content",
+               "audience", "created_raw", "changed_raw", "thumbnail_url")
 
 # doc + links in one parse (the engine's hot path: avoids parsing the HTML twice)
 DOC_LINKS_STRUCT = T.StructType(
@@ -107,11 +148,11 @@ def extract_doc(html: pd.Series, url: pd.Series, lang_hint: pd.Series) -> pd.Dat
     rows = []
     for body, u, lh in zip(html, url, lang_hint):
         if body is None:
-            rows.append(("", "", "", "", ""))
+            rows.append(("",) * len(_DOC_FIELDS))
             continue
         doc = htmlx.extract_html_doc(textproc.decode_bytes(bytes(body)), u or "", lh or "")
-        rows.append((doc.title, doc.description, doc.keywords, doc.language, doc.content))
-    return pd.DataFrame(rows, columns=["title", "description", "keywords", "language", "content"])
+        rows.append(tuple(getattr(doc, f) for f in _DOC_FIELDS))
+    return pd.DataFrame(rows, columns=list(_DOC_FIELDS))
 
 
 @pandas_udf(DOC_LINKS_STRUCT)
@@ -119,13 +160,11 @@ def extract_doc_links(html: pd.Series, url: pd.Series, lang_hint: pd.Series) -> 
     rows = []
     for body, u, lh in zip(html, url, lang_hint):
         if body is None:
-            rows.append(("", "", "", "", "", []))
+            rows.append(("",) * len(_DOC_FIELDS) + ([],))
             continue
         doc = htmlx.extract_html_doc(textproc.decode_bytes(bytes(body)), u or "", lh or "")
-        rows.append((doc.title, doc.description, doc.keywords, doc.language, doc.content, doc.links))
-    return pd.DataFrame(
-        rows, columns=["title", "description", "keywords", "language", "content", "links"]
-    )
+        rows.append(tuple(getattr(doc, f) for f in _DOC_FIELDS) + (doc.links,))
+    return pd.DataFrame(rows, columns=[*_DOC_FIELDS, "links"])
 
 
 @pandas_udf(T.StringType())
@@ -138,33 +177,37 @@ def extract_text(html: pd.Series, url: pd.Series) -> pd.Series:
 
 # --- PDF (X4/X15; minimal-subset kernel, see kernels/pdfx.py) -----------------
 
+_PDF_FIELDS = ("title", "description", "content", "links", "created_at", "changed", "updated")
+
 PDF_STRUCT = T.StructType(
     [
         T.StructField("title", T.StringType()),
+        T.StructField("description", T.StringType()),
         T.StructField("content", T.StringType()),
         T.StructField("links", T.ArrayType(T.StringType())),
+        T.StructField("created_at", T.StringType()),
+        T.StructField("changed", T.StringType()),
+        T.StructField("updated", T.StringType()),
     ]
 )
 
 
 @pandas_udf(PDF_STRUCT)
 def extract_pdf_doc(body: pd.Series, url: pd.Series) -> pd.DataFrame:
-    """PDF -> (title, content, links).  Title = filename words
-    (separate_filename, X10); content = title + filename + text prepend
-    (transform.py:104-117,153-164, X15); links = annots ∪ text urls (U4)."""
-    from ..kernels import pdfx, urlnorm
+    """PDF -> document fields via the single-node kernel
+    (kernels.pdfx.convert_pdf; reference transform.py:120-195): title from
+    /Info metadata or filename, title+filename content/description prepend
+    (X15), annots ∪ text-url links (U4), exif-parsed dates (X7)."""
+    from ..kernels import pdfx
 
     rows = []
     for b, u in zip(body, url):
         if b is None:
-            rows.append(("", "", []))
+            rows.append(("", "", "", [], None, None, None))
             continue
-        doc = pdfx.extract_pdf_text(bytes(b))
-        stem, _, name = urlnorm.url_base_extension(u or "")
-        title = urlnorm.separate_filename(name) if name else ""
-        content = " ".join(x for x in (title, name, doc.text) if x)
-        rows.append((title, content, doc.links))
-    return pd.DataFrame(rows, columns=["title", "content", "links"])
+        doc = pdfx.convert_pdf(bytes(b), u or "")
+        rows.append(tuple(doc[f] for f in _PDF_FIELDS))
+    return pd.DataFrame(rows, columns=list(_PDF_FIELDS))
 
 
 # --- sitemaps ----------------------------------------------------------------

@@ -165,6 +165,11 @@ class ExtractedDoc:
     top_keywords: str = ""
     og_title: str = ""
     og_description: str = ""
+    # document-schema fields (parse.py:63-104 meta_tags surface)
+    audience: str = ""
+    created_raw: str = ""      # meta date || meta revised (parse.py:101)
+    changed_raw: str = ""      # meta revised (parse.py:102)
+    thumbnail_url: str = ""    # og:image (parse.py:103)
     links: list[str] = field(default_factory=list)
 
 
@@ -214,6 +219,10 @@ def extract_html_doc(html: str, url: str = "", lang_hint: str = "") -> Extracted
         top_keywords=top_kw,
         og_title=og_title,
         og_description=og_desc,
+        audience=sanitize_text(parser.meta.get("audience", "")),
+        created_raw=sanitize_text(parser.meta.get("date", "") or parser.meta.get("revised", "")),
+        changed_raw=sanitize_text(parser.meta.get("revised", "")),
+        thumbnail_url=sanitize_text(parser.og.get("image", "")),
         links=extract_links(html, url) if url else extract_links(html, "http://localhost/"),
     )
 

@@ -85,7 +85,69 @@ def extract_pdf_text(body: bytes) -> PdfDoc:
     return out
 
 
-def make_simple_pdf(text_lines: list[str], annot_uris: list[str] | None = None, compress: bool = True) -> bytes:
+_INFO_REF_RE = re.compile(rb"/Info\s+(\d+)\s+0\s+R")
+_INFO_KV_RE = re.compile(rb"/(\w+)\s*\(((?:[^()\\]|\\.)*)\)")
+
+
+def extract_pdf_meta(body: bytes) -> dict[str, str]:
+    """Raw /Info dictionary literal-string entries (Title, CreationDate,
+    ModDate, ...).  The reference reads reader.metadata and exif-parses each
+    value (parse.py:128-151 get_pdf_meta); exif parsing happens in
+    kernels.dates.clean_pdf_metadata so this stays a pure byte scanner."""
+    m = _INFO_REF_RE.search(body)
+    if not m:
+        return {}
+    obj_re = re.compile(rb"(?<![0-9])" + m.group(1) + rb"\s+0\s+obj\s*<<(.*?)>>", re.DOTALL)
+    obj = obj_re.search(body)
+    if not obj:
+        return {}
+    return {k.decode("latin-1"): _unescape(v) for k, v in _INFO_KV_RE.findall(obj.group(1))}
+
+
+def convert_pdf(body: bytes, url: str) -> dict:
+    """Single-node PDF -> document-field conversion (the kernel under the
+    extract_pdf_doc UDF), mirroring reference transform.py:120-195 convert_pdf:
+
+      title   = meta Title or filename stem (get_title_from_filename)
+      content = title_separated + filename + text + links, sanitized
+      description = title_separated + filename + summary(content)
+      created_at = CreationDate; changed = ModDate or SourceModified;
+      updated = CreationDate (all exif-parsed then ISO-formatted; the
+      reference's wall-clock created_at fallback is omitted per the X18
+      nondeterminism rule)
+    """
+    from . import urlnorm
+    from .dates import clean_pdf_metadata, parse_dates_safely
+    from .textproc import sanitize_text, summarize_text
+
+    doc = extract_pdf_text(body)
+    meta = clean_pdf_metadata(extract_pdf_meta(body))
+    stem, _suffix, filename = urlnorm.url_base_extension(url or "")
+    title = meta.get("Title") or (urlnorm.get_title_from_filename(filename) if filename else "")
+    title_separated = meta.get("Title") or (urlnorm.separate_filename(filename) if filename else "")
+    main_content = doc.text or title_separated
+    summary, _kw = summarize_text(main_content, "en")
+    content = " ".join(
+        x for x in (title_separated, filename, f"{sanitize_text(main_content)} {' '.join(doc.links)}".strip()) if x
+    )
+    description = " ".join(x for x in (title_separated, filename, sanitize_text(summary)) if x)
+    return {
+        "title": title,
+        "description": description,
+        "content": content,
+        "links": doc.links,
+        "created_at": parse_dates_safely(meta.get("CreationDate")),
+        "changed": parse_dates_safely(meta.get("ModDate"), meta.get("SourceModified")),
+        "updated": parse_dates_safely(meta.get("CreationDate")),
+    }
+
+
+def make_simple_pdf(
+    text_lines: list[str],
+    annot_uris: list[str] | None = None,
+    compress: bool = True,
+    info: dict[str, str] | None = None,
+) -> bytes:
     """Deterministic single-page PDF builder for fixtures (valid enough for
     this parser and for visual inspection; classic xref layout)."""
 
@@ -119,12 +181,18 @@ def make_simple_pdf(text_lines: list[str], annot_uris: list[str] | None = None, 
         b"4 0 obj\n<< " + filt + f"/Length {len(stream)} >>\nstream\n".encode() + stream + b"\nendstream\nendobj\n",
         *annot_objs,
     ]
+    info_ref = b""
+    if info:
+        info_n = 5 + len(annot_objs)
+        kv = " ".join(f"/{k} ({esc(str(v))})" for k, v in sorted(info.items()))
+        objs.append(f"{info_n} 0 obj\n<< {kv} >>\nendobj\n".encode("latin-1"))
+        info_ref = f" /Info {info_n} 0 R".encode()
     header = b"%PDF-1.4\n"
     body = b"".join(objs)
     xref_pos = len(header) + len(body)
     trailer = (
         f"xref\n0 {len(objs) + 1}\n".encode()
         + b"0000000000 65535 f \n" * (len(objs) + 1)
-        + f"trailer\n<< /Size {len(objs) + 1} /Root 1 0 R >>\nstartxref\n{xref_pos}\n%%EOF\n".encode()
+        + f"trailer\n<< /Size {len(objs) + 1} /Root 1 0 R{info_ref.decode()} >>\nstartxref\n{xref_pos}\n%%EOF\n".encode()
     )
     return header + body + trailer

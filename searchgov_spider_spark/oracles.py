@@ -387,25 +387,20 @@ def q33_sitemap_expand() -> str:
 
 
 def q36_pdf_extraction(n: int = 64) -> str:
-    """Single-node pdfx kernel run over the same deterministic fixtures."""
-    from .kernels import pdfx, urlnorm
+    """Single-node pdfx.convert_pdf run over the same deterministic fixtures
+    (the distributed side adds only the Arrow/struct plumbing)."""
+    from .kernels import pdfx
+    from .queries import _pdf_fixture
 
     rows = []
     for i in range(n):
-        url = f"https://host0.example.gov/docs/AnnualReport{i}.pdf"
-        pdf = pdfx.make_simple_pdf(
-            [f"Annual report number {i}.", f"See https://host0.example.gov/ref{i} for data."],
-            annot_uris=[f"https://host0.example.gov/annot{i}"],
-            compress=(i % 2 == 0),
-        )
-        doc = pdfx.extract_pdf_text(pdf)
-        stem, _, name = urlnorm.url_base_extension(url)
-        title = urlnorm.separate_filename(name) if name else ""
-        content = " ".join(x for x in (title, name, doc.text) if x)
-        rows.append((url, title, content, len(doc.links)))
+        url, pdf = _pdf_fixture(i)
+        doc = pdfx.convert_pdf(pdf, url)
+        rows.append((url, doc["title"], doc["content"], len(doc["links"]), doc["created_at"], doc["changed"]))
     return _values(
         rows,
-        [("url", "VARCHAR"), ("title", "VARCHAR"), ("content", "VARCHAR"), ("n_links", "INTEGER")],
+        [("url", "VARCHAR"), ("title", "VARCHAR"), ("content", "VARCHAR"),
+         ("n_links", "INTEGER"), ("created_at", "VARCHAR"), ("changed", "VARCHAR")],
     )
 
 

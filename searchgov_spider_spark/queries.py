@@ -491,19 +491,32 @@ def q34_embedding_near_dup(spark, sf_dir):
     )
 
 
-def q36_pdf_extraction(spark, sf_dir):
-    """PDF text+link extraction (X4/X15/U4) over deterministic fixture PDFs."""
+def _pdf_fixture(i: int) -> tuple[str, bytes]:
+    """Deterministic PDF fixture i: half compressed, every 4th carries an
+    /Info dict (Title + exif dates) — shared with the q36 oracle builder."""
     from .kernels import pdfx
 
-    rows = []
-    for i in range(64):
-        url = f"https://host0.example.gov/docs/AnnualReport{i}.pdf"
-        pdf = pdfx.make_simple_pdf(
-            [f"Annual report number {i}.", f"See https://host0.example.gov/ref{i} for data."],
-            annot_uris=[f"https://host0.example.gov/annot{i}"],
-            compress=(i % 2 == 0),
-        )
-        rows.append((url, bytearray(pdf)))
+    url = f"https://host0.example.gov/docs/AnnualReport{i}.pdf"
+    info = None
+    if i % 4 == 0:
+        info = {
+            "Title": f"FY{2000 + i} Annual Report",
+            "CreationDate": f"D:2024011{i % 10}120000Z00'00'",
+            "ModDate": f"D:2024021{i % 10}080000-04'00'",
+        }
+    pdf = pdfx.make_simple_pdf(
+        [f"Annual report number {i}.", f"See https://host0.example.gov/ref{i} for data."],
+        annot_uris=[f"https://host0.example.gov/annot{i}"],
+        compress=(i % 2 == 0),
+        info=info,
+    )
+    return url, pdf
+
+
+def q36_pdf_extraction(spark, sf_dir):
+    """PDF extraction (X4/X15/U4/X7): text, links, /Info metadata title and
+    exif dates over deterministic fixture PDFs."""
+    rows = [(u, bytearray(p)) for u, p in (_pdf_fixture(i) for i in range(64))]
     df = spark.createDataFrame(rows, "url string, body binary")
     out = df.withColumn("doc", udfs.extract_pdf_doc(F.col("body"), F.col("url")))
     return out.select(
@@ -511,6 +524,8 @@ def q36_pdf_extraction(spark, sf_dir):
         F.col("doc.title").alias("title"),
         F.col("doc.content").alias("content"),
         F.size("doc.links").alias("n_links"),
+        F.col("doc.created_at").alias("created_at"),
+        F.col("doc.changed").alias("changed"),
     )
 
 

@@ -244,3 +244,42 @@ def test_seed_with_query_string_is_crawled(spark, tmp_path):
     assert fetched == oracle.fetched
     assert canonicalize_url(seed) in fetched
     assert not any(u.endswith("/b?x=1") for u in fetched)
+
+
+def test_document_schema_fields(spark, tmp_path):
+    """Full reference document schema (indexing/transform.py:20-101): url
+    parts, tags, meta-tag dates, metadata struct."""
+    html = (
+        '<html lang="en"><head><title>Schema Page</title>'
+        '<meta name="description" content="A page.">'
+        '<meta name="keywords" content="alpha, beta">'
+        '<meta name="audience" content="everyone">'
+        '<meta name="date" content="2024-03-04">'
+        '<meta name="revised" content="March 6, 2024 10:00">'
+        '<meta property="og:image" content="https://schema.gov/thumb.png">'
+        '</head><body><p>Body text here for the schema test page.</p></body></html>'
+    )
+    pages = {"https://schema.gov/reports/Annual2024.html": html}
+    policy = CrawlPolicy(allowed_domains=["schema.gov"], depth_limit=2)
+    engine = CrawlEngine(
+        spark, _custom_web_df(spark, pages), None, policy, str(tmp_path / "schema"),
+        bloom_shards=4, bloom_bits=1 << 14,
+    )
+    run = engine.run(["https://schema.gov/reports/Annual2024.html"], max_rounds=4)
+    [doc] = run.documents(spark).collect()
+    assert doc["path"] == doc["url"] == "https://schema.gov/reports/Annual2024.html"
+    assert doc["basename"] == "Annual2024" and doc["extension"] == "html"
+    assert doc["url_path"] == "/reports/Annual2024.html"
+    assert doc["domain_name"] == "schema.gov"
+    assert doc["tags"] == "alpha, beta"
+    assert doc["audience"] == "everyone"
+    assert doc["thumbnail_url"] == "https://schema.gov/thumb.png"
+    assert doc["created_at"] == "2024-03-04T00:00:00"   # meta date (X7)
+    assert doc["changed"] == "2024-03-06T10:00:00"      # meta revised
+    assert doc["updated"] == "2024-03-04T00:00:00"
+    assert doc["mime_type"] == "text/html" and doc["content_type"] == "article"
+    assert doc["dap_domain_visits_count"] is None
+    meta = doc["metadata"]
+    assert meta["crawl_depth"] == 0 and meta["source_url"] == ""
+    assert meta["download_bytes"] == len(html.encode())
+    assert meta["creator"] is None and meta["download_milliseconds"] is None

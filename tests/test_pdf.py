@@ -47,3 +47,48 @@ class TestPdfKernel:
             + b"\nendstream\nendobj\n%%EOF"
         )
         assert pdfx.extract_pdf_text(pdf).text == "Hello World"
+
+
+class TestPdfMetadata:
+    def test_info_dict_roundtrip(self):
+        from searchgov_spider_spark.kernels import pdfx
+
+        pdf = pdfx.make_simple_pdf(
+            ["Body text."],
+            info={"Title": "My (Report)", "CreationDate": "D:20240115120000Z00'00'",
+                  "ModDate": "D:20240216080000-04'00'"},
+        )
+        meta = pdfx.extract_pdf_meta(pdf)
+        assert meta["Title"] == "My (Report)"
+        assert meta["CreationDate"].startswith("D:20240115")
+
+    def test_convert_pdf_fields(self):
+        from searchgov_spider_spark.kernels import pdfx
+
+        url = "https://h.gov/files/BudgetSummary2024.pdf"
+        pdf = pdfx.make_simple_pdf(
+            ["Spending rose.", "See https://h.gov/data for tables."],
+            annot_uris=["https://h.gov/annot"],
+            info={"Title": "Budget Summary", "CreationDate": "D:20240101090000",
+                  "SourceModified": "D:20240301100000"},
+        )
+        doc = pdfx.convert_pdf(pdf, url)
+        assert doc["title"] == "Budget Summary"
+        # content prepend: title_separated + filename + text + links (X15)
+        assert doc["content"].startswith("Budget Summary BudgetSummary2024.pdf Spending rose.")
+        assert "https://h.gov/annot" in doc["content"]
+        assert doc["created_at"] == "2024-01-01T09:00:00"
+        assert doc["changed"] == "2024-03-01T10:00:00"  # ModDate missing -> SourceModified
+        assert doc["updated"] == "2024-01-01T09:00:00"
+
+    def test_convert_pdf_filename_fallback(self):
+        from searchgov_spider_spark.kernels import pdfx
+
+        url = "https://h.gov/files/AnnualReport2024.pdf"
+        pdf = pdfx.make_simple_pdf(["Text."])
+        doc = pdfx.convert_pdf(pdf, url)
+        # title = filename stem (get_title_from_filename), content prepend
+        # uses the SEPARATED words (transform.py:140-142)
+        assert doc["title"] == "AnnualReport2024"
+        assert doc["content"].startswith("Annual Report 2024 AnnualReport2024.pdf Text.")
+        assert doc["created_at"] is None and doc["changed"] is None
