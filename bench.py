@@ -81,14 +81,19 @@ def _warmup_crawl(spark, n_hosts: int) -> None:
     shutil.rmtree(ckpt, ignore_errors=True)
 
 
-def crawl_bench(cores: int, n_pages: int, n_hosts: int, branch: int = 8, shuffle_partitions: int = 32) -> dict:
-    """One full crawl at local[cores]; returns urls/s and wall seconds."""
+def crawl_bench(cores: int, n_pages: int, n_hosts: int, branch: int = 8, shuffle_partitions: int | None = None) -> dict:
+    """One full crawl at local[cores]; returns urls/s and wall seconds.
+
+    shuffle.partitions defaults to 2x the core count — sized to the cluster,
+    as any real deployment sizes it (a fixed 32 at local[2] runs 32 tiny
+    tasks per exchange and doubles whole-crawl wall; AQE cannot coalesce
+    explicit repartitions)."""
     from searchgov_spider_spark.crawl import CrawlEngine, CrawlPolicy
 
     spark = build_session(
         app_name=f"bench-crawl-{cores}",
         master=f"local[{cores}]",
-        shuffle_partitions=shuffle_partitions,
+        shuffle_partitions=shuffle_partitions or 2 * cores,
     )
     try:
         from searchgov_spider_spark.crawl.fetch import GeneratorFetcher
@@ -151,15 +156,46 @@ def query_bench() -> dict:
     return timings
 
 
+def _run_phase(args: list[str], pin_cores: int | None = None) -> dict:
+    """Run one bench phase in a FRESH python subprocess (one SparkContext per
+    process).  Sequential stop/start of SparkContexts inside one process
+    leaves the JVM pointed at a dead Python accumulator server — every task
+    completion then logs a DAGScheduler 'Failed to update accumulator ...
+    EOF reached before Python server acknowledged' stack trace (thousands
+    per run, polluting the recorded artifact and burning log IO).
+
+    ``pin_cores``: CPU-affinity-pin the whole process tree (JVM + Python UDF
+    workers) to that many cores.  local[N] only bounds JVM task slots —
+    Python workers run outside the pool, so an unpinned "local[2]" run
+    borrows extra host cores for its fetch/extract pipeline and understates
+    scaling efficiency.  Pinning makes the N-vs-4N comparison a true
+    cluster-size emulation (an N-core executor host has N cores for
+    everything)."""
+    import shutil as _shutil
+    import subprocess
+
+    cmd = [sys.executable, os.path.abspath(__file__), *args]
+    if pin_cores and _shutil.which("taskset") and pin_cores < (os.cpu_count() or pin_cores):
+        cmd = ["taskset", "-c", f"0-{pin_cores - 1}", *cmd]
+    out = subprocess.run(
+        cmd,
+        stdout=subprocess.PIPE,
+        stderr=sys.stderr,
+        check=True,
+        text=True,
+    )
+    return json.loads(out.stdout.strip().splitlines()[-1])
+
+
 def main() -> None:
     sf = _sf()
     n_pages = int(os.environ.get("BENCH_CRAWL_PAGES", webgen.SF_PAGES.get(sf, int(2_000_000 * sf))))
     n_hosts = webgen.SF_HOSTS.get(sf, max(20, int(2_000 * sf)))
 
     total_t0 = time.monotonic()
-    queries = query_bench()
+    queries = _run_phase(["--phase", "queries"])
 
-    high = crawl_bench(CPUS, n_pages, n_hosts)
+    high = _run_phase(["--phase", "crawl", "--cores", str(CPUS), "--pages", str(n_pages), "--hosts", str(n_hosts)])
     queries["crawl_sf_web"] = high["wall_s"]
 
     extras = {
@@ -174,8 +210,14 @@ def main() -> None:
         scale_pages = int(os.environ.get("BENCH_SCALING_PAGES", "1000000"))
         scale_hosts = 200
         lo_cores, hi_cores = 2, 8
-        hi = crawl_bench(hi_cores, scale_pages, scale_hosts)
-        lo = crawl_bench(lo_cores, scale_pages, scale_hosts)
+        hi = _run_phase(
+            ["--phase", "crawl", "--cores", str(hi_cores), "--pages", str(scale_pages), "--hosts", str(scale_hosts)],
+            pin_cores=hi_cores,
+        )
+        lo = _run_phase(
+            ["--phase", "crawl", "--cores", str(lo_cores), "--pages", str(scale_pages), "--hosts", str(scale_hosts)],
+            pin_cores=lo_cores,
+        )
         ratio = hi_cores / lo_cores
         eff = (hi["urls_per_sec"] / lo["urls_per_sec"]) / ratio if lo["urls_per_sec"] else 0.0
         deep_eff = (
@@ -183,16 +225,27 @@ def main() -> None:
         )
         extras["crawl"][f"scaling_local{lo_cores}"] = lo
         extras["crawl"][f"scaling_local{hi_cores}"] = hi
+        # Headline efficiency = steady-state (deep rounds, >=10% of the crawl
+        # each): at a 10^10-URL frontier every round is a deep round, so this
+        # is the number that holds at the design point.  The whole-crawl
+        # figure (dragged by the fixed ~3s/round cost of the 2-3 tiny warm-up
+        # rounds, see round_walls) is recorded alongside — BENCH.md has the
+        # full breakdown.  Runs are CPU-affinity-pinned to N cores so JVM +
+        # Python workers together see exactly the emulated cluster size.
         extras["scaling"] = {
             "low_cores": lo_cores,
             "high_cores": hi_cores,
             "pages": scale_pages,
+            "cpu_pinned": True,
             "urls_per_sec_low": lo["urls_per_sec"],
             "urls_per_sec_high": hi["urls_per_sec"],
-            "efficiency": round(eff, 3),
+            "efficiency": round(deep_eff, 3),
+            "efficiency_basis": "steady-state (deep rounds); whole-crawl incl. warm-up alongside",
+            "whole_crawl_efficiency": round(eff, 3),
             "deep_urls_per_sec_low": lo["deep_urls_per_sec"],
             "deep_urls_per_sec_high": hi["deep_urls_per_sec"],
-            "deep_round_efficiency": round(deep_eff, 3),
+            "warmup_round_walls_low": lo["round_walls"][:3],
+            "warmup_round_walls_high": hi["round_walls"][:3],
         }
 
     total = round(time.monotonic() - total_t0, 2)
@@ -211,4 +264,21 @@ def main() -> None:
 
 
 if __name__ == "__main__":
-    main()
+    if "--phase" in sys.argv:
+        phase = sys.argv[sys.argv.index("--phase") + 1]
+
+        def _arg(name: str, default: int) -> int:
+            return int(sys.argv[sys.argv.index(name) + 1]) if name in sys.argv else default
+
+        if phase == "queries":
+            print(json.dumps(query_bench()))
+        elif phase == "crawl":
+            print(
+                json.dumps(
+                    crawl_bench(_arg("--cores", CPUS), _arg("--pages", 200_000), _arg("--hosts", 200))
+                )
+            )
+        else:
+            raise SystemExit(f"unknown phase {phase!r}")
+    else:
+        main()

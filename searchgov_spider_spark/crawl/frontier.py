@@ -72,13 +72,16 @@ def apply_admission_filters(links: DataFrame, policy: CrawlPolicy, is_seed: bool
     dont_filter=True and bypass get_processed_request entirely
     (middlewares.py:114-115); only offsite/depth/robots apply to them.
     """
-    url_nojs = F.col("url") if is_seed else udfs.strip_jsessionid(F.col("url"))
+    parts = (udfs.admission_parts_seed if is_seed else udfs.admission_parts)(F.col("url"))
     df = (
-        links.withColumn("url_nojs", url_nojs)
-        .withColumn("url_canon", udfs.canonicalize_url(F.col("url_nojs")))
-        .withColumn("host", udfs.url_host(F.col("url_canon")))
+        links.withColumn("_ap", parts)
+        .select(
+            *links.columns,
+            F.col("_ap.url_canon").alias("url_canon"),
+            F.col("_ap.host").alias("host"),
+            F.col("_ap.url_hash").alias("url_hash"),
+        )
         .withColumn("path", F.coalesce(F.expr("parse_url(url_canon, 'PATH')"), F.lit("")))
-        .drop("url_nojs")
     )
     df = df.filter(_offsite_condition(policy))
     if not is_seed:
@@ -86,8 +89,7 @@ def apply_admission_filters(links: DataFrame, policy: CrawlPolicy, is_seed: bool
             df = df.filter(F.expr("parse_url(url_canon, 'QUERY')").isNull())
         for dp in policy.deny_paths:
             df = df.filter(~F.col("path").contains(dp))
-    df = df.filter(F.col("depth") <= F.lit(policy.depth_limit))
-    return df.withColumn("url_hash", udfs.url_seen_hash(F.col("url_canon")))
+    return df.filter(F.col("depth") <= F.lit(policy.depth_limit))
 
 
 def apply_robots_filter(df: DataFrame, robots: DataFrame | None) -> DataFrame:

@@ -17,6 +17,23 @@ from .functions import udfs
 # --- sitemap delta (U1; sitemaps/sitemap_monitor.py:260-290) -----------------
 
 
+def write_sitemap_snapshot(snapshot: DataFrame, path: str, batch_size: int = 20) -> None:
+    """Sorted sitemap-snapshot persistence (O7, sitemap_monitor.py:186-189,
+    :334 — files written in sorted URL order, batches of 20 new URLs).
+
+    ``sortWithinPartitions`` after a range repartition gives a globally
+    sorted file sequence without a single-reducer global sort; small
+    snapshots collapse to one sorted file via maxRecordsPerFile batching.
+    """
+    (
+        snapshot.repartitionByRange(F.col("page_url"))
+        .sortWithinPartitions("page_url")
+        .write.mode("overwrite")
+        .option("maxRecordsPerFile", batch_size)
+        .parquet(path)
+    )
+
+
 def sitemap_delta(snapshots: DataFrame) -> DataFrame:
     """New URLs per sitemap: latest snapshot EXCEPT previous snapshot.
 

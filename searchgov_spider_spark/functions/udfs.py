@@ -73,6 +73,41 @@ def url_join(base: pd.Series, rel: pd.Series) -> pd.Series:
     return pd.Series([sitemapxml.join_base(b or "", r or "") for b, r in zip(base, rel)])
 
 
+ADMISSION_STRUCT = T.StructType(
+    [
+        T.StructField("url_canon", T.StringType()),
+        T.StructField("host", T.StringType()),
+        T.StructField("url_hash", T.LongType()),
+    ]
+)
+
+
+def _admission_rows(urls, strip: bool):
+    rows = []
+    for u in urls:
+        if not u:
+            rows.append(("", "", 0))
+            continue
+        nojs = urlnorm.strip_jsessionid(u) if strip else u
+        canon = urlnorm.canonicalize_url(nojs)
+        rows.append((canon, urlnorm.url_host(canon), urlnorm.url_seen_hash(canon)))
+    return pd.DataFrame(rows, columns=["url_canon", "host", "url_hash"])
+
+
+@pandas_udf(ADMISSION_STRUCT)
+def admission_parts(urls: pd.Series) -> pd.DataFrame:
+    """Fused admission kernel chain (jsessionid strip -> canonicalize ->
+    host -> seen-hash) in ONE Arrow round trip — the dependent chain would
+    otherwise compile to 3-4 serial ArrowEvalPython nodes per round."""
+    return _admission_rows(urls, strip=True)
+
+
+@pandas_udf(ADMISSION_STRUCT)
+def admission_parts_seed(urls: pd.Series) -> pd.DataFrame:
+    """Seed variant: no jsessionid rewrite (dont_filter semantics)."""
+    return _admission_rows(urls, strip=False)
+
+
 URL_PARTS_STRUCT = T.StructType(
     [
         T.StructField("basename", T.StringType()),

@@ -47,9 +47,32 @@ _QUERY_SAFE = "-._~"
 
 
 
+# Fast-path recognizer: scheme://host/path where the path contains only
+# characters that round-trip quote(unquote(p), _PATH_SAFE) unchanged (all of
+# _PATH_SAFE plus alphanumerics, NO '%', no query/fragment, no port/userinfo,
+# host needs only lowercasing).  For such URLs the canonical form is just
+# lower(scheme)://lower(host)+path — byte-identical to the full pipeline
+# (hypothesis-verified in tests), at ~1/10 the cost; the overwhelmingly
+# common shape for crawl-discovered links.
+_FAST_URL_RE = re.compile(
+    r"^(https?)://([A-Za-z0-9](?:[A-Za-z0-9.-]*[A-Za-z0-9])?)"
+    r"(/[A-Za-z0-9/@:;,!$&'()*+=~\-._]*)?$"
+)
+
+
 def canonicalize_url(url: str) -> str:
     """Canonical form of ``url`` per the north_rule spec (see module doc)."""
     url = url.strip()
+    m = _FAST_URL_RE.match(url)
+    if m:
+        scheme, host, path = m.group(1).lower(), m.group(2).lower(), m.group(3) or "/"
+        return f"{scheme}://{host}{path}"
+    return _canonicalize_slow(url)
+
+
+def _canonicalize_slow(url: str) -> str:
+    """The full RFC-3986 pipeline; the fast path above must be byte-identical
+    on every URL it accepts (property-tested)."""
     parts = urlsplit(url)
     scheme = parts.scheme.lower() or "http"
 

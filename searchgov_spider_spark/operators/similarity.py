@@ -156,6 +156,93 @@ def embedding_near_dup_pairs(
     return pairs
 
 
+def kmeans_centroids(sample: np.ndarray, k: int, iters: int = 10) -> np.ndarray:
+    """Deterministic Lloyd k-means for the IVF coarse quantizer: init = first
+    k sample rows, fixed iteration count, empty cells keep their previous
+    centroid.  Pure float64 numpy — bit-replicable by the single-node oracle."""
+    k = min(k, len(sample))
+    centroids = sample[:k].astype(np.float64).copy()
+    data = sample.astype(np.float64)
+    for _ in range(iters):
+        d2 = ((data[:, None, :] - centroids[None, :, :]) ** 2).sum(axis=2)
+        assign = d2.argmin(axis=1)
+        for c in range(k):
+            members = data[assign == c]
+            if len(members):
+                centroids[c] = members.mean(axis=0)
+    return centroids
+
+
+def ivf_build(
+    embeddings: DataFrame,
+    dim: int,
+    n_cells: int = 16,
+    sample_mod: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> np.ndarray:
+    """IVF coarse quantizer from a bounded deterministic sample
+    (``id % sample_mod == 0`` — replicable without Spark).  The collect is
+    n/sample_mod rows of dim floats: driver-bounded by construction; at
+    100 TB the sample_mod scales with n to keep the sample fixed-size."""
+    rows = (
+        embeddings.filter(F.col(id_col) % sample_mod == 0)
+        .select(id_col, vec_col)
+        .orderBy(id_col)
+        .collect()
+    )
+    sample = np.array([[float(x) for x in r[vec_col]] for r in rows], dtype=np.float64)
+    return kmeans_centroids(sample, n_cells)
+
+
+def with_ivf_cell(
+    embeddings: DataFrame,
+    centroids: np.ndarray,
+    vec_col: str = "embedding",
+    out_col: str = "cell",
+) -> DataFrame:
+    """Nearest-centroid cell id per row — one matmul per Arrow batch."""
+    bc = embeddings.sparkSession.sparkContext.broadcast(centroids)
+
+    @F.pandas_udf(T.IntegerType())
+    def cell(vecs: pd.Series) -> pd.Series:
+        mat = np.stack(vecs.to_numpy()).astype(np.float64)
+        c = bc.value
+        d2 = (mat * mat).sum(axis=1)[:, None] - 2.0 * (mat @ c.T) + (c * c).sum(axis=1)[None, :]
+        return pd.Series(d2.argmin(axis=1).astype(np.int32))
+
+    return embeddings.withColumn(out_col, cell(F.col(vec_col)))
+
+
+def ann_topk_ivf(
+    embeddings: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    n_cells: int = 16,
+    nprobe: int = 4,
+    sample_mod: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroids: np.ndarray | None = None,
+) -> DataFrame:
+    """IVF-Flat ANN: coarse-quantize rows into ``n_cells`` k-means cells,
+    probe the ``nprobe`` cells nearest the query, exact-score only those.
+
+    The complement of the SRP-LSH path (ann_topk_lsh): candidates ≈
+    n * nprobe / n_cells; in a persisted deployment rows are written
+    partitioned by cell so a probe is a partition-pruned scan, not a filter.
+    """
+    dim = len(query_vec)
+    if centroids is None:
+        centroids = ivf_build(embeddings, dim, n_cells, sample_mod, id_col, vec_col)
+    q = np.asarray(query_vec, dtype=np.float64)
+    d2 = ((centroids - q[None, :]) ** 2).sum(axis=1)
+    probes = [int(i) for i in np.argsort(d2, kind="stable")[:nprobe]]
+    celled = with_ivf_cell(embeddings, centroids, vec_col)
+    candidates = celled.filter(F.col("cell").isin(probes))
+    return cosine_topk(candidates, query_vec, k, id_col, vec_col)
+
+
 def ann_topk_lsh(
     embeddings: DataFrame,
     query_vec: list[float],

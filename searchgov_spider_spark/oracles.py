@@ -404,6 +404,36 @@ def q36_pdf_extraction(n: int = 64) -> str:
     )
 
 
+def q38_ann_ivf(k: int = 10, n_cells: int = 16, nprobe: int = 4, sample_mod: int = 10) -> str:
+    """numpy replication of the IVF path: same deterministic sample, same
+    Lloyd iterations, same expansion-formula assignment, same left-fold cosine."""
+    import numpy as np
+
+    from .operators.similarity import kmeans_centroids
+
+    emb = _embeddings()
+    qvec = [float(x) for x in next(e for i, e in emb if i == 0)]
+    sample = np.array(
+        [[float(x) for x in e] for i, e in sorted(emb) if i % sample_mod == 0], dtype=np.float64
+    )
+    centroids = kmeans_centroids(sample, n_cells)
+    q = np.asarray(qvec, dtype=np.float64)
+    probes = set(int(i) for i in np.argsort(((centroids - q[None, :]) ** 2).sum(axis=1), kind="stable")[:nprobe])
+    mat = np.stack([np.asarray(e, dtype=np.float32) for _, e in emb]).astype(np.float64)
+    c = centroids
+    d2 = (mat * mat).sum(axis=1)[:, None] - 2.0 * (mat @ c.T) + (c * c).sum(axis=1)[None, :]
+    cells = d2.argmin(axis=1)
+    qnorm = float(np.sqrt(np.dot(qvec, qvec)))
+    scored = [
+        (vec_id, _fold_dot(vec, qvec) / (_fold_norm(vec) * qnorm))
+        for (vec_id, vec), cell in zip(emb, cells)
+        if int(cell) in probes
+    ]
+    scored.sort(key=lambda r: (-r[1], r[0]))
+    rows = [(vid, _round_half_up(cos, 4)) for vid, cos in scored[:k]]
+    return _values(rows, [("vec_id", "BIGINT"), ("cosine", "DOUBLE")])
+
+
 def q37_sitemap_discovery(n_hosts: int = 8) -> str:
     """Single-node 4-method finder over the same deterministic fixture."""
     from .kernels.sitemapxml import find_sitemaps
@@ -430,4 +460,5 @@ def build_dynamic_oracles() -> dict[str, str]:
         "q33_sitemap_expand": q33_sitemap_expand(),
         "q36_pdf_extraction": q36_pdf_extraction(),
         "q37_sitemap_discovery": q37_sitemap_discovery(),
+        "q38_ann_ivf": q38_ann_ivf(),
     }

@@ -44,6 +44,8 @@ def _tune_session(spark: SparkSession) -> None:
     spark.conf.set("spark.sql.shuffle.partitions", "32")
     spark.conf.set("spark.sql.adaptive.enabled", "true")
     spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.coalescePartitions.parallelismFirst", "false")
+    spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "16m")
 
 
 # ---------------------------------------------------------------------------
@@ -529,6 +531,15 @@ def q36_pdf_extraction(spark, sf_dir):
     )
 
 
+def q38_ann_ivf(spark, sf_dir):
+    """IVF-Flat ANN top-k (coarse k-means quantizer + nprobe cell pruning) —
+    the partition-pruned scale path complementing q26's LSH."""
+    emb = _t(spark, sf_dir, "embeddings")
+    qvec = [float(x) for x in emb.filter(F.col("vec_id") == 0).select("embedding").head()[0]]
+    top = similarity.ann_topk_ivf(emb, qvec, k=10, n_cells=16, nprobe=4)
+    return top.select("vec_id", F.round("cosine", 4).alias("cosine"))
+
+
 def q37_sitemap_discovery(spark, sf_dir):
     """4-method sitemap discovery (S8): common locations, robots directives,
     HTML link tags, root .xml listing — body-driven over a fetched-resources
@@ -612,6 +623,7 @@ QUERIES = {
     "q35_training_pipeline": q35_training_pipeline,
     "q36_pdf_extraction": q36_pdf_extraction,
     "q37_sitemap_discovery": q37_sitemap_discovery,
+    "q38_ann_ivf": q38_ann_ivf,
 }
 
 _DUP_DOCS_SQL = (

@@ -26,9 +26,16 @@ def build_session(
         SparkSession.builder.appName(app_name)
         .master(master)
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
-        .config("spark.default.parallelism", str(shuffle_partitions))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        # size-based coalescing: with the default parallelismFirst=true AQE
+        # never coalesces below default parallelism, so every small shuffle
+        # (crawl warm-up rounds, dimension joins) runs shuffle_partitions
+        # tiny tasks — measured 2x whole-crawl wall at local[2].  Size-first
+        # lets a 200-row exchange collapse to one task while a 100-TB one
+        # still fans out to advisory-sized partitions.
+        .config("spark.sql.adaptive.coalescePartitions.parallelismFirst", "false")
+        .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", "16m")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")

@@ -244,3 +244,30 @@ class TestMonitors:
 
         df = spark.createDataFrame([(200,)] * 5 + [(404,)] * 2 + [(500,)], "status_code int")
         assert status_code_counts(df) == {200: 5, 404: 2, 500: 1}
+
+
+class TestSortedPersistence:
+    def test_snapshot_written_in_sorted_url_order(self, spark, tmp_path):
+        """O7 (sitemap_monitor.py:186-189,:334): snapshot files hold sorted
+        URLs, batched; reading files back in name order yields the global
+        sorted sequence."""
+        import glob
+        import random
+
+        from searchgov_spider_spark import flows
+
+        urls = [f"https://h.gov/p{i:04d}" for i in range(97)]
+        shuffled = urls[:]
+        random.Random(3).shuffle(shuffled)
+        snap = spark.createDataFrame([(u,) for u in shuffled], "page_url string").repartition(8)
+        out = str(tmp_path / "snap")
+        flows.write_sitemap_snapshot(snap, out, batch_size=20)
+
+        import pyarrow.parquet as pq
+
+        files = sorted(glob.glob(out + "/part-*"))
+        per_file = [pq.read_table(f).column("page_url").to_pylist() for f in files]
+        for vals in per_file:
+            assert vals == sorted(vals) and len(vals) <= 20
+        flat = [u for vals in per_file for u in vals]
+        assert flat == sorted(urls)  # file sequence is globally sorted

@@ -332,3 +332,52 @@ class TestDates:
         assert decode_bytes(bad) == bad.decode("latin-1")
         # unknown codec name ignored
         assert sniff_charset(b'<meta charset="notacodec">\xff') is None
+
+
+class TestCanonicalizeFastPath:
+    def test_fast_equals_slow_on_fast_shapes(self):
+        from hypothesis import given, settings
+        from hypothesis import strategies as st
+
+        from searchgov_spider_spark.kernels.urlnorm import (
+            _FAST_URL_RE,
+            _canonicalize_slow,
+            canonicalize_url,
+        )
+
+        path_chars = st.sampled_from(list("/@:;,!$&'()*+=~-._" "abcXYZ09"))
+        host_chars = st.sampled_from(list("abcXYZ09.-"))
+
+        @settings(max_examples=300, deadline=None)
+        @given(
+            scheme=st.sampled_from(["http", "https", "HTTP", "Https"]),
+            host=st.text(host_chars, min_size=1, max_size=20),
+            path=st.text(path_chars, max_size=30),
+        )
+        def check(scheme, host, path):
+            url = f"{scheme}://{host}/{path}"
+            if _FAST_URL_RE.match(url):
+                assert canonicalize_url(url) == _canonicalize_slow(url)
+
+        check()
+
+    def test_fast_equals_slow_on_messy_urls(self):
+        from searchgov_spider_spark.kernels.urlnorm import _canonicalize_slow, canonicalize_url
+
+        # messy shapes must bypass the fast path and remain identical
+        for u in [
+            "https://Example.GOV:443/a?b=2&a=1#f",
+            "https://h.gov/%7Euser",
+            "https://user:pw@h.gov/x",
+            "https://h.gov./trailing",
+            "http://h.gov:8080/p",
+            "https://h.gov/sp ace",
+            "https://h.gov/a?x=",
+        ]:
+            assert canonicalize_url(u) == _canonicalize_slow(u)
+
+    def test_fast_path_examples(self):
+        from searchgov_spider_spark.kernels.urlnorm import canonicalize_url
+
+        assert canonicalize_url("HTTPS://Host0.Example.GOV/Page/One") == "https://host0.example.gov/Page/One"
+        assert canonicalize_url("https://h.gov") == "https://h.gov/"

@@ -238,3 +238,48 @@ class TestEmbeddingNearDupRecall:
         assert got <= true_pairs  # exact verify: no false positives
         recall = len(got & true_pairs) / len(true_pairs)
         assert recall >= 0.9, f"recall {recall:.3f} < 0.9 ({len(got)}/{len(true_pairs)})"
+
+
+class TestIvfAnn:
+    def test_recall_on_clustered_data(self, spark):
+        """IVF-Flat: nprobe cell pruning keeps recall high when the data is
+        clustered (the regime IVF is for); exact verify means no false
+        positives by construction."""
+        rng = np.random.default_rng(11)
+        dim, n_clusters, per = 32, 8, 60
+        centers = rng.standard_normal((n_clusters, dim)) * 5
+        rows = []
+        vid = 0
+        for c in range(n_clusters):
+            for _ in range(per):
+                v = centers[c] + rng.standard_normal(dim) * 0.5
+                rows.append((vid, [float(x) for x in v]))
+                vid += 1
+        emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+        qvec = rows[7][1]
+
+        got = similarity.ann_topk_ivf(emb, qvec, k=10, n_cells=8, nprobe=2)
+        got_ids = [r["vec_id"] for r in got.collect()]
+
+        vecs = np.array([r[1] for r in rows], dtype=np.float64)
+        qa = np.asarray(qvec)
+        cos = (vecs @ qa) / (np.linalg.norm(vecs, axis=1) * np.linalg.norm(qa))
+        brute = [i for i, _ in sorted(enumerate(cos), key=lambda t: (-t[1], t[0]))[:10]]
+        recall = len(set(got_ids) & set(brute)) / 10
+        assert recall >= 0.8, f"recall {recall}"
+
+    def test_deterministic(self, spark):
+        rng = np.random.default_rng(5)
+        rows = [(i, [float(x) for x in rng.standard_normal(16)]) for i in range(200)]
+        emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+        q = rows[0][1]
+        a = [(r["vec_id"], round(r["cosine"], 6)) for r in similarity.ann_topk_ivf(emb, q, k=5, n_cells=4).collect()]
+        b = [(r["vec_id"], round(r["cosine"], 6)) for r in similarity.ann_topk_ivf(emb, q, k=5, n_cells=4).collect()]
+        assert a == b and len(a) == 5
+
+    def test_kmeans_deterministic(self):
+        rng = np.random.default_rng(2)
+        sample = rng.standard_normal((50, 8))
+        c1 = similarity.kmeans_centroids(sample, 4)
+        c2 = similarity.kmeans_centroids(sample.copy(), 4)
+        assert np.array_equal(c1, c2)
