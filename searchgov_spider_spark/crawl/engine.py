@@ -33,6 +33,7 @@ Scale notes (10^10 frontier design point):
 
 from __future__ import annotations
 
+import threading
 import time
 from dataclasses import dataclass, field
 
@@ -178,15 +179,14 @@ class CrawlEngine:
         # avoid per-task Arrow-worker overhead, big rounds use every core.
         cores = self.spark.sparkContext.defaultParallelism
         parts = min(self.fetch_partitions, max(cores, (frontier_hint // 2000) + 1))
-        obs_sel = Observation()
-        # Observations are registered with weak references in the JVM
-        # AccumulatorContext; keep them alive for the engine's lifetime so a
-        # straggling task-completion event after the round returns can't hit
-        # a collected accumulator (DAGScheduler.updateAccumulators ERROR).
-        self._live_observations.append(obs_sel)
-        batch = selected.observe(obs_sel, F.count(F.lit(1)).alias("n")).repartition(
-            parts, F.col("url_hash")
-        )
+        # NO observe on `selected`: it sits UPSTREAM of the persisted
+        # `extracted`, so both the documents query and the frontier query
+        # would carry the same observation node — under concurrent execution
+        # whichever query serves from cache reports an empty observation row
+        # (toPyRow assertion).  n_selected is derived instead: the frontier
+        # hint in the fast path (selection is the identity), a cached count
+        # in the binding path.
+        batch = selected.repartition(parts, F.col("url_hash"))
         fetched = self.fetcher.fetch(batch)
         found = fetched.filter(F.col("html").isNotNull())
         extracted = (
@@ -236,14 +236,12 @@ class CrawlEngine:
                 F.col("source_url").alias("source_url"),
             ).alias("metadata"),
         )
-        obs_docs = Observation()
-        self._live_observations.append(obs_docs)
-        self.store.write_table(documents.observe(obs_docs, F.count(F.lit(1)).alias("n")), rnd, "documents")
-        n_docs = int(obs_docs.get["n"])
-        n_selected = int(obs_sel.get["n"])
-        mark("fetch_extract_docs")
-
-        if n_selected == 0:
+        if frontier_hint == 0:
+            # empty frontier (resume edge): nothing to fetch this round —
+            # checkpoint an unchanged frontier so the round commits.
+            # (Selection is the identity on a non-empty frontier, so
+            # n_selected == 0 iff the frontier is empty — gate on the exact
+            # hint BEFORE launching any job.)
             remaining = frontier.count()
             extracted.unpersist()
             metrics = {
@@ -252,10 +250,29 @@ class CrawlEngine:
                 "round_wall_s": round(time.monotonic() - t0, 3),
                 "timings": timings, "stop": remaining == 0,
             }
-            # still checkpoint an (unchanged) frontier so the round commits
             self.store.write_table(frontier, rnd, "frontier")
             self.store.write_seen_delta(seen.limit(0), rnd)
             return metrics, seen
+
+        # documents write runs CONCURRENTLY with the admission/frontier job
+        # (separate driver thread; Spark schedules both jobs at once).  Both
+        # consume the persisted `extracted`; the block manager's per-block
+        # locking makes concurrent materialization safe.  This hides one of
+        # the round's two action latencies — the dominant share of the
+        # small-round fixed cost.
+        obs_docs = Observation()
+        self._live_observations.append(obs_docs)
+        docs_df = documents.observe(obs_docs, F.count(F.lit(1)).alias("n"))
+        docs_err: list[BaseException] = []
+
+        def _write_docs() -> None:
+            try:
+                self.store.write_table(docs_df, rnd, "documents")
+            except BaseException as exc:  # re-raised on the round thread
+                docs_err.append(exc)
+
+        docs_thread = threading.Thread(target=_write_docs, name=f"docs-write-{rnd}", daemon=True)
+        docs_thread.start()
 
         # discovery (F1) -> admission (F2-F6) -> dedup (F7) -> FIFO seq (O1)
         discovered = extracted.select(
@@ -284,8 +301,9 @@ class CrawlEngine:
             self._bloom_built = True
         new_admits = dedup_against_seen(self.spark, candidates, seen, bloom if use_bloom else None)
         # FIFO sequence: small batches (estimated from fan-out) avoid the
-        # pre-count pass; the exact count comes from the write Observation
-        est_admits = n_selected * 8
+        # pre-count pass; the exact count comes from the write Observation.
+        # (n_selected <= frontier_hint, so hint * fan-out bounds the batch.)
+        est_admits = frontier_hint * 8
         seq_cache = None
         if est_admits < SMALL_BATCH_THRESHOLD:
             new_admits = assign_seq_small(new_admits, ["parent_seq", "pos"], start=next_seq)
@@ -314,6 +332,14 @@ class CrawlEngine:
         )
         remaining = int(obs_frontier.get["n"])
         n_admitted = int(obs_adm.get["n"])
+        # re-join the concurrent documents write before touching `extracted`
+        docs_thread.join()
+        if docs_err:
+            raise docs_err[0]
+        n_docs = int(obs_docs.get["n"])
+        # fast path: selection is the identity on the frontier (exact hint);
+        # binding path: count the persisted selection (cache-local)
+        n_selected = frontier_hint if not budget_binds else selected.count()
         mark("frontier_write")
 
         seen_from_frontier = not budget_binds

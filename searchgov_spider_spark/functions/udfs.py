@@ -108,6 +108,15 @@ def admission_parts_seed(urls: pd.Series) -> pd.DataFrame:
     return _admission_rows(urls, strip=False)
 
 
+# The kernels are pure functions, but Catalyst re-substitutes deterministic
+# UDFs into filters pushed below their projection — evaluating the whole
+# admission kernel TWICE per link (plan-test-pinned).  Marking them
+# nondeterministic forbids that duplication; task-retry re-execution still
+# yields identical values.
+admission_parts = admission_parts.asNondeterministic()
+admission_parts_seed = admission_parts_seed.asNondeterministic()
+
+
 URL_PARTS_STRUCT = T.StructType(
     [
         T.StructField("basename", T.StringType()),

@@ -1,0 +1,85 @@
+"""Custom stateful streaming operator: per-host politeness queue.
+
+``applyInPandasWithState`` over a stream of discovered URLs keyed by host:
+each micro-batch admits up to the host's available token budget in FIFO
+(seq) order and DEFERS the rest in state, refilling tokens per batch — the
+streaming form of the engine's per-host token bucket
+(crawl/politeness.py; reference AUTOTHROTTLE/delay semantics,
+settings/domain_spider.py:16-18).  Unlike the batch engine's
+round-at-a-time cap, deferred URLs survive across micro-batches in the
+state store, so a burst against one host drains at the politeness rate
+while other hosts flow unimpeded.
+
+State per host: (tokens, pending urls, pending seqs) — bounded by the
+per-host backlog, partitioned by the groupBy(host) shuffle, checkpointed by
+Structured Streaming's state store (resumable, like everything else here).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import types as T
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+OUT_SCHEMA = T.StructType(
+    [
+        T.StructField("host", T.StringType()),
+        T.StructField("url_canon", T.StringType()),
+        T.StructField("seq", T.LongType()),
+    ]
+)
+
+STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("tokens", T.DoubleType()),
+        T.StructField("pend_urls", T.ArrayType(T.StringType())),
+        T.StructField("pend_seqs", T.ArrayType(T.LongType())),
+    ]
+)
+
+
+def rate_limited_frontier(
+    urls: DataFrame,
+    capacity: float = 2.0,
+    refill_per_batch: float = 2.0,
+) -> DataFrame:
+    """Streaming per-host FIFO admission under a token bucket.
+
+    ``urls`` is a streaming DataFrame with (host, url_canon, seq); returns
+    the admitted stream.  Tokens start at ``capacity``; each admitted URL
+    spends one; ``refill_per_batch`` tokens return per micro-batch (capped
+    at capacity) — the discrete analog of rate = 1/crawl_delay.
+    """
+    cap = float(capacity)
+    refill = float(refill_per_batch)
+
+    def admit(key, pdfs: Iterator[pd.DataFrame], state: GroupState) -> Iterator[pd.DataFrame]:
+        (host,) = key
+        if state.exists:
+            tokens, pend_urls, pend_seqs = state.get
+            pend = pd.DataFrame({"url_canon": list(pend_urls), "seq": list(pend_seqs)})
+        else:
+            tokens, pend = cap, pd.DataFrame({"url_canon": [], "seq": []})
+        new = pd.concat(list(pdfs), ignore_index=True) if pdfs else pd.DataFrame()
+        if len(new):
+            new = new[["url_canon", "seq"]]
+        queue = pd.concat([pend, new], ignore_index=True).sort_values("seq")
+        take = min(len(queue), int(tokens))
+        admitted = queue.head(take)
+        rest = queue.iloc[take:]
+        tokens = min(cap, tokens - take + refill)
+        state.update((float(tokens), rest["url_canon"].tolist(), [int(s) for s in rest["seq"]]))
+        out = admitted.assign(host=host)[["host", "url_canon", "seq"]]
+        out["seq"] = out["seq"].astype("int64")
+        yield out
+
+    return urls.groupBy("host").applyInPandasWithState(
+        admit,
+        outputStructType=OUT_SCHEMA,
+        stateStructType=STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

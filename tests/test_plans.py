@@ -93,8 +93,10 @@ class TestCrawlPlans:
         plan = plan_of(df, "simple")
         # offsite/query/deny/depth filters are plain Filter nodes (JVM)
         assert "Filter" in plan
-        # the only Python stages are the Arrow kernel UDFs
-        assert plan.count("ArrowEvalPython") <= 2
+        # the fused admission kernel is exactly ONE Arrow round trip — the
+        # old strip->canonicalize->host->hash chain compiled to 3-4 serial
+        # ArrowEvalPython nodes (regression guard)
+        assert plan.count("ArrowEvalPython") == 1
 
     def test_politeness_selection_no_global_sort(self, spark):
         from searchgov_spider_spark.crawl import politeness

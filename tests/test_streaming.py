@@ -49,3 +49,61 @@ def test_windowed_metrics_stream(spark, tmp_path):
     }
     assert got[("2024-01-01 00:00:00", "fetched")] == 2
     assert got[("2024-01-01 00:01:00", "missed")] == 1
+
+
+def test_stateful_rate_limited_frontier(spark, tmp_path):
+    """applyInPandasWithState token bucket: per-host FIFO admission with
+    deferral across micro-batches (capacity 2, refill 2)."""
+    from pyspark.sql import types as T
+
+    from searchgov_spider_spark.streaming.stateful import rate_limited_frontier
+
+    src = tmp_path / "urls"
+    src.mkdir()
+    schema = T.StructType(
+        [
+            T.StructField("host", T.StringType()),
+            T.StructField("url_canon", T.StringType()),
+            T.StructField("seq", T.LongType()),
+        ]
+    )
+    # batch 1: burst of 5 against host a, 1 against host b
+    with open(src / "b1.json", "w") as f:
+        for i in range(5):
+            f.write(json.dumps({"host": "a", "url_canon": f"https://a/p{i}", "seq": i}) + "\n")
+        f.write(json.dumps({"host": "b", "url_canon": "https://b/p0", "seq": 100}) + "\n")
+    # batch 2: one more for host a (also triggers the deferred queue)
+    with open(src / "b2.json", "w") as f:
+        f.write(json.dumps({"host": "a", "url_canon": "https://a/p9", "seq": 9}) + "\n")
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .json(str(src))
+    )
+    admitted = rate_limited_frontier(stream, capacity=2.0, refill_per_batch=2.0)
+
+    batches = []
+    q = (
+        admitted.writeStream.outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .foreachBatch(lambda df, bid: batches.append((bid, sorted((r["host"], r["seq"]) for r in df.collect()))))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+
+    got = {bid: rows for bid, rows in batches if rows}
+    all_rows = [r for _, rows in batches for r in rows]
+    # FIFO per host: a admits seqs 0,1 in its first batch, 2,3 next...
+    a_seqs = [s for h, s in all_rows if h == "a"]
+    assert a_seqs[:4] == [0, 1, 2, 3]
+    assert ("b", 100) in all_rows
+    # budget binds: no batch ever admits more than capacity per host
+    for _, rows in batches:
+        per_host = {}
+        for h, s in rows:
+            per_host[h] = per_host.get(h, 0) + 1
+        assert all(n <= 2 for n in per_host.values())
+    # seq 4 and 9 stay deferred in state (no third batch arrived for host a)
+    assert 9 not in a_seqs and len(a_seqs) == 4
