@@ -531,6 +531,12 @@ def q36_pdf_extraction(spark, sf_dir):
     )
 
 
+def q39_bpe_token_stats(spark, sf_dir):
+    """Whitespace + BPE-ish-regex token counting (training-data budgeting),
+    pure JVM regex — SQL-oracle-portable."""
+    return textstats.bpe_token_stats(_t(spark, sf_dir, "documents"))
+
+
 def q38_ann_ivf(spark, sf_dir):
     """IVF-Flat ANN top-k (coarse k-means quantizer + nprobe cell pruning) —
     the partition-pruned scale path complementing q26's LSH."""
@@ -624,6 +630,7 @@ QUERIES = {
     "q36_pdf_extraction": q36_pdf_extraction,
     "q37_sitemap_discovery": q37_sitemap_discovery,
     "q38_ann_ivf": q38_ann_ivf,
+    "q39_bpe_token_stats": q39_bpe_token_stats,
 }
 
 _DUP_DOCS_SQL = (
@@ -769,6 +776,14 @@ ORACLES = {
                     (SELECT embedding FROM embeddings WHERE vec_id = 0)) DESC, vec_id ASC) AS rank
             FROM embeddings)
         WHERE rank <= 10
+    """,
+    "q39_bpe_token_stats": r"""
+        SELECT doc_id,
+               len(regexp_extract_all(text, '\S+')) AS n_ws_tokens,
+               len(regexp_extract_all(text, ' ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9 \t\n\r]+')) AS n_bpe_tokens,
+               round(len(regexp_extract_all(text, ' ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9 \t\n\r]+')) * 1.0
+                     / greatest(len(regexp_extract_all(text, '\S+')), 1), 6) AS bpe_per_ws
+        FROM documents
     """,
     "q34_embedding_near_dup": """
         WITH e AS (

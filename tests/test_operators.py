@@ -283,3 +283,28 @@ class TestIvfAnn:
         c1 = similarity.kmeans_centroids(sample, 4)
         c2 = similarity.kmeans_centroids(sample.copy(), 4)
         assert np.array_equal(c1, c2)
+
+
+class TestBpeTokenStats:
+    def test_counts_on_punctuated_text(self, spark):
+        from searchgov_spider_spark.operators import textstats
+
+        docs = spark.createDataFrame(
+            [
+                (0, "Hello, world! It's 2024."),
+                (1, "plain words only here"),
+                (2, ""),
+                (3, "a-b c_d 1.5x"),
+            ],
+            "doc_id long, text string",
+        )
+        out = {r["doc_id"]: r for r in textstats.bpe_token_stats(docs).collect()}
+        # "Hello, world! It's 2024." -> Hello , world ! It ' s 2024 . = 9
+        # segments vs 4 \S+ runs (no contraction alternations: RE2 parity)
+        assert out[0]["n_ws_tokens"] == 4 and out[0]["n_bpe_tokens"] == 9
+        assert out[0]["bpe_per_ws"] == 2.25
+        # pure words: BPE-ish == whitespace
+        assert out[1]["n_ws_tokens"] == out[1]["n_bpe_tokens"] == 4
+        assert out[2]["n_ws_tokens"] == 0 and out[2]["n_bpe_tokens"] == 0
+        # "a-b c_d 1.5x" -> a - b c _ d 1 . 5 x = 10
+        assert out[3]["n_bpe_tokens"] == 10 and out[3]["n_ws_tokens"] == 3
