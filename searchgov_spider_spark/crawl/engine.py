@@ -99,7 +99,6 @@ class CrawlEngine:
         self.bloom_bits = bloom_bits
         self.bloom_min_seen = bloom_min_seen
         self._bloom_built = False
-        self._live_observations: list[Observation] = []
         self.hot_host_threshold = hot_host_threshold
         self.fetch_partitions = fetch_partitions or max(32, spark.sparkContext.defaultParallelism)
         self.robots = robots.persist() if robots is not None else None
@@ -261,7 +260,6 @@ class CrawlEngine:
         # the round's two action latencies — the dominant share of the
         # small-round fixed cost.
         obs_docs = Observation()
-        self._live_observations.append(obs_docs)
         docs_df = documents.observe(obs_docs, F.count(F.lit(1)).alias("n"))
         docs_err: list[BaseException] = []
 
@@ -315,7 +313,6 @@ class CrawlEngine:
         # state transition + checkpoint.  Fast path: everything in the
         # frontier was selected, so the next frontier is just the new admits.
         obs_adm = Observation()
-        self._live_observations.append(obs_adm)
         admits_obs = new_admits.observe(obs_adm, F.count(F.lit(1)).alias("n")).select(*FRONTIER_COLS)
         if budget_binds:
             frontier_next = (
@@ -326,16 +323,19 @@ class CrawlEngine:
         else:
             frontier_next = admits_obs
         obs_frontier = Observation()
-        self._live_observations.append(obs_frontier)
-        self.store.write_table(
-            frontier_next.observe(obs_frontier, F.count(F.lit(1)).alias("n")), rnd, "frontier"
-        )
-        remaining = int(obs_frontier.get["n"])
-        n_admitted = int(obs_adm.get["n"])
-        # re-join the concurrent documents write before touching `extracted`
-        docs_thread.join()
+        try:
+            self.store.write_table(
+                frontier_next.observe(obs_frontier, F.count(F.lit(1)).alias("n")), rnd, "frontier"
+            )
+        finally:
+            # ALWAYS re-join the concurrent documents write — if the frontier
+            # write raised, the docs thread's own failure must not be dropped
+            # silently (and `extracted` must not be unpersisted under it).
+            docs_thread.join()
         if docs_err:
             raise docs_err[0]
+        remaining = int(obs_frontier.get["n"])
+        n_admitted = int(obs_adm.get["n"])
         n_docs = int(obs_docs.get["n"])
         # fast path: selection is the identity on the frontier (exact hint);
         # binding path: count the persisted selection (cache-local)
@@ -389,7 +389,6 @@ class CrawlEngine:
     def run(self, start_urls: list[str], max_rounds: int = 1000, resume: bool = False) -> CrawlRun:
         spark = self.spark
         run = CrawlRun(checkpoint=self.store)
-        self._live_observations: list[Observation] = []
 
         last = self.store.last_committed() if resume else None
         if last is not None:

@@ -21,7 +21,8 @@ Spark the fetch stage is a DataFrame -> DataFrame operator appending
 
 from __future__ import annotations
 
-from collections.abc import Iterator
+from collections.abc import Callable, Iterator
+from dataclasses import dataclass
 
 import pandas as pd
 from pyspark.sql import DataFrame
@@ -29,6 +30,123 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from ..functions import udfs
+
+
+@dataclass(frozen=True)
+class FetchPolicy:
+    """Downloader bounds mirroring the reference's Scrapy settings
+    (settings/common.py:16,22-27): 15 s timeout, 15 MB cap, identified
+    user-agent, bounded concurrency, NO retry."""
+
+    timeout_s: float = 15.0  # DOWNLOAD_TIMEOUT
+    max_bytes: int = 15_728_640  # DOWNLOAD_MAXSIZE
+    user_agent: str = "usasearch"  # USER_AGENT
+    max_concurrency: int = 20  # REACTOR_THREADPOOL_MAXSIZE analog, per partition
+
+
+def _default_transport_factory() -> Callable:
+    """Real aiohttp transport when the library exists; otherwise an honest
+    NotImplementedError (no network in this sandbox).  Injectable so tests
+    and replays supply fakes."""
+    try:
+        import aiohttp  # noqa: F401
+    except ImportError as exc:  # pragma: no cover - env boundary
+        raise NotImplementedError(
+            "no HTTP library in this environment — inject a transport_factory"
+        ) from exc
+
+    def factory():  # pragma: no cover - requires network
+        import aiohttp
+
+        session: dict = {}
+
+        async def transport(url: str, policy: FetchPolicy):
+            if "s" not in session:
+                session["s"] = aiohttp.ClientSession(
+                    headers={"User-Agent": policy.user_agent},
+                    timeout=aiohttp.ClientTimeout(total=policy.timeout_s),
+                )
+            async with session["s"].get(url) as resp:
+                # enforce the byte cap DURING streaming, as Scrapy cancels
+                # oversize downloads mid-flight
+                body = bytearray()
+                async for chunk in resp.content.iter_chunked(1 << 16):
+                    body.extend(chunk)
+                    if len(body) > policy.max_bytes:
+                        return resp.status, dict(resp.headers), None
+                return resp.status, dict(resp.headers), bytes(body)
+
+        return transport
+
+    return factory()
+
+
+class HttpFetcher:
+    """Async batch HTTP client (S4) — the production live-fetch stage.
+
+    ``mapInPandas`` over the politeness-selected batch: each partition
+    builds ONE transport (``transport_factory()``, e.g. a session pool),
+    fans the batch out under an asyncio semaphore, and applies the
+    reference's downloader semantics (FetchPolicy): per-request timeout,
+    15 MB response cap, and NO retry — any failure (timeout, transport
+    error, non-200, oversize) yields ``html = NULL`` for that URL, exactly
+    like a Scrapy downloader miss with RETRY_ENABLED=False
+    (settings/common.py:22-27).
+
+    The transport is an ``async callable(url, policy) -> (status_code,
+    headers_dict, body_bytes)``; the factory must be picklable (it ships to
+    executors), the transport it builds need not be.
+    """
+
+    def __init__(
+        self,
+        transport_factory: Callable[[], Callable] | None = None,
+        policy: FetchPolicy = FetchPolicy(),
+    ):
+        self.transport_factory = transport_factory or _default_transport_factory
+        self.policy = policy
+
+    def fetch(self, selected: DataFrame) -> DataFrame:
+        factory, policy = self.transport_factory, self.policy
+        out_schema = T.StructType(
+            list(selected.schema.fields)
+            + [T.StructField("html", T.BinaryType()), T.StructField("lang", T.StringType())]
+        )
+
+        def _fetch_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            import asyncio
+
+            transport = factory()  # one client per partition
+
+            async def one(url: str, sem: "asyncio.Semaphore"):
+                async with sem:
+                    try:
+                        status, headers, body = await asyncio.wait_for(
+                            transport(url, policy), policy.timeout_s
+                        )
+                    except Exception:  # timeout / transport error: no retry
+                        return None, None
+                if status != 200 or body is None or len(body) > policy.max_bytes:
+                    return None, None
+                lang = None
+                for k, v in (headers or {}).items():
+                    if str(k).lower() == "content-language":
+                        lang = str(v).split(",")[0].strip() or None
+                        break
+                return bytes(body), lang
+
+            async def run(urls: list[str]):
+                sem = asyncio.Semaphore(policy.max_concurrency)
+                return await asyncio.gather(*(one(u, sem) for u in urls))
+
+            for pdf in batches:
+                results = asyncio.run(run(list(pdf["url_canon"]))) if len(pdf) else []
+                yield pdf.assign(
+                    html=pd.Series([r[0] for r in results], index=pdf.index, dtype=object),
+                    lang=pd.Series([r[1] for r in results], index=pdf.index, dtype=object),
+                )
+
+        return selected.mapInPandas(_fetch_batch, schema=out_schema)
 
 
 class TableFetcher:

@@ -68,9 +68,12 @@ def apply_admission_filters(links: DataFrame, policy: CrawlPolicy, is_seed: bool
     ``depth`` column.  Output adds url_canon/host/path/url_hash columns.
 
     ``is_seed`` exempts the batch from the query-string filter, jsessionid
-    rewrite and deny paths — the reference's start requests carry
-    dont_filter=True and bypass get_processed_request entirely
-    (middlewares.py:114-115); only offsite/depth/robots apply to them.
+    rewrite, deny paths AND the offsite filter — the reference's start
+    requests carry dont_filter=True and bypass get_processed_request
+    entirely (middlewares.py:114-115), and Scrapy's downloader
+    OffsiteMiddleware also exempts dont_filter requests (process_request:
+    ``if request.dont_filter or self.should_follow(...)``).  Depth and
+    robots still apply (RobotsTxtMiddleware ignores dont_filter).
     """
     parts = (udfs.admission_parts_seed if is_seed else udfs.admission_parts)(F.col("url"))
     df = (
@@ -83,8 +86,8 @@ def apply_admission_filters(links: DataFrame, policy: CrawlPolicy, is_seed: bool
         )
         .withColumn("path", F.coalesce(F.expr("parse_url(url_canon, 'PATH')"), F.lit("")))
     )
-    df = df.filter(_offsite_condition(policy))
     if not is_seed:
+        df = df.filter(_offsite_condition(policy))
         if not policy.allow_query_string:
             df = df.filter(F.expr("parse_url(url_canon, 'QUERY')").isNull())
         for dp in policy.deny_paths:

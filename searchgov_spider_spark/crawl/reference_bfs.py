@@ -80,13 +80,16 @@ def admit(
 ) -> str | None:
     """Run the admission pipeline; return the canonical URL if admitted.
 
-    Seeds (``is_seed``) bypass the jsessionid rewrite, query-string filter
-    and deny paths — the reference's start requests are dont_filter=True
-    (middlewares.py:114-115); offsite/depth/robots still apply."""
+    Seeds (``is_seed``) bypass the jsessionid rewrite, query-string filter,
+    deny paths AND the offsite filter — the reference's start requests are
+    dont_filter=True (middlewares.py:114-115), and Scrapy's downloader
+    OffsiteMiddleware exempts dont_filter requests too (its process_request
+    is ``if request.dont_filter or self.should_follow(...)``); depth/robots
+    still apply (RobotsTxtMiddleware does not honor dont_filter)."""
     url = raw_url if is_seed else strip_jsessionid(raw_url)
     canon = canonicalize_url(url)
     host = url_host(canon)
-    if not host_allowed(host, policy) or not path_allowed(canon, policy):
+    if not is_seed and (not host_allowed(host, policy) or not path_allowed(canon, policy)):
         return None
     if not is_seed:
         if not policy.allow_query_string and url_query(canon):

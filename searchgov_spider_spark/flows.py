@@ -118,9 +118,15 @@ def discover_sitemaps(spark, bases: DataFrame, resources: DataFrame) -> DataFram
     ).select(F.col("url").alias("sitemap_url"), F.lit(True).alias("_ok"))
     pages_200 = resources.filter(F.col("status_code") == 200).select("url", "body")
 
-    fix_http = lambda c: F.when(  # noqa: E731  (sitemap_finder.py:82-86)
-        c.startswith("http://"), F.concat(F.lit("https://"), F.substring(c, 8, 1 << 30))
-    ).otherwise(c)
+    def fix_http(c):  # sitemap_finder.py:82-86: strip + REPLACE-ALL of http://
+        # The reference uses str.replace, which rewrites every occurrence
+        # (even an embedded http:// in a query param) when the URL starts
+        # with http:// — mirror that exactly so the kernel (fix_http in
+        # kernels/sitemapxml.py) and this distributed path agree on all inputs.
+        t = F.trim(c)
+        return F.when(
+            t.startswith("http://"), F.replace(t, F.lit("http://"), F.lit("https://"))
+        ).otherwise(t)
 
     # method 1: common locations (base ends with '/', so urljoin == concat)
     m1 = base.select(

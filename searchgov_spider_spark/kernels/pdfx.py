@@ -5,27 +5,43 @@ links from visible text regex plus /Annots URI actions, and prepends
 title+filename (indexing/parse.py:113-252, transform.py:120-195).  pypdf is
 unavailable in this environment; this module implements the same *shape* for
 the well-formed subset our fixtures generate: classic (non-object-stream)
-PDFs whose page content streams are plain or FlateDecode-compressed and
-whose text uses the standard Tj / TJ / ' operators with literal strings.
+PDFs whose page content streams are plain or filtered with FlateDecode,
+LZWDecode, ASCIIHexDecode or ASCII85Decode (including filter CHAINS, e.g.
+[/ASCII85Decode /FlateDecode]) and whose text uses the standard Tj / TJ / '
+operators with literal strings.  TJ kerning arrays are honored: pieces
+within one TJ are concatenated, with a space inserted for kern offsets at
+or below ``KERN_SPACE_THRESHOLD`` (pypdf's plain extraction inserts spaces
+for large negative offsets the same way).
 
-Real-world PDFs are far messier (encodings, CMaps, object streams); this is
-explicitly a subset implementation — the UDF surface, fixture builder and
-field semantics are real, the codec breadth is not.  A production deployment
-swaps `extract_pdf_text` for a pypdf call with identical outputs.
+Real-world PDFs are still messier (encodings, CMaps, object streams, xref
+streams, DecodeParms predictors); those remain out of subset — the UDF
+surface, fixture builder and field semantics are real, full codec breadth
+is not.  A production deployment swaps `extract_pdf_text` for a pypdf call
+with identical outputs.
 """
 
 from __future__ import annotations
 
+import base64
 import re
 import zlib
 from dataclasses import dataclass, field
 
 _STREAM_RE = re.compile(rb"<<(.*?)>>\s*stream\r?\n(.*?)\r?\nendstream", re.DOTALL)
-_TJ_RE = re.compile(rb"\(((?:[^()\\]|\\.)*)\)\s*(?:Tj|')")
-_TJ_ARRAY_RE = re.compile(rb"\[((?:[^\[\]])*)\]\s*TJ")
-_ARRAY_STR_RE = re.compile(rb"\(((?:[^()\\]|\\.)*)\)")
+# one-pass show-text scan preserving operator ORDER: group 1 = Tj / '
+# literal, group 2 = TJ array body (strings + kern numbers)
+_SHOW_RE = re.compile(
+    rb"\(((?:[^()\\]|\\.)*)\)\s*(?:Tj|')" rb"|\[((?:\((?:[^()\\]|\\.)*\)|[^\[\]()])*)\]\s*TJ"
+)
+_ARRAY_TOK_RE = re.compile(rb"\(((?:[^()\\]|\\.)*)\)|(-?\d+(?:\.\d+)?)")
 _URI_RE = re.compile(rb"/URI\s*\(((?:[^()\\]|\\.)*)\)")
 _TEXT_URL_RE = re.compile(r"https?://[^\s<>\")\]]+")
+_FILTER_RE = re.compile(rb"/Filter\s*(\[(?:[^\]]*)\]|/\w+)")
+_FILTER_NAME_RE = re.compile(rb"/(\w+)")
+
+# a TJ kern offset at or below this (thousandths of an em) reads as a word
+# gap; smaller offsets are intra-word kerning and concatenate directly
+KERN_SPACE_THRESHOLD = -180.0
 
 _ESCAPES = {b"\\n": b"\n", b"\\r": b"\r", b"\\t": b"\t", b"\\(": b"(", b"\\)": b")", b"\\\\": b"\\"}
 
@@ -35,6 +51,140 @@ def _unescape(raw: bytes) -> str:
         raw = raw.replace(esc, repl)
     raw = re.sub(rb"\\([0-7]{1,3})", lambda m: bytes([int(m.group(1), 8) & 0xFF]), raw)
     return raw.decode("latin-1")
+
+
+# -- stream filters (PDF 32000-1:2008 §7.4) -----------------------------------
+def lzw_decode(data: bytes) -> bytes:
+    """LZWDecode: big-endian variable-width codes, 9→12 bits, clear=256,
+    EOD=257, EarlyChange=1 (the PDF default — code width grows one code
+    early).  DecodeParms predictors are out of subset."""
+    table: dict[int, bytes] = {i: bytes([i]) for i in range(256)}
+    next_code, width = 258, 9
+    prev: bytes | None = None
+    out = bytearray()
+    bitbuf = nbits = 0
+    for byte in data:
+        bitbuf = (bitbuf << 8) | byte
+        nbits += 8
+        while nbits >= width:
+            code = (bitbuf >> (nbits - width)) & ((1 << width) - 1)
+            nbits -= width
+            if code == 256:  # clear table
+                table = {i: bytes([i]) for i in range(256)}
+                next_code, width, prev = 258, 9, None
+                continue
+            if code == 257:  # EOD
+                return bytes(out)
+            if prev is None:
+                entry = table[code]
+            else:
+                if code in table:
+                    entry = table[code]
+                elif code == next_code:
+                    entry = prev + prev[:1]  # KwKwK case
+                else:
+                    raise ValueError(f"bad LZW code {code}")
+                table[next_code] = prev + entry[:1]
+                next_code += 1
+                if next_code >= (1 << width) - 1 and width < 12:  # early change
+                    width += 1
+            out += entry
+            prev = entry
+    return bytes(out)
+
+
+def lzw_encode(data: bytes) -> bytes:
+    """LZW encoder (EarlyChange=1) for fixture building — the exact inverse
+    of :func:`lzw_decode` (round-trip pytest-gated)."""
+    table: dict[bytes, int] = {bytes([i]): i for i in range(256)}
+    next_code, width = 258, 9
+    out = bytearray()
+    bitbuf = nbits = 0
+
+    def emit(code: int) -> None:
+        nonlocal bitbuf, nbits
+        bitbuf = (bitbuf << width) | code
+        nbits += width
+        while nbits >= 8:
+            out.append((bitbuf >> (nbits - 8)) & 0xFF)
+            nbits -= 8
+
+    emit(256)  # leading clear, as pdf encoders emit
+    w = b""
+    for ch in data:
+        c = bytes([ch])
+        if w + c in table:
+            w += c
+            continue
+        emit(table[w])
+        if next_code < (1 << 12) - 2:  # fixture streams never fill the table
+            table[w + c] = next_code
+            next_code += 1
+            # the decoder's table lags one entry behind, so its early-change
+            # threshold (2^w - 1) pairs with 2^w here — see test_lzw_roundtrip
+            if next_code >= (1 << width) and width < 12:
+                width += 1
+        w = c
+    if w:
+        emit(table[w])
+    emit(257)  # EOD
+    if nbits:
+        out.append((bitbuf << (8 - nbits)) & 0xFF)
+    return bytes(out)
+
+
+def ascii_hex_decode(data: bytes) -> bytes:
+    """ASCIIHexDecode: hex pairs, whitespace ignored, '>' terminates; an odd
+    final digit is padded with 0."""
+    body = data.split(b">")[0]
+    digits = re.sub(rb"\s+", b"", body)
+    if len(digits) % 2:
+        digits += b"0"
+    return bytes.fromhex(digits.decode("ascii"))
+
+
+def ascii85_decode(data: bytes) -> bytes:
+    """ASCII85Decode: Adobe ascii85 with 'z' groups; optional leading <~ and
+    trailing ~> delimiters; whitespace ignored."""
+    body = re.sub(rb"\s+", b"", data)
+    if body.startswith(b"<~"):
+        body = body[2:]
+    end = body.find(b"~>")
+    if end != -1:
+        body = body[:end]
+    return base64.a85decode(body, adobe=False)
+
+
+_FILTER_FUNCS = {
+    b"FlateDecode": zlib.decompress,
+    b"Fl": zlib.decompress,
+    b"LZWDecode": lzw_decode,
+    b"LZW": lzw_decode,
+    b"ASCIIHexDecode": ascii_hex_decode,
+    b"AHx": ascii_hex_decode,
+    b"ASCII85Decode": ascii85_decode,
+    b"A85": ascii85_decode,
+}
+
+
+def stream_filters(dict_part: bytes) -> list[bytes]:
+    """Ordered /Filter names from a stream dictionary (name or array form)."""
+    m = _FILTER_RE.search(dict_part)
+    if not m:
+        return []
+    return _FILTER_NAME_RE.findall(m.group(1))
+
+
+def decode_stream(dict_part: bytes, stream: bytes) -> bytes:
+    """Apply the stream's filter chain in declaration order.  Raises on an
+    unsupported filter or corrupt data (callers skip such streams)."""
+    data = stream
+    for name in stream_filters(dict_part):
+        fn = _FILTER_FUNCS.get(name)
+        if fn is None:
+            raise ValueError(f"unsupported PDF filter {name!r}")
+        data = fn(data)
+    return data
 
 
 @dataclass
@@ -58,17 +208,24 @@ def extract_pdf_text(body: bytes) -> PdfDoc:
     parts: list[str] = []
     for dict_part, stream in _STREAM_RE.findall(body):
         out.n_streams += 1
-        data = stream
-        if b"FlateDecode" in dict_part:
-            try:
-                data = zlib.decompress(stream)
-            except zlib.error:
-                continue
-        frags = [_unescape(m) for m in _TJ_RE.findall(data)]
-        for arr in _TJ_ARRAY_RE.findall(data):
-            frags.extend(_unescape(m) for m in _ARRAY_STR_RE.findall(arr))
+        try:
+            data = decode_stream(dict_part, stream)
+        except (ValueError, zlib.error):
+            continue
+        frags: list[str] = []
+        for m in _SHOW_RE.finditer(data):
+            if m.group(1) is not None:  # Tj / '
+                frags.append(_unescape(m.group(1)))
+            else:  # TJ kerning array: concat pieces, big kern gap -> space
+                pieces: list[str] = []
+                for t in _ARRAY_TOK_RE.finditer(m.group(2)):
+                    if t.group(1) is not None:
+                        pieces.append(_unescape(t.group(1)))
+                    elif float(t.group(2)) <= KERN_SPACE_THRESHOLD:
+                        pieces.append(" ")
+                frags.append("".join(pieces))
         if frags:
-            parts.append(" ".join(frags))
+            parts.append(" ".join(f for f in frags if f))
     out.text = " ".join(p for p in parts if p).strip()
 
     seen: set[str] = set()
@@ -142,24 +299,51 @@ def convert_pdf(body: bytes, url: str) -> dict:
     }
 
 
+_FIXTURE_ENCODERS = {
+    "FlateDecode": zlib.compress,
+    "LZWDecode": lzw_encode,
+    "ASCIIHexDecode": lambda b: b.hex().encode("ascii") + b">",
+    "ASCII85Decode": lambda b: base64.a85encode(b) + b"~>",
+}
+
+
 def make_simple_pdf(
     text_lines: list[str],
     annot_uris: list[str] | None = None,
     compress: bool = True,
     info: dict[str, str] | None = None,
+    filters: list[str] | None = None,
+    tj_arrays: list[list[str | float]] | None = None,
 ) -> bytes:
     """Deterministic single-page PDF builder for fixtures (valid enough for
-    this parser and for visual inspection; classic xref layout)."""
+    this parser and for visual inspection; classic xref layout).
+
+    ``filters``: ordered decode-side filter chain (e.g.
+    ``["ASCII85Decode", "FlateDecode"]``); overrides ``compress``.
+    ``tj_arrays``: extra show-text TJ kerning arrays, each a list of string
+    pieces and numeric kern offsets (e.g. ``[["Hel", -30, "lo"]]``).
+    """
 
     def esc(s: str) -> str:
         return s.replace("\\", r"\\").replace("(", r"\(").replace(")", r"\)")
 
-    content = "BT /F1 12 Tf 72 720 Td " + " T* ".join(f"({esc(ln)}) Tj" for ln in text_lines) + " ET"
+    ops = [f"({esc(ln)}) Tj" for ln in text_lines]
+    for arr in tj_arrays or []:
+        toks = " ".join(f"({esc(t)})" if isinstance(t, str) else f"{t:g}" for t in arr)
+        ops.append(f"[{toks}] TJ")
+    content = "BT /F1 12 Tf 72 720 Td " + " T* ".join(ops) + " ET"
     stream = content.encode("latin-1")
-    filt = b""
-    if compress:
-        stream = zlib.compress(stream)
-        filt = b"/Filter /FlateDecode "
+    if filters is None:
+        filters = ["FlateDecode"] if compress else []
+    # decode order is filters[0], filters[1], ... -> encode in REVERSE
+    for name in reversed(filters):
+        stream = _FIXTURE_ENCODERS[name](stream)
+    if not filters:
+        filt = b""
+    elif len(filters) == 1:
+        filt = f"/Filter /{filters[0]} ".encode()
+    else:
+        filt = ("/Filter [" + " ".join(f"/{n}" for n in filters) + "] ").encode()
 
     annots = b""
     annot_objs: list[bytes] = []

@@ -93,7 +93,9 @@ def minhash_lsh_pairs(
     (band_id, band_hash); AQE skew-join splits hot buckets.
     """
     rows = k // bands
-    sig = minhash_signature(docs, id_col, text_col, k).persist()
+    # localCheckpoint for the same reason as simhash_near_dup_pairs: one
+    # signature computation feeding both join sides, blocks GC-released.
+    sig = minhash_signature(docs, id_col, text_col, k).localCheckpoint(eager=True)
     band_cols = []
     for b in range(bands):
         parts = [F.col(f"minhash_{i}") for i in range(b * rows, (b + 1) * rows)]
@@ -213,7 +215,11 @@ def simhash_near_dup_pairs(
     bucket join (never a cross join).  AQE splits skewed buckets.
     """
     n_bands = max_hamming + 1
-    hashed = docs.select(F.col(id_col), simhash_64(F.col(text_col)).alias("simhash")).persist()
+    # localCheckpoint (not persist): the hash UDF runs ONCE and feeds both
+    # sides of the self-join, and the blocks are auto-released by the
+    # ContextCleaner when the returned DataFrame is dropped — a .persist()
+    # here leaked cached blocks on every call (bench/driver loops).
+    hashed = docs.select(F.col(id_col), simhash_64(F.col(text_col)).alias("simhash")).localCheckpoint(eager=True)
     bands_arr = F.array(*[c for c in simhash_bands("simhash", n_bands)])
     banded = hashed.select(
         F.col(id_col), F.col("simhash"), F.posexplode(bands_arr).alias("band", "bval")

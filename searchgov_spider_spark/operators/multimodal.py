@@ -2,17 +2,24 @@
 
 Image/audio/video payloads are carried as ``binary`` columns with a typed
 metadata struct; decode / feature-extraction runs through ``mapInPandas`` so
-each Arrow batch is processed vectorized.  The actual codec step is STUBBED
-(decode libraries are not present in this environment): ``fake_decode=True``
-produces a deterministic hash-derived feature vector so the Spark-side
-plumbing — schema, partitioning, batch shape, UDF signature — is fully real
-and testable; ``fake_decode=False`` raises NotImplementedError where a real
-pillow/ffmpeg call would go.
+each Arrow batch is processed vectorized.
+
+Two decode depths:
+  * REAL: image dimensions are parsed from the container headers in pure
+    Python — PNG IHDR and JPEG SOFn need no pillow — so the width/height
+    path is a genuine decoder, not a stub.
+  * STUBBED: pixel/sample feature extraction (the pillow/ffmpeg step) —
+    ``fake_decode=True`` produces a deterministic hash-derived unit vector
+    so the Spark-side plumbing (schema, partitioning, batch shape, UDF
+    signature) is fully real and testable; ``fake_decode=False`` raises
+    NotImplementedError where the real library call would go.
 """
 
 from __future__ import annotations
 
 import hashlib
+import struct
+import zlib
 from collections.abc import Iterator
 
 import numpy as np
@@ -46,10 +53,84 @@ FEATURE_SCHEMA = T.StructType(
         T.StructField("media_type", T.StringType()),
         T.StructField("feature", T.ArrayType(T.FloatType())),
         T.StructField("n_bytes", T.IntegerType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
     ]
 )
 
 FEATURE_DIM = 16
+
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+_JPEG_SOF_MARKERS = frozenset(range(0xC0, 0xD0)) - {0xC4, 0xC8, 0xCC}
+
+
+def png_dims(payload: bytes) -> tuple[int, int] | None:
+    """(width, height) from a PNG IHDR chunk — pure header decode."""
+    if len(payload) < 24 or not payload.startswith(_PNG_SIG) or payload[12:16] != b"IHDR":
+        return None
+    w, h = struct.unpack(">II", payload[16:24])
+    return (w, h)
+
+
+def jpeg_dims(payload: bytes) -> tuple[int, int] | None:
+    """(width, height) from the first JPEG SOFn segment — marker walk."""
+    if len(payload) < 4 or payload[:2] != b"\xff\xd8":
+        return None
+    pos = 2
+    while pos + 4 <= len(payload):
+        if payload[pos] != 0xFF:
+            return None
+        marker = payload[pos + 1]
+        if marker == 0xD9:  # EOI
+            return None
+        if 0xD0 <= marker <= 0xD7 or marker == 0x01:  # standalone markers
+            pos += 2
+            continue
+        if pos + 4 > len(payload):
+            return None
+        seg_len = struct.unpack(">H", payload[pos + 2 : pos + 4])[0]
+        if marker in _JPEG_SOF_MARKERS:
+            if pos + 9 > len(payload):
+                return None
+            h, w = struct.unpack(">HH", payload[pos + 5 : pos + 9])
+            return (w, h)
+        pos += 2 + seg_len
+    return None
+
+
+def image_dims(payload: bytes) -> tuple[int, int] | None:
+    """Container-header dimension decode for the formats we recognize."""
+    return png_dims(payload) or jpeg_dims(payload)
+
+
+def make_png(width: int, height: int, body_seed: bytes = b"") -> bytes:
+    """Minimal structurally-valid PNG (signature + IHDR + IDAT + IEND) for
+    fixtures — correct CRCs, deterministic."""
+
+    def chunk(ctype: bytes, data: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(data))
+            + ctype
+            + data
+            + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, 0, 0, 0, 0)  # 8-bit gray
+    idat = zlib.compress(body_seed or b"\x00")
+    return _PNG_SIG + chunk(b"IHDR", ihdr) + chunk(b"IDAT", idat) + chunk(b"IEND", b"")
+
+
+def make_jpeg(width: int, height: int, body_seed: bytes = b"") -> bytes:
+    """Minimal JPEG byte stream (SOI + APP0 JFIF + SOF0 + EOI) for fixtures."""
+    app0 = b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00"
+    sof0 = struct.pack(">BHHB", 8, height, width, 1) + b"\x01\x11\x00"
+    return (
+        b"\xff\xd8"
+        + b"\xff\xe0" + struct.pack(">H", len(app0) + 2) + app0
+        + b"\xff\xc0" + struct.pack(">H", len(sof0) + 2) + sof0
+        + body_seed
+        + b"\xff\xd9"
+    )
 
 
 def _fake_features(payload: bytes, dim: int = FEATURE_DIM) -> np.ndarray:
@@ -62,17 +143,27 @@ def _fake_features(payload: bytes, dim: int = FEATURE_DIM) -> np.ndarray:
 
 
 def extract_features(media: DataFrame, fake_decode: bool = True) -> DataFrame:
-    """Batch feature extraction over binary media via mapInPandas."""
+    """Batch feature extraction over binary media via mapInPandas.
+
+    width/height come from a REAL pure-Python container-header decode (PNG
+    IHDR / JPEG SOFn; null for other payloads); the pixel-level feature
+    vector is the documented deterministic stub unless ``fake_decode=False``
+    (NotImplementedError — pillow/ffmpeg absent here)."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            feats, nbytes = [], []
+            feats, nbytes, widths, heights = [], [], [], []
             for payload in pdf["payload"]:
                 if payload is None:
                     feats.append(None)
                     nbytes.append(0)
+                    widths.append(None)
+                    heights.append(None)
                     continue
                 raw = bytes(payload)
+                dims = image_dims(raw)
+                widths.append(dims[0] if dims else None)
+                heights.append(dims[1] if dims else None)
                 if not fake_decode:
                     raise NotImplementedError(
                         "real media decode requires pillow/ffmpeg; not available in this environment"
@@ -85,6 +176,8 @@ def extract_features(media: DataFrame, fake_decode: bool = True) -> DataFrame:
                     "media_type": pdf["media_type"],
                     "feature": feats,
                     "n_bytes": pd.Series(nbytes, dtype="int32"),
+                    "width": pd.Series(widths, dtype="Int32"),
+                    "height": pd.Series(heights, dtype="Int32"),
                 }
             )
 
@@ -92,10 +185,19 @@ def extract_features(media: DataFrame, fake_decode: bool = True) -> DataFrame:
 
 
 def synthetic_media(spark, n: int = 64) -> DataFrame:
-    """Deterministic fake media table for plumbing tests."""
+    """Deterministic fake media table for plumbing tests: image rows carry
+    REAL PNG/JPEG containers (alternating) with deterministic dimensions;
+    audio/video stay opaque hash blobs."""
     rows = []
     for i in range(n):
         mtype = ("image", "audio", "video")[i % 3]
-        payload = hashlib.blake2b(f"media:{i}".encode(), digest_size=64).digest() * (i % 4 + 1)
-        rows.append((i, mtype, bytearray(payload), (64, 64, 1000 * (i % 7), "fake")))
+        blob = hashlib.blake2b(f"media:{i}".encode(), digest_size=64).digest() * (i % 4 + 1)
+        if mtype == "image":
+            w, h = 16 + (i % 9) * 8, 12 + (i % 5) * 16
+            payload = make_png(w, h, blob) if i % 2 == 0 else make_jpeg(w, h, blob)
+            meta = (w, h, 0, "png" if i % 2 == 0 else "jpeg")
+        else:
+            payload = blob
+            meta = (None, None, 1000 * (i % 7), "fake")
+        rows.append((i, mtype, bytearray(payload), meta))
     return spark.createDataFrame(rows, schema=MEDIA_SCHEMA)

@@ -11,11 +11,64 @@ numpy pandas UDF (one matmul per Arrow batch).
 
 from __future__ import annotations
 
+import logging
+import math
+
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
+
+logger = logging.getLogger(__name__)
+
+
+def derive_srp_params(
+    threshold: float,
+    n_rows: int,
+    target_recall: float = 0.99,
+    candidates_per_row: float = 8.0,
+    min_bits: int = 8,
+    max_bits: int = 32,
+    max_bands: int = 128,
+) -> tuple[int, int]:
+    """Corpus-scale (bits, bands) for OR-amplified SRP-LSH.
+
+    Per-band collision probability for a pair at angle θ is
+    p(θ) = (1 - θ/π)^bits; OR-amplified recall over ``bands`` tables is
+    1 - (1 - p)^bands.  A RANDOM pair (θ ≈ π/2) collides in some band with
+    probability ≈ bands · 2^-bits, so the expected number of random
+    candidate pairs is ≈ n² /2 · bands · 2^-bits — QUADRATIC in n unless
+    bits grows with log2(n).  This picks the smallest bits whose recall-
+    driven band count keeps expected random candidates ≤
+    ``candidates_per_row`` · n (linear in n), i.e.
+    bands · 2^-bits · n ≤ 2 · candidates_per_row.
+    """
+    theta = math.acos(min(max(threshold, -1.0), 1.0))
+    p1 = 1.0 - theta / math.pi
+    n = max(int(n_rows), 1)
+    for bits in range(min_bits, max_bits + 1):
+        p_band = p1**bits
+        if p_band >= 1.0:
+            bands = 1
+        elif p_band <= 0.0:
+            continue
+        else:
+            bands = max(1, math.ceil(math.log(1.0 - target_recall) / math.log(1.0 - p_band)))
+        if bands > max_bands:
+            continue
+        rand_ratio = bands * 2.0**-bits
+        if rand_ratio * n <= 2.0 * candidates_per_row:
+            return bits, bands
+    # budget unreachable: densest table available (max selectivity; recall
+    # lands just under target when max_bands binds)
+    best = (max_bits, max_bands)
+    logger.warning(
+        "derive_srp_params: candidate budget not met within bits<=%d/bands<=%d "
+        "for n=%d — using bits=%d bands=%d (expected random candidate pairs ~%.2g)",
+        max_bits, max_bands, n, best[0], best[1], best[1] * 2.0 ** -best[0] * n * n / 2,
+    )
+    return best
 
 
 def _dot_expr(a: str, b: str) -> str:
@@ -108,25 +161,57 @@ def embedding_near_dup_pairs(
     embeddings: DataFrame,
     dim: int,
     threshold: float = 0.95,
-    bits: int = 8,
-    bands: int = 12,
+    bits: int | None = None,
+    bands: int | None = None,
     seed: int = 42,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    n_rows: int | None = None,
+    target_recall: float = 0.99,
+    candidates_per_row: float = 8.0,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs via OR-amplified SRP-LSH.
 
     ``bands`` independent tables of ``bits`` hyperplanes each (mirroring
     minhash_lsh_pairs): a pair is a candidate when it shares ANY band's
     bucket, then exact cosine keeps precision.  Recall for a pair at angle
-    θ is 1 - (1 - (1-θ/π)^bits)^bands — at the defaults (8 bits × 12 bands)
-    ≈ 0.999 for cosine 0.95, vs ≈ 0.2 for a single table.
+    θ is 1 - (1 - (1-θ/π)^bits)^bands.
+
+    Parameters are CORPUS-SCALE by default: when bits/bands are not given
+    they are derived by :func:`derive_srp_params` from the corpus size
+    (``n_rows``, counted if absent) so that recall ≥ ``target_recall`` at
+    ``threshold`` while expected RANDOM-pair candidates stay ≤
+    ``candidates_per_row`` per row — a fixed small bits (e.g. 8) makes a
+    random pair collide in some band with probability bands/2^bits, which
+    is quadratic blow-up at 10⁹ rows; bits must grow ~log2(n).
 
     Scale shape: only (id, band, bucket) rows go through the candidate
     self-join (vectors are NOT exploded per band); vectors are joined back
     for exact verification of the distinct candidate set.  The shuffle is
     bucket-local per band, never a full cross join; AQE splits hot buckets.
     """
+    if bits is None or bands is None:
+        if n_rows is None:
+            n_rows = embeddings.count()
+        d_bits, d_bands = derive_srp_params(
+            threshold, n_rows, target_recall=target_recall, candidates_per_row=candidates_per_row
+        )
+        bits = bits if bits is not None else d_bits
+        if bands is None:
+            # recall-driven band count for the CHOSEN bits
+            theta = math.acos(min(max(threshold, -1.0), 1.0))
+            p_band = (1.0 - theta / math.pi) ** bits
+            bands = (
+                1
+                if p_band >= 1.0
+                else max(1, math.ceil(math.log(1.0 - target_recall) / math.log(1.0 - p_band)))
+            )
+    exp_ratio = bands * 2.0**-bits
+    logger.info(
+        "embedding_near_dup_pairs: bits=%d bands=%d — random-pair candidate ratio ~%.3g%s",
+        bits, bands, exp_ratio,
+        f" (~{exp_ratio * n_rows:.1f} expected random candidates/row at n={n_rows})" if n_rows else "",
+    )
     banded = with_lsh_bands(embeddings, dim, bits, bands, seed, vec_col).select(
         F.col(id_col), F.posexplode("bands").alias("band", "bucket")
     )
@@ -173,18 +258,30 @@ def kmeans_centroids(sample: np.ndarray, k: int, iters: int = 10) -> np.ndarray:
     return centroids
 
 
+def derive_sample_mod(n_rows: int, target_sample: int = 4096) -> int:
+    """Modulus that bounds the ``id % mod == 0`` quantizer sample to
+    ~``target_sample`` rows regardless of corpus size."""
+    return max(1, math.ceil(max(int(n_rows), 1) / max(int(target_sample), 1)))
+
+
 def ivf_build(
     embeddings: DataFrame,
     dim: int,
     n_cells: int = 16,
-    sample_mod: int = 10,
+    sample_mod: int | None = None,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    target_sample: int = 4096,
 ) -> np.ndarray:
     """IVF coarse quantizer from a bounded deterministic sample
-    (``id % sample_mod == 0`` — replicable without Spark).  The collect is
-    n/sample_mod rows of dim floats: driver-bounded by construction; at
-    100 TB the sample_mod scales with n to keep the sample fixed-size."""
+    (``id % sample_mod == 0`` — replicable without Spark).
+
+    ``sample_mod`` defaults to ceil(n / target_sample) from a cheap
+    count(), so the driver collect is FIXED-SIZE (~target_sample rows of
+    dim floats) by construction at any corpus scale — a constant modulus
+    would make the collect O(n)."""
+    if sample_mod is None:
+        sample_mod = derive_sample_mod(embeddings.count(), target_sample)
     rows = (
         embeddings.filter(F.col(id_col) % sample_mod == 0)
         .select(id_col, vec_col)
@@ -220,7 +317,7 @@ def ann_topk_ivf(
     k: int = 10,
     n_cells: int = 16,
     nprobe: int = 4,
-    sample_mod: int = 10,
+    sample_mod: int | None = None,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     centroids: np.ndarray | None = None,

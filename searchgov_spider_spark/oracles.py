@@ -228,18 +228,62 @@ def q26_ann_lsh(k: int = 10, bits: int = 8) -> str:
 
 
 def q27_multimodal_features(n: int = 96) -> str:
-    """Single-node run of the deterministic media synth + fake decoder."""
-    from .operators.multimodal import _fake_features
+    """Independent re-derivation of the multimodal path: the PNG/JPEG
+    containers and the hash-feature formula are rebuilt HERE, importing
+    nothing from operators.multimodal — and the expected width/height come
+    from the fixture FORMULA, not from re-parsing the header, so a broken
+    header writer or dims decoder cannot self-verify."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    def png(w: int, h: int, body: bytes) -> bytes:
+        def chunk(ctype: bytes, data: bytes) -> bytes:
+            return (
+                struct.pack(">I", len(data)) + ctype + data
+                + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
+            )
+
+        return (
+            b"\x89PNG\r\n\x1a\n"
+            + chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, 8, 0, 0, 0, 0))
+            + chunk(b"IDAT", zlib.compress(body or b"\x00"))
+            + chunk(b"IEND", b"")
+        )
+
+    def jpeg(w: int, h: int, body: bytes) -> bytes:
+        app0 = b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00"
+        sof0 = struct.pack(">BHHB", 8, h, w, 1) + b"\x01\x11\x00"
+        return (
+            b"\xff\xd8"
+            + b"\xff\xe0" + struct.pack(">H", len(app0) + 2) + app0
+            + b"\xff\xc0" + struct.pack(">H", len(sof0) + 2) + sof0
+            + body + b"\xff\xd9"
+        )
+
+    def feat0(payload: bytes, dim: int = 16) -> float:
+        digest = hashlib.blake2b(payload, digest_size=dim * 4).digest()
+        arr = np.frombuffer(digest, dtype=np.uint32).astype(np.float32)
+        arr = (arr / np.float32(2**32)) * 2 - 1
+        norm = float(np.linalg.norm(arr)) or 1.0
+        return float((arr / norm)[0])
 
     rows = []
     for i in range(n):
         mtype = ("image", "audio", "video")[i % 3]
-        payload = hashlib.blake2b(f"media:{i}".encode(), digest_size=64).digest() * (i % 4 + 1)
-        f0 = _round_half_up(float(_fake_features(payload)[0]), 5)
-        rows.append((i, mtype, len(payload), f0))
+        blob = hashlib.blake2b(f"media:{i}".encode(), digest_size=64).digest() * (i % 4 + 1)
+        if mtype == "image":
+            w, h = 16 + (i % 9) * 8, 12 + (i % 5) * 16
+            payload = png(w, h, blob) if i % 2 == 0 else jpeg(w, h, blob)
+        else:
+            w = h = None
+            payload = blob
+        rows.append((i, mtype, len(payload), _round_half_up(feat0(payload), 5), w, h))
     return _values(
         rows,
-        [("media_id", "BIGINT"), ("media_type", "VARCHAR"), ("n_bytes", "INTEGER"), ("f0", "DOUBLE")],
+        [("media_id", "BIGINT"), ("media_type", "VARCHAR"), ("n_bytes", "INTEGER"),
+         ("f0", "DOUBLE"), ("width", "INTEGER"), ("height", "INTEGER")],
     )
 
 
@@ -387,16 +431,23 @@ def q33_sitemap_expand() -> str:
 
 
 def q36_pdf_extraction(n: int = 64) -> str:
-    """Single-node pdfx.convert_pdf run over the same deterministic fixtures
-    (the distributed side adds only the Arrow/struct plumbing)."""
-    from .kernels import pdfx
-    from .queries import _pdf_fixture
+    """GOLDEN rows for the PDF pipeline: literal expected outputs checked in
+    at golden/q36_pdf_golden.json (hand-spot-checked: every codec branch
+    decodes, TJ kerning renders 'Section i', links are annot-first deduped,
+    exif dates ISO-format).  The oracle imports nothing from kernels/pdfx —
+    a kernel regression cannot self-verify.  Regenerate deliberately with
+    scripts/regen_q36_golden.py when the fixtures change."""
+    import json
+    import os
 
-    rows = []
-    for i in range(n):
-        url, pdf = _pdf_fixture(i)
-        doc = pdfx.convert_pdf(pdf, url)
-        rows.append((url, doc["title"], doc["content"], len(doc["links"]), doc["created_at"], doc["changed"]))
+    path = os.path.join(os.path.dirname(__file__), "golden", "q36_pdf_golden.json")
+    with open(path) as f:
+        golden = json.load(f)
+    assert len(golden) == n, f"golden rows {len(golden)} != fixture count {n}"
+    rows = [
+        (g["url"], g["title"], g["content"], g["n_links"], g["created_at"], g["changed"])
+        for g in golden
+    ]
     return _values(
         rows,
         [("url", "VARCHAR"), ("title", "VARCHAR"), ("content", "VARCHAR"),
@@ -404,19 +455,38 @@ def q36_pdf_extraction(n: int = 64) -> str:
     )
 
 
-def q38_ann_ivf(k: int = 10, n_cells: int = 16, nprobe: int = 4, sample_mod: int = 10) -> str:
-    """numpy replication of the IVF path: same deterministic sample, same
-    Lloyd iterations, same expansion-formula assignment, same left-fold cosine."""
+def q38_ann_ivf(k: int = 10, n_cells: int = 16, nprobe: int = 4, sample_mod: int | None = None) -> str:
+    """numpy replication of the IVF path: same deterministic sample (with
+    the same size-derived modulus), same Lloyd iterations (re-implemented
+    here, NOT imported from the operator, so a kernel bug can't
+    self-verify), same expansion-formula assignment, same left-fold cosine."""
+    import math
+
     import numpy as np
 
-    from .operators.similarity import kmeans_centroids
+    def _lloyd(sample: np.ndarray, k_: int, iters: int = 10) -> np.ndarray:
+        # independent re-derivation of the documented quantizer contract:
+        # init = first k sample rows, fixed iterations, empty cells keep
+        # their previous centroid, float64 throughout
+        k_ = min(k_, len(sample))
+        cents = sample[:k_].astype(np.float64).copy()
+        data = sample.astype(np.float64)
+        for _ in range(iters):
+            assign = ((data[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2).argmin(axis=1)
+            for c_ in range(k_):
+                members = data[assign == c_]
+                if len(members):
+                    cents[c_] = members.mean(axis=0)
+        return cents
 
     emb = _embeddings()
+    if sample_mod is None:
+        sample_mod = max(1, math.ceil(len(emb) / 4096))
     qvec = [float(x) for x in next(e for i, e in emb if i == 0)]
     sample = np.array(
         [[float(x) for x in e] for i, e in sorted(emb) if i % sample_mod == 0], dtype=np.float64
     )
-    centroids = kmeans_centroids(sample, n_cells)
+    centroids = _lloyd(sample, n_cells)
     q = np.asarray(qvec, dtype=np.float64)
     probes = set(int(i) for i in np.argsort(((centroids - q[None, :]) ** 2).sum(axis=1), kind="stable")[:nprobe])
     mat = np.stack([np.asarray(e, dtype=np.float32) for _, e in emb]).astype(np.float64)

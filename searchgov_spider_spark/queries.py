@@ -7,9 +7,11 @@ supplier part orders lineitem events documents embeddings).  Column names and
 rounding are aligned on both sides (the driver hash-compares values after
 sorting columns by name).
 
-Non-SQL-expressible operators (crawl BFS, simhash, LSH, multimodal) have no
-oracle entry — the driver records a rows-only check; their correctness gates
-live in tests/ against pure-Python oracles instead.
+EVERY query has an oracle: relational flows as literal ANSI SQL here, and
+non-SQL-expressible operators (crawl BFS, simhash, LSH, multimodal, PDF,
+IVF) via dynamically-built VALUES oracles in oracles.py — single-node
+re-derivations (pure-Python BFS, brute-force all-pairs SQL, independent
+numpy/struct reimplementations) rendered to SQL the driver runs in DuckDB.
 """
 
 from __future__ import annotations
@@ -352,7 +354,8 @@ def q26_ann_lsh(spark, sf_dir):
 
 
 def q27_multimodal_features(spark, sf_dir):
-    """Binary-media feature plumbing via mapInPandas (decode stubbed)."""
+    """Binary-media plumbing via mapInPandas: REAL PNG/JPEG header decode
+    for width/height, deterministic stub for the pixel-feature vector."""
     from .operators import multimodal
 
     media = multimodal.synthetic_media(spark, n=96)
@@ -363,6 +366,7 @@ def q27_multimodal_features(spark, sf_dir):
     return feats.select(
         "media_id", "media_type", "n_bytes",
         F.round(F.element_at("feature", 1).cast("double"), 5).alias("f0"),
+        "width", "height",
     )
 
 
@@ -488,13 +492,25 @@ def q34_embedding_near_dup(spark, sf_dir):
     from .operators import similarity
 
     emb = _embeddings_with_dups(spark, sf_dir)
-    return similarity.embedding_near_dup_pairs(emb, dim=64, threshold=0.95, bits=8).select(
+    # bits/bands derived from corpus size (scale-safe defaults)
+    return similarity.embedding_near_dup_pairs(emb, dim=64, threshold=0.95).select(
         "id_a", "id_b", F.round("cosine", 4).alias("cosine")
     )
 
 
+_PDF_FILTER_ROTATION: list[list[str]] = [
+    ["FlateDecode"],
+    [],  # plain stream
+    ["LZWDecode"],
+    ["ASCIIHexDecode"],
+    ["ASCII85Decode", "FlateDecode"],  # filter chain
+]
+
+
 def _pdf_fixture(i: int) -> tuple[str, bytes]:
-    """Deterministic PDF fixture i: half compressed, every 4th carries an
+    """Deterministic PDF fixture i: the stream filter rotates through every
+    supported codec branch (flate / plain / LZW / asciihex / a85+flate
+    chain), every 3rd page adds a TJ kerning array, every 4th carries an
     /Info dict (Title + exif dates) — shared with the q36 oracle builder."""
     from .kernels import pdfx
 
@@ -506,11 +522,13 @@ def _pdf_fixture(i: int) -> tuple[str, bytes]:
             "CreationDate": f"D:2024011{i % 10}120000Z00'00'",
             "ModDate": f"D:2024021{i % 10}080000-04'00'",
         }
+    tj = [["Sec", -30.0, "tion", -250.0, f"{i}"]] if i % 3 == 0 else None
     pdf = pdfx.make_simple_pdf(
         [f"Annual report number {i}.", f"See https://host0.example.gov/ref{i} for data."],
         annot_uris=[f"https://host0.example.gov/annot{i}"],
-        compress=(i % 2 == 0),
         info=info,
+        filters=_PDF_FILTER_ROTATION[i % 5],
+        tj_arrays=tj,
     )
     return url, pdf
 

@@ -10,6 +10,13 @@ round-at-a-time cap, deferred URLs survive across micro-batches in the
 state store, so a burst against one host drains at the politeness rate
 while other hosts flow unimpeded.
 
+Backlogs drain even when the host goes quiet: whenever rows are deferred,
+the group arms a ``ProcessingTimeTimeout``; on a later trigger the group is
+re-invoked with ``state.hasTimedOut`` (and an empty input iterator) and
+flushes another budget's worth, re-arming until the queue is empty.  With
+``NoTimeout`` a burst's tail would be stranded in the state store forever
+once no new rows arrive for that host.
+
 State per host: (tokens, pending urls, pending seqs) — bounded by the
 per-host backlog, partitioned by the groupBy(host) shuffle, checkpointed by
 Structured Streaming's state store (resumable, like everything else here).
@@ -45,16 +52,21 @@ def rate_limited_frontier(
     urls: DataFrame,
     capacity: float = 2.0,
     refill_per_batch: float = 2.0,
+    flush_timeout_ms: int = 100,
 ) -> DataFrame:
     """Streaming per-host FIFO admission under a token bucket.
 
     ``urls`` is a streaming DataFrame with (host, url_canon, seq); returns
     the admitted stream.  Tokens start at ``capacity``; each admitted URL
     spends one; ``refill_per_batch`` tokens return per micro-batch (capped
-    at capacity) — the discrete analog of rate = 1/crawl_delay.
+    at capacity) — the discrete analog of rate = 1/crawl_delay.  While a
+    host has a deferred backlog its group keeps a processing-time timeout
+    armed (``flush_timeout_ms``) so the backlog drains on subsequent
+    triggers even with no new rows for that host.
     """
     cap = float(capacity)
     refill = float(refill_per_batch)
+    timeout_ms = int(flush_timeout_ms)
 
     def admit(key, pdfs: Iterator[pd.DataFrame], state: GroupState) -> Iterator[pd.DataFrame]:
         (host,) = key
@@ -63,15 +75,24 @@ def rate_limited_frontier(
             pend = pd.DataFrame({"url_canon": list(pend_urls), "seq": list(pend_seqs)})
         else:
             tokens, pend = cap, pd.DataFrame({"url_canon": [], "seq": []})
-        new = pd.concat(list(pdfs), ignore_index=True) if pdfs else pd.DataFrame()
-        if len(new):
-            new = new[["url_canon", "seq"]]
+        # Timeout invocations deliver an EMPTY iterator — concat only
+        # non-empty frames so pd.concat never sees an empty list.
+        frames = [pdf[["url_canon", "seq"]] for pdf in pdfs if len(pdf)]
+        new = (
+            pd.concat(frames, ignore_index=True)
+            if frames
+            else pd.DataFrame({"url_canon": [], "seq": []})
+        )
         queue = pd.concat([pend, new], ignore_index=True).sort_values("seq")
         take = min(len(queue), int(tokens))
         admitted = queue.head(take)
         rest = queue.iloc[take:]
         tokens = min(cap, tokens - take + refill)
         state.update((float(tokens), rest["url_canon"].tolist(), [int(s) for s in rest["seq"]]))
+        if len(rest):
+            # Re-arm: the next trigger re-invokes this group (hasTimedOut)
+            # even if no new rows arrive, so the backlog always drains.
+            state.setTimeoutDuration(timeout_ms)
         out = admitted.assign(host=host)[["host", "url_canon", "seq"]]
         out["seq"] = out["seq"].astype("int64")
         yield out
@@ -81,5 +102,5 @@ def rate_limited_frontier(
         outputStructType=OUT_SCHEMA,
         stateStructType=STATE_SCHEMA,
         outputMode="append",
-        timeoutConf=GroupStateTimeout.NoTimeout,
+        timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
     )

@@ -167,6 +167,92 @@ def test_generator_fetcher_matches_table_fetcher(spark, web, tmp_path):
     assert joined.filter("content != expected_text").count() == 0
 
 
+def test_http_fetcher_matches_table_fetcher(spark, web, tmp_path):
+    """The async HTTP client stage (S4, settings/common.py:22-27) with a
+    fake transport must produce the identical crawl as the table join."""
+    from searchgov_spider_spark.crawl.fetch import HttpFetcher
+
+    # closure (not module-level) so cloudpickle ships it by VALUE — test
+    # modules are not importable on executors
+    def _webgen_transport_factory():
+        from searchgov_spider_spark.synth import webgen as wg
+
+        sizes = wg.host_sizes(N_PAGES, N_HOSTS)
+
+        async def transport(url, policy):
+            hk = wg.url_to_hk(url)
+            if hk is None or hk[0] >= N_HOSTS or hk[1] >= sizes[hk[0]]:
+                return 404, {}, b""
+            h, k = hk
+            row = wg.build_page(h, k, sizes[h], N_HOSTS, 3, with_text=False)
+            return 200, {"Content-Language": row["lang"]}, row["html"]
+
+        return transport
+
+    policy = POLICIES["full-depth20"]
+    pages_df, robots_df = web
+    start = [webgen.page_url(0, 0)]
+    oracle = reference_crawl(_pages_dict(), _robots_dict(), start, policy)
+    engine = CrawlEngine(
+        spark, None, robots_df, policy, str(tmp_path / "httpfetch"),
+        fetcher=HttpFetcher(transport_factory=_webgen_transport_factory),
+        bloom_shards=4, bloom_bits=1 << 14,
+    )
+    run = engine.run(start, max_rounds=64)
+    seen = run.seen(spark)
+    assert [r["url_canon"] for r in seen.orderBy("seq").collect()] == oracle.order
+    docs = run.documents(spark)
+    joined = docs.select("url", "content").join(
+        pages_df.selectExpr("url", "text as expected_text"), "url"
+    )
+    assert joined.filter("content != expected_text").count() == 0
+
+
+def test_http_fetcher_downloader_semantics(spark, tmp_path):
+    """Reference downloader bounds (settings/common.py:22-27): 15 s timeout
+    analog, byte cap, non-200 -> miss, and RETRY_ENABLED=False (exactly one
+    transport call per URL, misses stay misses)."""
+    import os
+
+    from searchgov_spider_spark.crawl.fetch import FetchPolicy, HttpFetcher
+
+    markers = tmp_path / "markers"
+    markers.mkdir()
+    marker_dir = str(markers)
+
+    def _flaky_transport_factory():
+        import asyncio
+        import time
+
+        async def transport(url, policy):
+            name = url.rsplit("/", 1)[-1]
+            open(os.path.join(marker_dir, f"{name}.{time.time_ns()}"), "w").close()
+            if name == "timeout":
+                await asyncio.sleep(5)
+                return 200, {}, b"late"
+            if name == "big":
+                return 200, {}, b"x" * 200
+            if name == "err500":
+                return 500, {}, b"oops"
+            return 200, {"content-language": "en, fr"}, b"<p>ok</p>"
+
+        return transport
+
+    urls = [f"https://t.gov/{n}" for n in ("ok", "timeout", "big", "err500")]
+    df = spark.createDataFrame([(u,) for u in urls], "url_canon string")
+    fetcher = HttpFetcher(
+        transport_factory=_flaky_transport_factory,
+        policy=FetchPolicy(timeout_s=0.5, max_bytes=100),
+    )
+    got = {r["url_canon"]: (r["html"], r["lang"]) for r in fetcher.fetch(df).collect()}
+    assert got["https://t.gov/ok"] == (bytearray(b"<p>ok</p>"), "en")
+    for n in ("timeout", "big", "err500"):
+        assert got[f"https://t.gov/{n}"] == (None, None), n
+    # no retry: exactly one transport call per URL
+    calls = sorted(f.split(".")[0] for f in os.listdir(markers))
+    assert calls == ["big", "err500", "ok", "timeout"]
+
+
 def test_oracle_sanity():
     # structural sanity of the synthetic graph + oracle itself
     policy = POLICIES["full-depth20"]
@@ -244,6 +330,33 @@ def test_seed_with_query_string_is_crawled(spark, tmp_path):
     assert fetched == oracle.fetched
     assert canonicalize_url(seed) in fetched
     assert not any(u.endswith("/b?x=1") for u in fetched)
+
+
+def test_offsite_seed_is_crawled(spark, tmp_path):
+    """Regression (ADVICE r3 low): seeds bypass the OFFSITE filter too —
+    Scrapy's downloader OffsiteMiddleware exempts dont_filter requests
+    (process_request: ``if request.dont_filter or self.should_follow``), so
+    a seed outside allowed_domains IS fetched upstream, while its offsite
+    outlinks are still dropped."""
+    seed = "https://elsewhere.org/landing"
+    pages = {
+        "https://elsewhere.org/landing": '<a href="https://inside.gov/a">in</a><a href="/other">off</a>',
+        "https://elsewhere.org/other": "<p>offsite link - never fetched</p>",
+        "https://inside.gov/a": "<p>onsite leaf</p>",
+    }
+    policy = CrawlPolicy(allowed_domains=["inside.gov"], depth_limit=5)
+    oracle = reference_crawl({u: h.encode() for u, h in pages.items()}, {}, [seed], policy)
+    assert canonicalize_url(seed) in oracle.fetched
+    engine = CrawlEngine(
+        spark, _custom_web_df(spark, pages), None, policy, str(tmp_path / "offseed"),
+        bloom_shards=4, bloom_bits=1 << 14,
+    )
+    run = engine.run([seed], max_rounds=8)
+    fetched = {r["url"] for r in run.documents(spark).select("url").collect()}
+    assert fetched == oracle.fetched
+    assert canonicalize_url(seed) in fetched
+    assert "https://inside.gov/a" in fetched
+    assert not any(u.endswith("/other") for u in fetched)
 
 
 def test_document_schema_fields(spark, tmp_path):

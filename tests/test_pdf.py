@@ -49,6 +49,61 @@ class TestPdfKernel:
         assert pdfx.extract_pdf_text(pdf).text == "Hello World"
 
 
+class TestStreamFilters:
+    """Codec breadth (X4, reference indexing/parse.py:113-252 via pypdf):
+    LZW, ASCIIHex, ASCII85, filter chains, TJ kerning arrays."""
+
+    PAYLOADS = [b"", b"a", b"ababababab" * 40, bytes(range(256)) * 3, b"\x00\xff" * 100]
+
+    def test_lzw_roundtrip(self):
+        for p in self.PAYLOADS:
+            assert pdfx.lzw_decode(pdfx.lzw_encode(p)) == p
+
+    def test_lzw_table_growth_across_width_boundary(self):
+        # >253 distinct new sequences forces the 9->10 bit early change
+        p = bytes(i % 251 for i in range(4000))
+        assert pdfx.lzw_decode(pdfx.lzw_encode(p)) == p
+
+    def test_ascii_hex(self):
+        assert pdfx.ascii_hex_decode(b"48656C6C 6F>garbage") == b"Hello"
+        assert pdfx.ascii_hex_decode(b"48656C6C6F2") == b"Hello "  # odd pad -> 0x20
+
+    def test_ascii85(self):
+        import base64
+
+        raw = b"hello \x00\x00\x00\x00 world"
+        enc = base64.a85encode(raw) + b"~>"
+        assert pdfx.ascii85_decode(enc) == raw
+        assert pdfx.ascii85_decode(b"<~" + base64.a85encode(raw) + b"~>") == raw
+
+    def test_each_filter_end_to_end(self):
+        lines = ["Filtered body text.", "See https://h.gov/x now."]
+        for filters in ([], ["FlateDecode"], ["LZWDecode"], ["ASCIIHexDecode"],
+                        ["ASCII85Decode"], ["ASCII85Decode", "FlateDecode"],
+                        ["ASCIIHexDecode", "LZWDecode"]):
+            pdf = pdfx.make_simple_pdf(lines, filters=filters)
+            doc = pdfx.extract_pdf_text(pdf)
+            assert doc.text == "Filtered body text. See https://h.gov/x now.", filters
+            assert doc.links == ["https://h.gov/x"], filters
+
+    def test_unsupported_filter_skips_stream(self):
+        pdf = pdfx.make_simple_pdf(["text"], filters=[])
+        broken = pdf.replace(b"/Length", b"/Filter /RunLengthDecode /Length", 1)
+        doc = pdfx.extract_pdf_text(broken)  # no crash, stream skipped
+        assert doc.text == ""
+
+    def test_tj_kerning_semantics(self):
+        # small kern concatenates, large kern reads as a word gap
+        pdf = pdfx.make_simple_pdf([], tj_arrays=[["Hel", -30.0, "lo"], ["wor", -250.0, "ld"]])
+        assert pdfx.extract_pdf_text(pdf).text == "Hello wor ld"
+
+    def test_tj_and_tj_ops_keep_stream_order(self):
+        content = b"BT (first) Tj [(sec) -40 (ond)] TJ (third) Tj ET"
+        pdf = (b"%PDF-1.4\n4 0 obj\n<< /Length " + str(len(content)).encode()
+               + b" >>\nstream\n" + content + b"\nendstream\nendobj\n%%EOF")
+        assert pdfx.extract_pdf_text(pdf).text == "first second third"
+
+
 class TestPdfMetadata:
     def test_info_dict_roundtrip(self):
         from searchgov_spider_spark.kernels import pdfx

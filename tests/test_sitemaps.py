@@ -126,6 +126,27 @@ class TestSitemapDiscovery:
         assert got == expected
         assert len(expected) > 10
 
+    def test_fix_http_replace_all_parity(self, spark):
+        """An embedded http:// (e.g. in a query param) is rewritten by the
+        reference's str.replace — kernel and Spark flow must agree
+        (sitemap_finder.py:82-86)."""
+        from searchgov_spider_spark import flows
+        from searchgov_spider_spark.kernels.sitemapxml import find_sitemaps
+
+        base = "https://h9.example.gov"
+        robots_body = "User-agent: *\nSitemap: http://h9.example.gov/sm.xml?mirror=http://h9.example.gov/alt\n"
+        res = {f"{base}/robots.txt": (200, "text/plain", robots_body)}
+        expected = find_sitemaps(base, res)
+        assert expected == {"https://h9.example.gov/sm.xml?mirror=https://h9.example.gov/alt"}
+
+        bases_df = spark.createDataFrame([(base,)], "base_url string")
+        res_df = spark.createDataFrame(
+            [(u, s, c, b) for u, (s, c, b) in res.items()],
+            "url string, status_code int, content_type string, body string",
+        )
+        got = {r["sitemap_url"] for r in flows.discover_sitemaps(spark, bases_df, res_df).collect()}
+        assert got == expected
+
     def test_each_method_contributes(self):
         from searchgov_spider_spark.kernels.sitemapxml import find_sitemaps
         from searchgov_spider_spark.synth import webgen

@@ -81,7 +81,7 @@ def test_stateful_rate_limited_frontier(spark, tmp_path):
         .option("maxFilesPerTrigger", 1)
         .json(str(src))
     )
-    admitted = rate_limited_frontier(stream, capacity=2.0, refill_per_batch=2.0)
+    admitted = rate_limited_frontier(stream, capacity=2.0, refill_per_batch=2.0, flush_timeout_ms=1)
 
     batches = []
     q = (
@@ -93,7 +93,6 @@ def test_stateful_rate_limited_frontier(spark, tmp_path):
     )
     q.awaitTermination(180)
 
-    got = {bid: rows for bid, rows in batches if rows}
     all_rows = [r for _, rows in batches for r in rows]
     # FIFO per host: a admits seqs 0,1 in its first batch, 2,3 next...
     a_seqs = [s for h, s in all_rows if h == "a"]
@@ -105,5 +104,36 @@ def test_stateful_rate_limited_frontier(spark, tmp_path):
         for h, s in rows:
             per_host[h] = per_host.get(h, 0) + 1
         assert all(n <= 2 for n in per_host.values())
-    # seq 4 and 9 stay deferred in state (no third batch arrived for host a)
-    assert 9 not in a_seqs and len(a_seqs) == 4
+    # FIFO order always holds; how much of the tail drained in run 1 depends
+    # on how many timeout batches availableNow squeezed in before stopping
+    assert a_seqs == sorted(a_seqs) and len(a_seqs) == len(set(a_seqs))
+
+    # Restart on the same checkpoint with a new file for an unrelated host:
+    # host a's processing-time timeout has expired, so its group is
+    # re-invoked with no new rows and flushes any stranded backlog — with
+    # the old NoTimeout behavior seqs 4/9 would be stuck in state forever.
+    import time
+
+    time.sleep(0.05)
+    with open(src / "b3.json", "w") as f:
+        f.write(json.dumps({"host": "c", "url_canon": "https://c/p0", "seq": 200}) + "\n")
+    batches2 = []
+    stream2 = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .json(str(src))
+    )
+    admitted2 = rate_limited_frontier(stream2, capacity=2.0, refill_per_batch=2.0, flush_timeout_ms=1)
+    q2 = (
+        admitted2.writeStream.outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .foreachBatch(lambda df, bid: batches2.append((bid, sorted((r["host"], r["seq"]) for r in df.collect()))))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q2.awaitTermination(180)
+    all_rows2 = [r for _, rows in batches2 for r in rows]
+    a_seqs2 = [s for h, s in all_rows2 if h == "a"]
+    combined = a_seqs + a_seqs2
+    assert combined == [0, 1, 2, 3, 4, 9], f"backlog must fully drain, got {combined}"
+    assert ("c", 200) in all_rows2
