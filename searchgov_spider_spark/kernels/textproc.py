@@ -94,13 +94,54 @@ def sniff_charset(data: bytes) -> str | None:
     return None
 
 
+def detect_charset_statistical(data: bytes) -> str | None:
+    """Byte-distribution heuristic for UNDECLARED non-utf-8 charsets — the
+    deterministic analog of the reference's cchardet statistical fallback
+    (helpers/encoding.py:9-18).  Covers the three families a .gov crawl
+    actually hits: shift_jis, cp1251 (Cyrillic), cp1252 (Western).
+
+    Rules (checked in order, on an 8 KiB prefix):
+      1. shift_jis when a strict decode succeeds, the sample has
+         STATISTICAL MASS (≥10 decoded non-ASCII chars — a lone accented
+         byte is not evidence), and ≥80% of those land in kana/CJK blocks
+         (Cyrillic-as-SJIS fails strict decode: cp1251 lowercase р-я are
+         the invalid SJIS leads 0xF0-0xFF).
+      2. cp1251 when high bytes cluster into RUNS (Cyrillic words are
+         consecutive ≥0xC0 bytes) — pair ratio ≥ 0.5.
+      3. cp1252 otherwise (Western text has isolated accented bytes).
+    """
+    sample = data[:8192]
+    high = sum(1 for b in sample if b >= 0x80)
+    if not high:
+        return None
+    text = None
+    for trim in (0, 1, 2):  # the prefix cut may split a trailing pair
+        try:
+            text = sample[: len(sample) - trim or None].decode("shift_jis")
+            break
+        except UnicodeDecodeError:
+            continue
+    if text:
+        cjk = sum(
+            1
+            for ch in text
+            if 0x3000 <= ord(ch) <= 0x30FF or 0x4E00 <= ord(ch) <= 0x9FFF or 0xFF61 <= ord(ch) <= 0xFF9F
+        )
+        non_ascii = sum(1 for ch in text if ord(ch) > 0x7F)
+        if non_ascii >= 10 and cjk / non_ascii >= 0.8:
+            return "shift_jis"
+    pairs = sum(1 for a, b in zip(sample, sample[1:]) if a >= 0xC0 and b >= 0xC0)
+    return "cp1251" if pairs / high >= 0.5 else "cp1252"
+
+
 def decode_bytes(data: bytes) -> str:
-    """utf-8 first, then charset sniffing (BOM / <meta charset>), then
-    latin-1, then lossy utf-8.
+    """utf-8 first, then charset sniffing (BOM / <meta charset>), then the
+    statistical byte-distribution heuristic, then latin-1, then lossy utf-8.
 
     The reference tries utf-8, then cchardet detection, then ``str(bytes)``
     (helpers/encoding.py:21-33).  cchardet is unavailable here; sniffing
-    covers the declared-charset cases it would catch, and latin-1 is the
+    covers the declared-charset cases, detect_charset_statistical the
+    undeclared ones it detects statistically, and latin-1 is the
     deterministic total fallback (it decodes any byte string), with a final
     utf-8-replace guard kept for parity of shape.
     """
@@ -109,6 +150,8 @@ def decode_bytes(data: bytes) -> str:
     except UnicodeDecodeError:
         pass
     codec = sniff_charset(data)
+    if codec is None:
+        codec = detect_charset_statistical(data)
     if codec is not None:
         try:
             return data.decode(codec)

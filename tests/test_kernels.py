@@ -333,6 +333,30 @@ class TestDates:
         # unknown codec name ignored
         assert sniff_charset(b'<meta charset="notacodec">\xff') is None
 
+    def test_statistical_charset_fallback(self):
+        """Undeclared charsets (X6, reference helpers/encoding.py:9-18
+        cchardet analog): golden byte/text pairs per encoding family."""
+        from searchgov_spider_spark.kernels.textproc import (
+            decode_bytes,
+            detect_charset_statistical,
+        )
+
+        ru = "<html><body>Добро пожаловать на официальный сайт города</body></html>"
+        assert detect_charset_statistical(ru.encode("cp1251")) == "cp1251"
+        assert decode_bytes(ru.encode("cp1251")) == ru
+
+        ja = "<html><body>国土交通省のホームページへようこそ。詳細はこちら。</body></html>"
+        assert detect_charset_statistical(ja.encode("shift_jis")) == "shift_jis"
+        assert decode_bytes(ja.encode("shift_jis")) == ja
+
+        fr = "<html><body>Bienvenue à l'hôtel de ville — café, déjà vu, naïve</body></html>"
+        # cp1252 em-dash 0x97 is invalid utf-8 and has no BOM/meta declaration
+        assert detect_charset_statistical(fr.encode("cp1252")) == "cp1252"
+        assert decode_bytes(fr.encode("cp1252")) == fr
+
+        # pure-ascii high-byte-free input: no statistical opinion
+        assert detect_charset_statistical(b"plain ascii only") is None
+
 
 class TestCanonicalizeFastPath:
     def test_fast_equals_slow_on_fast_shapes(self):
