@@ -22,7 +22,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from .functions import udfs
-from .operators import dedup, similarity, textstats
+from .operators import curation, dedup, similarity, textstats
 from .operators.dedup import TOKEN_PATTERN
 
 
@@ -605,6 +605,31 @@ def q35_training_pipeline(spark, sf_dir):
     )
 
 
+def q40_decontamination(spark, sf_dir):
+    """Benchmark decontamination (GPT-3-style n-gram overlap): docs with
+    doc_id % 37 == 0 play the held-out eval set; every other doc is flagged
+    when it shares any distinct 8-token-gram with the eval side.  Eval
+    n-grams broadcast; the training side never shuffles.  Verbatim copies
+    of the eval docs (doc_id+200000) are unioned into the training side to
+    simulate real benchmark leakage — every one must flag."""
+    d = _t(spark, sf_dir, "documents")
+    eval_docs = d.filter(F.col("doc_id") % 37 == 0)
+    leaked = eval_docs.select((F.col("doc_id") + 200000).alias("doc_id"), "text")
+    train = d.filter(F.col("doc_id") % 37 != 0).select("doc_id", "text").unionByName(leaked)
+    return curation.decontaminate(train, eval_docs, n=8)
+
+
+def q41_stratified_sample(spark, sf_dir):
+    """Deterministic hash-stratified corpus sampling: per-language hex
+    cutoffs on md5(doc_id) — en ~50%, zh/es ~25%, default (de/fr) ~12.5%.
+    Map-side only (broadcast rates dim, codegen predicate, zero shuffles);
+    the sample is identical at any partitioning."""
+    d = _t(spark, sf_dir, "documents").select("doc_id", "lang", "source")
+    return curation.stratified_sample(
+        d, {"en": "8000", "zh": "4000", "es": "4000"}, default_cutoff="2000"
+    )
+
+
 # ---------------------------------------------------------------------------
 # registry + oracle SQL
 # ---------------------------------------------------------------------------
@@ -649,6 +674,8 @@ QUERIES = {
     "q37_sitemap_discovery": q37_sitemap_discovery,
     "q38_ann_ivf": q38_ann_ivf,
     "q39_bpe_token_stats": q39_bpe_token_stats,
+    "q40_decontamination": q40_decontamination,
+    "q41_stratified_sample": q41_stratified_sample,
 }
 
 _DUP_DOCS_SQL = (
@@ -663,6 +690,17 @@ _SHINGLES = (
     f"{_TOKS}[i] || ' ' || {_TOKS}[i+1] || ' ' || {_TOKS}[i+2]) "
     f"ELSE [array_to_string({_TOKS}, ' ')] END"
 )
+
+
+def _shingles_sql(k: int) -> str:
+    """DuckDB token-k-gram expression, the general-``k`` counterpart of
+    ``_SHINGLES`` (same whole-doc-gram convention below k tokens)."""
+    concat = " || ' ' || ".join(f"{_TOKS}[i+{j}]" for j in range(k))
+    return (
+        f"CASE WHEN len({_TOKS}) >= {k} THEN "
+        f"list_transform(range(1, len({_TOKS}) - {k - 2}), i -> {concat}) "
+        f"ELSE [array_to_string({_TOKS}, ' ')] END"
+    )
 
 
 def _minhash_sql(src: str, k: int = 4) -> str:
@@ -802,6 +840,28 @@ ORACLES = {
                round(len(regexp_extract_all(text, ' ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9 \t\n\r]+')) * 1.0
                      / greatest(len(regexp_extract_all(text, '\S+')), 1), 6) AS bpe_per_ws
         FROM documents
+    """,
+    "q40_decontamination": f"""
+        WITH train AS (
+            SELECT doc_id, text FROM documents WHERE doc_id % 37 <> 0
+            UNION ALL
+            SELECT doc_id + 200000 AS doc_id, text FROM documents WHERE doc_id % 37 = 0
+        ),
+        eg AS (SELECT DISTINCT unnest(grams) AS gram FROM
+               (SELECT {_shingles_sql(8)} AS grams FROM documents WHERE doc_id % 37 = 0)),
+        tg AS (SELECT DISTINCT doc_id, unnest(grams) AS gram FROM
+               (SELECT doc_id, {_shingles_sql(8)} AS grams FROM train)),
+        hits AS (SELECT tg.doc_id, count(*) AS n FROM tg JOIN eg USING (gram) GROUP BY tg.doc_id)
+        SELECT train.doc_id, coalesce(hits.n, 0) AS n_hit_ngrams,
+               coalesce(hits.n, 0) > 0 AS contaminated
+        FROM train LEFT JOIN hits USING (doc_id)
+    """,
+    "q41_stratified_sample": """
+        SELECT doc_id, lang, source, substring(md5(doc_id::VARCHAR), 1, 4) AS bucket
+        FROM documents
+        WHERE substring(md5(doc_id::VARCHAR), 1, 4) <
+              CASE lang WHEN 'en' THEN '8000' WHEN 'zh' THEN '4000'
+                        WHEN 'es' THEN '4000' ELSE '2000' END
     """,
     "q34_embedding_near_dup": """
         WITH e AS (
