@@ -1,6 +1,7 @@
-"""Corpus-curation operators: benchmark decontamination and deterministic
-stratified sampling (training-data pipeline ops beyond the reference's own
-surface, per the build brief's LLM-pipeline mandate).
+"""Corpus-curation operators: benchmark decontamination, PII redaction,
+cross-corpus line dedup, and deterministic stratified sampling
+(training-data pipeline ops beyond the reference's own surface, per the
+build brief's LLM-pipeline mandate).
 
 Scale notes (the 100-TB design point):
 - ``decontaminate`` joins the 100-TB training side against the *eval* n-gram
@@ -59,6 +60,90 @@ def decontaminate(
             F.col(id_col),
             F.coalesce("n_hit_ngrams", F.lit(0)).alias("n_hit_ngrams"),
             (F.coalesce("n_hit_ngrams", F.lit(0)) > 0).alias("contaminated"),
+        )
+    )
+
+
+# PII patterns restricted to constructs Java regex and DuckDB's RE2 parse
+# identically (no lookarounds, no backrefs).
+PII_PATTERNS = {
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "ssn": r"\b[0-9]{3}-[0-9]{2}-[0-9]{4}\b",
+    "phone": r"\b[0-9]{3}-[0-9]{3}-[0-9]{4}\b",
+}
+
+
+def pii_redact(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Training-data PII scrubbing: count and mask emails, US SSNs and
+    phone numbers with typed placeholders (``<EMAIL>``/``<SSN>``/``<PHONE>``).
+
+    Pure JVM ``regexp_extract_all``/``regexp_replace`` — whole-stage codegen,
+    zero shuffles, linear scan of the corpus.  SSN before phone: the longer
+    dash pattern must not be half-eaten by the shorter one.
+    """
+    redacted = F.col(text_col)
+    counts = []
+    for name in ("email", "ssn", "phone"):
+        pat = PII_PATTERNS[name]
+        # Spark SQL string literals process backslash escapes -> double them
+        pat_sql = pat.replace("\\", "\\\\")
+        counts.append(
+            F.expr(f"size(regexp_extract_all({text_col}, '{pat_sql}', 0))").alias(f"n_{name}s")
+        )
+        redacted = F.regexp_replace(redacted, pat, f"<{name.upper()}>")
+    return docs.select(F.col(id_col), *counts, redacted.alias("redacted_text"))
+
+
+def line_dedup(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    lines_col: str = "lines",
+) -> DataFrame:
+    """CCNet-style cross-corpus line deduplication: a line occurring in more
+    than one place survives only at its first occurrence (min ``(id, pos)``
+    over the whole corpus); every other occurrence is dropped.
+
+    Input: one row per doc with an ARRAY of lines (split upstream, so the
+    line convention is the caller's).  Output per doc: the surviving lines
+    re-joined in original order, plus kept/removed counts.  Docs whose lines
+    are all removed still emit a row (empty text) — the caller decides the
+    min-length gate afterwards, as CCNet does.
+
+    Scale shape: explode -> one groupBy on the line string (partial-agg'd
+    map-side; the heavy key space is the corpus's distinct lines, uniformly
+    hash-partitioned) -> broadcast-free join back on (line, id, pos) -> one
+    groupBy on doc id to reassemble.  Line strings can be md5'd first at
+    petabyte scale; kept verbatim here so the oracle is plain SQL.
+    """
+    pos_lines = docs.select(
+        F.col(id_col), F.posexplode(lines_col).alias("pos", "line")
+    )
+    first = pos_lines.groupBy("line").agg(
+        F.min(F.struct(id_col, "pos")).alias("first_at"),
+        F.count("*").alias("n_occ"),
+    )
+    kept = (
+        pos_lines.join(first, "line")
+        .withColumn(
+            "_keep",
+            (F.col("n_occ") == 1)
+            | ((F.col(f"first_at.{id_col}") == F.col(id_col)) & (F.col("first_at.pos") == F.col("pos"))),
+        )
+    )
+    return (
+        kept.groupBy(id_col)
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.when(F.col("_keep"), F.struct("pos", "line")))
+                    ),
+                    lambda x: x["line"],
+                ),
+                " ",
+            ).alias("clean_text"),
+            F.sum(F.col("_keep").cast("int")).alias("n_kept"),
+            F.sum((~F.col("_keep")).cast("int")).alias("n_removed"),
         )
     )
 

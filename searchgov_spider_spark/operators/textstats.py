@@ -11,7 +11,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ..functions import udfs
-from .dedup import TOKEN_PATTERN
+from .dedup import TOKEN_PATTERN, shingles_col
 
 
 def token_stats(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
@@ -68,3 +68,80 @@ def quality_scores(docs: DataFrame, id_col: str = "doc_id", text_col: str = "tex
 
 def fingerprints(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     return docs.select(F.col(id_col), udfs.document_fingerprint(F.col(text_col)).alias("fingerprint"))
+
+
+def repetition_stats(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    top_n: int = 2,
+    dup_n: int = 5,
+    top_frac_max: float = 0.20,
+    dup_frac_max: float = 0.15,
+) -> DataFrame:
+    """Gopher-style intra-document repetition filters (Rae et al. 2021,
+    table A1), occurrence-mass variant:
+
+    - ``top{top_n}gram_char_frac``: max over grams of (occurrences x gram
+      chars), over total text chars — an upper bound of Gopher's
+      "chars covered by the most frequent n-gram" that is tie-free and
+      order-independent (ties on count resolve to the longest gram).
+      (Gopher removes docs where the top-2-gram covers > 20%.)
+    - ``dup{dup_n}gram_char_frac``: characters covered by all occurrences of
+      ``dup_n``-grams that occur more than once, over total text chars.
+      Occurrences are counted independently (overlaps not deduplicated) —
+      a documented simplification that keeps the metric exactly computable
+      in one groupBy on both the Spark and the SQL-oracle side.
+    - ``repetitive``: either fraction above its threshold.
+
+    Shape at scale: explode token n-grams -> groupBy (id, gram) -> per-doc
+    max/sum.  Keys are (doc, gram) pairs — uniform, unskewed; two shuffles
+    total, both partial-aggregated map-side.  Ties on the top-gram count
+    don't matter: only the count enters the formula, never the gram itself.
+    """
+    grams_top = shingles_col(text_col, top_n)
+    grams_dup = shingles_col(text_col, dup_n)
+    base = docs.select(
+        F.col(id_col), F.length(text_col).alias("_chars"), grams_top.alias("_gt"), grams_dup.alias("_gd")
+    )
+
+    def _gram_counts(col: str):
+        return (
+            base.select(id_col, "_chars", F.explode(col).alias("gram"))
+            .groupBy(id_col, "_chars", "gram")
+            .agg(F.count("*").alias("cnt"))
+        )
+
+    top = (
+        _gram_counts("_gt")
+        .groupBy(id_col, "_chars")
+        .agg(F.max(F.col("cnt") * F.length("gram")).alias("top_mass"))
+        .select(
+            id_col,
+            F.round(F.col("top_mass") / F.greatest("_chars", F.lit(1)), 6).alias(
+                f"top{top_n}gram_char_frac"
+            ),
+        )
+    )
+    dup = (
+        _gram_counts("_gd")
+        .groupBy(id_col, "_chars")
+        .agg(
+            F.sum(F.when(F.col("cnt") > 1, F.col("cnt") * F.length("gram")).otherwise(0)).alias(
+                "dup_mass"
+            )
+        )
+        .select(
+            id_col,
+            F.round(F.col("dup_mass") / F.greatest("_chars", F.lit(1)), 6).alias(
+                f"dup{dup_n}gram_char_frac"
+            ),
+        )
+    )
+    tcol, dcol = f"top{top_n}gram_char_frac", f"dup{dup_n}gram_char_frac"
+    return top.join(dup, id_col).select(
+        id_col,
+        tcol,
+        dcol,
+        ((F.col(tcol) > top_frac_max) | (F.col(dcol) > dup_frac_max)).alias("repetitive"),
+    )

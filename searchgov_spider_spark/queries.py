@@ -630,6 +630,52 @@ def q41_stratified_sample(spark, sf_dir):
     )
 
 
+def q42_repetition_stats(spark, sf_dir):
+    """Gopher-style intra-doc repetition filters (occurrence-mass variant):
+    top-2-gram and duplicated-5-gram character fractions + the removal flag.
+    Two uniform (doc, gram) shuffles, both partial-aggregated."""
+    return textstats.repetition_stats(_t(spark, sf_dir, "documents"))
+
+
+def q43_pii_redaction(spark, sf_dir):
+    """PII scrubbing (emails / SSNs / phones -> typed placeholders), counts
+    per doc.  PII is injected deterministically (no real PII in the corpus):
+    doc_id%3 gains an email, %5 an SSN, %7 a phone.  Pure JVM regex."""
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    pad4 = F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0")
+    injected = d.withColumn(
+        "text",
+        F.concat(
+            F.col("text"),
+            F.when(
+                F.col("doc_id") % 3 == 0,
+                F.concat(F.lit(" contact agent"), F.col("doc_id").cast("string"), F.lit("@agency.gov now")),
+            ).otherwise(F.lit("")),
+            F.when(F.col("doc_id") % 5 == 0, F.concat(F.lit(" ssn 123-45-"), pad4)).otherwise(F.lit("")),
+            F.when(F.col("doc_id") % 7 == 0, F.concat(F.lit(" call 202-555-"), pad4)).otherwise(F.lit("")),
+        ),
+    )
+    return curation.pii_redact(injected)
+
+
+_LINES_EXPR = (
+    "CASE WHEN size({t}) = 0 THEN array() ELSE "
+    "transform(sequence(0, int(ceil(size({t}) / 10.0)) - 1), "
+    "i -> concat_ws(' ', slice({t}, i * 10 + 1, 10))) END"
+)
+
+
+def q44_line_dedup(spark, sf_dir):
+    """CCNet-style cross-corpus line dedup: docs chunked into 10-token
+    lines; a line surviving only at its first (doc_id, pos) occurrence
+    corpus-wide; docs reassembled in order with kept/removed counts."""
+    toks = f"regexp_extract_all(lower(text), '{TOKEN_PATTERN}', 0)"
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.expr(_LINES_EXPR.format(t=toks)).alias("lines")
+    )
+    return curation.line_dedup(d)
+
+
 # ---------------------------------------------------------------------------
 # registry + oracle SQL
 # ---------------------------------------------------------------------------
@@ -676,6 +722,9 @@ QUERIES = {
     "q39_bpe_token_stats": q39_bpe_token_stats,
     "q40_decontamination": q40_decontamination,
     "q41_stratified_sample": q41_stratified_sample,
+    "q42_repetition_stats": q42_repetition_stats,
+    "q43_pii_redaction": q43_pii_redaction,
+    "q44_line_dedup": q44_line_dedup,
 }
 
 _DUP_DOCS_SQL = (
@@ -862,6 +911,68 @@ ORACLES = {
         WHERE substring(md5(doc_id::VARCHAR), 1, 4) <
               CASE lang WHEN 'en' THEN '8000' WHEN 'zh' THEN '4000'
                         WHEN 'es' THEN '4000' ELSE '2000' END
+    """,
+    "q42_repetition_stats": f"""
+        WITH c2 AS (
+            SELECT doc_id, chars, gram, count(*) AS cnt FROM (
+                SELECT doc_id, length(text) AS chars, unnest({_shingles_sql(2)}) AS gram
+                FROM documents) GROUP BY doc_id, chars, gram
+        ), top AS (
+            SELECT doc_id, round(max(cnt * length(gram)) * 1.0 / greatest(chars, 1), 6)
+                   AS top2gram_char_frac
+            FROM c2 GROUP BY doc_id, chars
+        ), c5 AS (
+            SELECT doc_id, chars, gram, count(*) AS cnt FROM (
+                SELECT doc_id, length(text) AS chars, unnest({_shingles_sql(5)}) AS gram
+                FROM documents) GROUP BY doc_id, chars, gram
+        ), dup AS (
+            SELECT doc_id, round(sum(CASE WHEN cnt > 1 THEN cnt * length(gram) ELSE 0 END) * 1.0
+                                 / greatest(chars, 1), 6) AS dup5gram_char_frac
+            FROM c5 GROUP BY doc_id, chars
+        )
+        SELECT top.doc_id, top2gram_char_frac, dup5gram_char_frac,
+               top2gram_char_frac > 0.20 OR dup5gram_char_frac > 0.15 AS repetitive
+        FROM top JOIN dup USING (doc_id)
+    """,
+    "q43_pii_redaction": """
+        WITH injected AS (
+            SELECT doc_id, text
+              || CASE WHEN doc_id % 3 = 0
+                 THEN ' contact agent' || doc_id::VARCHAR || '@agency.gov now' ELSE '' END
+              || CASE WHEN doc_id % 5 = 0
+                 THEN ' ssn 123-45-' || lpad((doc_id % 10000)::VARCHAR, 4, '0') ELSE '' END
+              || CASE WHEN doc_id % 7 = 0
+                 THEN ' call 202-555-' || lpad((doc_id % 10000)::VARCHAR, 4, '0') ELSE '' END
+              AS text
+            FROM documents)
+        SELECT doc_id,
+               len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) AS n_emails,
+               len(regexp_extract_all(text, '\\b[0-9]{3}-[0-9]{2}-[0-9]{4}\\b')) AS n_ssns,
+               len(regexp_extract_all(text, '\\b[0-9]{3}-[0-9]{3}-[0-9]{4}\\b')) AS n_phones,
+               regexp_replace(regexp_replace(regexp_replace(text,
+                   '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+                   '\\b[0-9]{3}-[0-9]{2}-[0-9]{4}\\b', '<SSN>', 'g'),
+                   '\\b[0-9]{3}-[0-9]{3}-[0-9]{4}\\b', '<PHONE>', 'g') AS redacted_text
+        FROM injected
+    """,
+    "q44_line_dedup": f"""
+        WITH dl AS (
+            SELECT doc_id, CASE WHEN len(toks) = 0 THEN [] ELSE
+                   list_transform(range(0, cast(ceil(len(toks) / 10.0) AS INT)),
+                                  i -> array_to_string(toks[i*10+1 : i*10+10], ' ')) END AS lines
+            FROM (SELECT doc_id, {_TOKS} AS toks FROM documents)
+        ), pl AS (
+            SELECT doc_id, unnest(lines) AS line, unnest(range(len(lines))) AS pos FROM dl
+        ), r AS (
+            SELECT doc_id, pos, line,
+                   row_number() OVER (PARTITION BY line ORDER BY doc_id, pos) AS rn
+            FROM pl
+        )
+        SELECT doc_id,
+               coalesce(string_agg(CASE WHEN rn = 1 THEN line END, ' ' ORDER BY pos), '') AS clean_text,
+               count(*) FILTER (WHERE rn = 1) AS n_kept,
+               count(*) FILTER (WHERE rn > 1) AS n_removed
+        FROM r GROUP BY doc_id
     """,
     "q34_embedding_near_dup": """
         WITH e AS (

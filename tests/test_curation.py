@@ -67,6 +67,88 @@ class TestDecontaminate:
         assert "BroadcastHashJoin" in plan
 
 
+class TestPiiRedact:
+    def test_counts_and_masks(self, spark):
+        rows = [
+            (0, "write to jane.doe+tag@sub.example.gov or call 202-555-0142 today"),
+            (1, "ssn 123-45-6789 appears once; 999-999-9999 is a phone not an ssn"),
+            (2, "no pii here at all"),
+            (3, "two mails a@b.gov c.d@e.org and ssn-adjacent 12-34-5678 (not an ssn)"),
+        ]
+        docs = spark.createDataFrame(rows, "doc_id long, text string")
+        got = {r["doc_id"]: r.asDict() for r in curation.pii_redact(docs).collect()}
+        assert (got[0]["n_emails"], got[0]["n_ssns"], got[0]["n_phones"]) == (1, 0, 1)
+        assert got[0]["redacted_text"] == "write to <EMAIL> or call <PHONE> today"
+        assert (got[1]["n_emails"], got[1]["n_ssns"], got[1]["n_phones"]) == (0, 1, 1)
+        assert got[1]["redacted_text"] == "ssn <SSN> appears once; <PHONE> is a phone not an ssn"
+        assert got[2]["redacted_text"] == rows[2][1]
+        assert (got[3]["n_emails"], got[3]["n_ssns"], got[3]["n_phones"]) == (2, 0, 0)
+
+    def test_map_side_only(self, spark):
+        docs = spark.createDataFrame([(0, "x")], "doc_id long, text string")
+        plan = plan_of(curation.pii_redact(docs))
+        assert "Exchange" not in plan  # linear codegen scan, zero shuffles
+        # no UDF in the hot path (the only Python in the plan may be the
+        # createDataFrame source RDD)
+        assert "EvalPython" not in plan
+
+
+class TestLineDedup:
+    def test_matches_pure_python(self, spark):
+        corpus = {
+            0: ["alpha beta", "gamma delta", "alpha beta"],  # self-dup at pos 2
+            1: ["gamma delta", "unique one"],  # cross-doc dup at pos 0
+            2: ["unique two", "alpha beta"],
+            3: ["gamma delta"],  # fully removed -> empty text
+        }
+        docs = spark.createDataFrame(list(corpus.items()), "doc_id long, lines array<string>")
+        got = {r["doc_id"]: r.asDict() for r in curation.line_dedup(docs).collect()}
+
+        seen: set[str] = set()
+        expected = {}
+        for d in sorted(corpus):  # first occurrence = min (doc_id, pos)
+            kept = []
+            removed = 0
+            for line in corpus[d]:
+                if line in seen:
+                    removed += 1
+                else:
+                    seen.add(line)
+                    kept.append(line)
+            expected[d] = (" ".join(kept), len(kept), removed)
+        for d, (text, n_kept, n_removed) in expected.items():
+            assert (got[d]["clean_text"], got[d]["n_kept"], got[d]["n_removed"]) == (
+                text,
+                n_kept,
+                n_removed,
+            ), d
+        assert got[3]["clean_text"] == ""
+
+
+class TestRepetitionStats:
+    def test_formula_by_hand(self, spark):
+        from searchgov_spider_spark.operators import textstats
+
+        # "ab cd" repeated 5x: top 2-gram "ab cd" covers 5*5=25 chars of 29
+        looped = " ".join(["ab cd"] * 5)  # 29 chars
+        # long enough that no single bigram's chars exceed 20% of the doc
+        clean = " ".join(f"word{i:02d}" for i in range(30))
+        docs = spark.createDataFrame([(0, looped), (1, clean)], "doc_id long, text string")
+        got = {r["doc_id"]: r.asDict() for r in textstats.repetition_stats(docs).collect()}
+        assert got[0]["top2gram_char_frac"] == round(25 / 29, 6)
+        # 5-grams of the loop: 6 grams, every one a duplicate of another?
+        # grams are the 6 windows of 10 tokens... verify against brute force
+        toks = looped.split()
+        g5 = [" ".join(toks[i : i + 5]) for i in range(len(toks) - 4)]
+        from collections import Counter
+
+        c = Counter(g5)
+        dup_mass = sum(cnt * len(g) for g, cnt in c.items() if cnt > 1)
+        assert got[0]["dup5gram_char_frac"] == round(dup_mass / 29, 6)
+        assert got[0]["repetitive"] is True
+        assert got[1]["repetitive"] is False and got[1]["dup5gram_char_frac"] == 0.0
+
+
 class TestStratifiedSample:
     CUTOFFS = {"en": "8000", "zh": "4000"}
 
