@@ -126,6 +126,64 @@ def minhash_lsh_pairs(
     return verified
 
 
+def connected_components(
+    edges: DataFrame,
+    nodes: DataFrame,
+    id_col: str = "id",
+    src_col: str = "id_a",
+    dst_col: str = "id_b",
+    max_iter: int = 50,
+) -> DataFrame:
+    """Connected components by min-label propagation — the cluster-assembly
+    step after near-dup pair generation (LSH gives PAIRS; a dedup pipeline
+    needs per-doc cluster representatives to pick survivors).
+
+    Each iteration: every node proposes its label to its neighbours; a node
+    keeps the min of (own label, proposals); converged when no label
+    decreases.  Iterations ~ graph diameter — near-dup graphs are shallow
+    star-ish clusters, so 2-4 rounds in practice (GraphFrames/Hash-to-Min
+    do the same label-propagation shape at trillion-edge scale).
+
+    Scale notes: the undirected edge list is persisted once and re-joined
+    each round (one shuffle join + one min-agg per iteration, both keyed by
+    node id — uniform); labels are ``localCheckpoint``-ed per iteration so
+    the plan stays O(1) instead of growing with the iteration count; the
+    convergence test is a count(), never a collect.
+
+    Returns (``id_col``, ``label``) where label = min node id of the
+    component (singletons label themselves).
+    """
+    und = (
+        edges.select(F.col(src_col).alias("a"), F.col(dst_col).alias("b"))
+        .union(edges.select(F.col(dst_col).alias("a"), F.col(src_col).alias("b")))
+        .persist()
+    )
+    labels = nodes.select(F.col(id_col).alias("id"), F.col(id_col).alias("label")).localCheckpoint(
+        eager=True
+    )
+    try:
+        for _ in range(max_iter):
+            proposals = (
+                und.join(labels, und["a"] == labels["id"])
+                .select(F.col("b").alias("id"), "label")
+                .groupBy("id")
+                .agg(F.min("label").alias("nl"))
+            )
+            new_labels = (
+                labels.join(proposals, "id", "left")
+                .select("id", F.least("label", F.coalesce("nl", "label")).alias("label"))
+                .localCheckpoint(eager=True)
+            )
+            old = labels.select("id", F.col("label").alias("old_label"))
+            changed = new_labels.join(old, "id").filter(F.col("label") < F.col("old_label")).count()
+            labels = new_labels
+            if changed == 0:
+                break
+    finally:
+        und.unpersist()
+    return labels.withColumnRenamed("id", id_col) if id_col != "id" else labels
+
+
 def ngram_jaccard_pairs(docs: DataFrame, pairs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """Exact n-gram Jaccard for an explicit candidate pair set (id_a, id_b)."""
     sh = docs.select(F.col(id_col), shingles_col(text_col).alias("sh"))

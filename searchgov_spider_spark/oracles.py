@@ -182,6 +182,31 @@ def q25_lsh_near_dup_pairs(k: int = 16, bands: int = 8, threshold: float = 0.8) 
     """
 
 
+def q45_dedup_clusters() -> str:
+    """Connected components over the q25 LSH-verified pair set, computed by
+    a genuinely independent mechanism: a recursive-CTE transitive closure
+    (reach = all nodes reachable from src; rep = min reachable id) instead
+    of the Spark side's iterative min-label propagation."""
+    from .queries import _DUP_DOCS_SQL
+
+    edges_sql = q25_lsh_near_dup_pairs()
+    return f"""
+        WITH RECURSIVE edges AS ({edges_sql}),
+        und AS (SELECT id_a AS a, id_b AS b FROM edges
+                UNION ALL SELECT id_b AS a, id_a AS b FROM edges),
+        nodes AS (SELECT doc_id FROM {_DUP_DOCS_SQL}),
+        reach(src, dst) AS (
+            SELECT doc_id, doc_id FROM nodes
+            UNION
+            SELECT r.src, u.b FROM reach r JOIN und u ON r.dst = u.a
+        ),
+        lab AS (SELECT src AS doc_id, min(dst) AS cluster_rep FROM reach GROUP BY src)
+        SELECT doc_id, cluster_rep,
+               count(*) OVER (PARTITION BY cluster_rep) AS cluster_size
+        FROM lab
+    """
+
+
 def _fold_dot(a, b) -> float:
     acc = 0.0
     for x, y in zip(a, b):
@@ -531,4 +556,5 @@ def build_dynamic_oracles() -> dict[str, str]:
         "q36_pdf_extraction": q36_pdf_extraction(),
         "q37_sitemap_discovery": q37_sitemap_discovery(),
         "q38_ann_ivf": q38_ann_ivf(),
+        "q45_dedup_clusters": q45_dedup_clusters(),
     }

@@ -676,6 +676,20 @@ def q44_line_dedup(spark, sf_dir):
     return curation.line_dedup(d)
 
 
+def q45_dedup_clusters(spark, sf_dir):
+    """Near-dup CLUSTERS (not just pairs): LSH-verified pairs (q25's exact
+    pipeline) -> min-label-propagation connected components -> per-doc
+    cluster representative + cluster size.  The cluster step a dedup
+    pipeline needs to pick survivors; iterations ~ component diameter."""
+    d = _docs_with_dups(spark, sf_dir)
+    pairs = dedup.minhash_lsh_pairs(d, k=16, bands=8, threshold=0.8).select("id_a", "id_b")
+    cc = dedup.connected_components(pairs, d.select("doc_id"), id_col="doc_id")
+    sizes = cc.groupBy("label").agg(F.count("*").alias("cluster_size"))
+    return cc.join(sizes, "label").select(
+        "doc_id", F.col("label").alias("cluster_rep"), "cluster_size"
+    )
+
+
 # ---------------------------------------------------------------------------
 # registry + oracle SQL
 # ---------------------------------------------------------------------------
@@ -725,6 +739,7 @@ QUERIES = {
     "q42_repetition_stats": q42_repetition_stats,
     "q43_pii_redaction": q43_pii_redaction,
     "q44_line_dedup": q44_line_dedup,
+    "q45_dedup_clusters": q45_dedup_clusters,
 }
 
 _DUP_DOCS_SQL = (

@@ -369,3 +369,45 @@ class TestBpeTokenStats:
         assert out[2]["n_ws_tokens"] == 0 and out[2]["n_bpe_tokens"] == 0
         # "a-b c_d 1.5x" -> a - b c _ d 1 . 5 x = 10
         assert out[3]["n_bpe_tokens"] == 10 and out[3]["n_ws_tokens"] == 3
+
+
+class TestConnectedComponents:
+    def _expected(self, n, edges):
+        parent = list(range(n))
+
+        def find(x):
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for a, b in edges:
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        return {i: find(i) for i in range(n)}
+
+    def test_matches_union_find_incl_long_chain(self, spark):
+        from searchgov_spider_spark.operators.dedup import connected_components
+
+        # a 10-node chain (forces ~5 propagation rounds: labels travel one
+        # hop per iteration), a triangle, a star, and singletons
+        edges = [(i, i + 1) for i in range(9)]
+        edges += [(20, 21), (21, 22), (20, 22)]
+        edges += [(30, i) for i in (31, 32, 33)]
+        n = 40
+        edges_df = spark.createDataFrame(edges, "id_a long, id_b long")
+        nodes_df = spark.createDataFrame([(i,) for i in range(n)], "id long")
+        got = {
+            r["id"]: r["label"]
+            for r in connected_components(edges_df, nodes_df).collect()
+        }
+        assert got == self._expected(n, edges)
+
+    def test_no_edges_is_identity(self, spark):
+        from searchgov_spider_spark.operators.dedup import connected_components
+
+        edges_df = spark.createDataFrame([], "id_a long, id_b long")
+        nodes_df = spark.createDataFrame([(i,) for i in range(5)], "id long")
+        got = {r["id"]: r["label"] for r in connected_components(edges_df, nodes_df).collect()}
+        assert got == {i: i for i in range(5)}
