@@ -392,6 +392,10 @@ class CrawlEngine:
 
         last = self.store.last_committed() if resume else None
         if last is not None:
+            # refuse to resume from a checkpoint whose data files diverge
+            # from their committed lineage (truncated/overwritten parquet
+            # would silently corrupt the visited set)
+            self.store.verify_round(last)
             manifest = self.store.read_manifest(last)
             if manifest.get("stop"):
                 run.rounds = last + 1

@@ -26,6 +26,10 @@ import shutil
 from pyspark.sql import DataFrame, SparkSession
 
 
+class CheckpointCorrupt(RuntimeError):
+    """A committed round's data files diverge from their manifest lineage."""
+
+
 class CheckpointStore:
     def __init__(self, root: str):
         self.root = root
@@ -56,12 +60,91 @@ class CheckpointStore:
         df.write.mode("overwrite").parquet(path)
         return path
 
+    def _dir_lineage(self, tdir: str) -> dict | None:
+        """Per-file lineage of one parquet directory: (name, bytes, rows) per
+        data file, rows read from the parquet footer (driver-local metadata
+        read, no Spark job — the same information an Iceberg manifest file
+        records per data file)."""
+        import pyarrow.parquet as pq
+
+        if not os.path.isdir(tdir):
+            return None
+        files = []
+        for fn in sorted(os.listdir(tdir)):
+            if fn.endswith(".parquet"):
+                fp = os.path.join(tdir, fn)
+                files.append(
+                    {
+                        "file": fn,
+                        "bytes": os.path.getsize(fp),
+                        "rows": pq.read_metadata(fp).num_rows,
+                    }
+                )
+        return {
+            "files": files,
+            "rows": sum(f["rows"] for f in files),
+            "bytes": sum(f["bytes"] for f in files),
+        }
+
+    def round_lineage(self, rnd: int) -> dict:
+        """Lineage of every table this round wrote (incl. its seen delta)."""
+        lineage = {}
+        rd = self.round_dir(rnd)
+        if os.path.isdir(rd):
+            for name in sorted(os.listdir(rd)):
+                entry = self._dir_lineage(os.path.join(rd, name))
+                if entry is not None:
+                    lineage[name] = entry
+        seen = self._dir_lineage(self.seen_delta_dir(rnd))
+        if seen is not None:
+            lineage["seen_delta"] = seen
+        return lineage
+
     def commit_round(self, rnd: int, manifest: dict) -> None:
-        """Atomic commit: manifest written to a temp file then renamed."""
+        """Atomic commit: manifest written to a temp file then renamed.
+
+        The manifest carries per-partition LINEAGE (file name, bytes, footer
+        row count for every data file of every table the round wrote) — the
+        Iceberg-snapshot-manifest analog the north_rule asks for, and what
+        ``verify_round`` checks before a resume trusts the checkpoint."""
         tmp = self.manifest_path(rnd) + ".tmp"
         with open(tmp, "w") as f:
-            json.dump({"round": rnd, **manifest}, f)
+            json.dump({"round": rnd, **manifest, "lineage": self.round_lineage(rnd)}, f)
         os.replace(tmp, self.manifest_path(rnd))
+
+    def verify_round(self, rnd: int) -> None:
+        """Integrity check before resuming from round ``rnd``: every data
+        file recorded in the committed lineage must still exist with the
+        committed byte size.  Raises ``CheckpointCorrupt`` naming the first
+        divergent file — resuming from a truncated/overwritten checkpoint
+        would silently corrupt the visited set, which violates the
+        north_rule's resume-exactness guarantee.  Size-only by design: a
+        driver-side stat per file, no data read, no Spark job."""
+        manifest = self.read_manifest(rnd)
+        lineage = manifest.get("lineage")
+        if lineage is None:  # pre-lineage checkpoint (older layout): nothing to check
+            return
+        for table, entry in lineage.items():
+            base = (
+                self.seen_delta_dir(rnd)
+                if table == "seen_delta"
+                else os.path.join(self.round_dir(rnd), table)
+            )
+            if not os.path.isdir(base):
+                # whole table dir absent = declared GC (compact_seen merges
+                # delta dirs away, expire_rounds drops old frontier payloads);
+                # partial damage inside an EXISTING dir is what corruption
+                # looks like, and is never legitimate
+                continue
+            for f in entry["files"]:
+                fp = os.path.join(base, f["file"])
+                if not os.path.exists(fp):
+                    raise CheckpointCorrupt(f"round {rnd}: missing data file {fp}")
+                size = os.path.getsize(fp)
+                if size != f["bytes"]:
+                    raise CheckpointCorrupt(
+                        f"round {rnd}: {fp} is {size} bytes, manifest committed {f['bytes']}"
+                    )
 
     def drop_uncommitted(self, rnd: int) -> None:
         """Remove a partially-written round (crash cleanup before rerun)."""

@@ -61,3 +61,52 @@ def test_expire_rounds_keeps_resume_state(spark, tmp_path):
     docs = store.read_documents(spark)
     assert docs.count() > 0
     assert store.committed_rounds()  # manifests intact
+
+
+def test_manifest_records_per_partition_lineage(spark, tmp_path):
+    """Every committed round's manifest carries per-file lineage (name,
+    bytes, footer row count) whose totals match the tables on disk — the
+    Iceberg-manifest analog the north_rule's checkpoint contract names."""
+    engine, run, _ = _run_partial(spark, tmp_path, max_rounds=2)
+    store = engine.store
+    for rnd in store.committed_rounds():
+        manifest = store.read_manifest(rnd)
+        lineage = manifest["lineage"]
+        assert "frontier" in lineage and "documents" in lineage
+        for table, entry in lineage.items():
+            assert entry["rows"] == sum(f["rows"] for f in entry["files"])
+            assert entry["bytes"] == sum(f["bytes"] for f in entry["files"])
+            base = (
+                store.seen_delta_dir(rnd)
+                if table == "seen_delta"
+                else os.path.join(store.round_dir(rnd), table)
+            )
+            on_disk = sorted(f for f in os.listdir(base) if f.endswith(".parquet"))
+            assert on_disk == [f["file"] for f in entry["files"]]
+        # row counts agree with what Spark reads back
+        docs = spark.read.parquet(os.path.join(store.round_dir(rnd), "documents"))
+        assert docs.count() == lineage["documents"]["rows"]
+        # frontier rows == the metrics' remaining count
+        assert lineage["frontier"]["rows"] == manifest["remaining"]
+
+
+def test_resume_refuses_corrupted_checkpoint(spark, tmp_path):
+    """Truncating a committed data file must fail the resume loudly
+    (CheckpointCorrupt), never silently recrawl from damaged state."""
+    import pytest
+
+    from searchgov_spider_spark.storage.tables import CheckpointCorrupt
+
+    engine, run, _ = _run_partial(spark, tmp_path, max_rounds=2)
+    store = engine.store
+    last = store.last_committed()
+    frontier_dir = os.path.join(store.round_dir(last), "frontier")
+    victim = next(
+        os.path.join(frontier_dir, f)
+        for f in sorted(os.listdir(frontier_dir))
+        if f.endswith(".parquet")
+    )
+    with open(victim, "r+b") as fh:
+        fh.truncate(os.path.getsize(victim) // 2)
+    with pytest.raises(CheckpointCorrupt, match="bytes"):
+        engine.run([webgen.page_url(0, 0)], max_rounds=1, resume=True)
