@@ -104,3 +104,52 @@ def stream_fetch_metrics(
         .trigger(availableNow=True)
         .start()
     )
+
+
+URL_EVENT_SCHEMA = T.StructType(
+    [
+        T.StructField("ts", T.TimestampType()),
+        T.StructField("url", T.StringType()),
+    ]
+)
+
+
+def stream_url_dedup(
+    spark: SparkSession,
+    urls_dir: str,
+    out_dir: str,
+    checkpoint_dir: str,
+    ttl_minutes: int = 60,
+):
+    """Streaming URL-seen dedup — the ``readStream`` analog of F7 at
+    ingestion time: canonicalize + hash each incoming URL event and emit
+    only its FIRST occurrence, with dedup state BOUNDED by
+    ``dropDuplicatesWithinWatermark`` (keys expire once the event-time
+    watermark passes ``ttl_minutes`` behind them).
+
+    Division of labour at the 10^10 design point: the exact, unbounded seen
+    set lives in the batch engine's checkpointed anti-join (crawl/frontier);
+    this streaming layer pre-dedups a live URL feed (discovered links, seed
+    drops, recrawl triggers) with state proportional to the TTL horizon
+    only — the standard Kafka-ingest pattern.  State is checkpointed, so a
+    restarted query still drops duplicates of URLs seen before the restart
+    (within the watermark horizon); output is append-mode parquet.
+    """
+    deduped = (
+        spark.readStream.schema(URL_EVENT_SCHEMA)
+        .json(urls_dir)
+        .filter(F.col("url").isNotNull() & F.col("ts").isNotNull())
+        .withColumn("url_canon", udfs.canonicalize_url(udfs.strip_jsessionid(F.col("url"))))
+        .withColumn("url_hash", F.xxhash64(F.col("url_canon")))
+        .withWatermark("ts", f"{ttl_minutes} minutes")
+        .dropDuplicatesWithinWatermark(["url_hash"])
+        .select("ts", "url_canon", "url_hash")
+    )
+    return (
+        deduped.writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -137,3 +137,45 @@ def test_stateful_rate_limited_frontier(spark, tmp_path):
     combined = a_seqs + a_seqs2
     assert combined == [0, 1, 2, 3, 4, 9], f"backlog must fully drain, got {combined}"
     assert ("c", 200) in all_rows2
+
+
+def test_stream_url_dedup(spark, tmp_path):
+    """Streaming F7: first occurrence kept, dups dropped within the
+    watermark TTL — including across a query restart (state checkpointed)."""
+    import json as _json
+
+    from searchgov_spider_spark.streaming.ingest import stream_url_dedup
+
+    urls_dir = tmp_path / "urls"
+    urls_dir.mkdir()
+    out_dir = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+
+    def drop(name, events):
+        (urls_dir / name).write_text(
+            "\n".join(_json.dumps({"ts": ts, "url": u}) for ts, u in events)
+        )
+
+    base = "2024-01-01T00:{m:02d}:00.000Z"
+    drop(
+        "b1.json",
+        [
+            (base.format(m=0), "https://A.gov/x#frag"),  # canonicalizes same as below
+            (base.format(m=1), "https://a.gov/x"),  # dup after canonicalization
+            (base.format(m=2), "https://a.gov/y"),
+            (base.format(m=2), "https://a.gov/y"),  # in-batch dup
+        ],
+    )
+    q = stream_url_dedup(spark, str(urls_dir), out_dir, ckpt, ttl_minutes=60)
+    q.awaitTermination(120)
+
+    got = {r["url_canon"] for r in spark.read.parquet(out_dir).collect()}
+    assert got == {"https://a.gov/x", "https://a.gov/y"}
+
+    # restart with a new file: dup of a pre-restart URL still drops (state
+    # checkpointed), a new URL passes
+    drop("b2.json", [(base.format(m=3), "https://a.gov/x"), (base.format(m=4), "https://a.gov/z")])
+    q2 = stream_url_dedup(spark, str(urls_dir), out_dir, ckpt, ttl_minutes=60)
+    q2.awaitTermination(120)
+    got2 = sorted(r["url_canon"] for r in spark.read.parquet(out_dir).collect())
+    assert got2 == ["https://a.gov/x", "https://a.gov/y", "https://a.gov/z"]
