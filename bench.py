@@ -50,6 +50,10 @@ BENCH_QUERIES = [
     "q21_cosine_topk",
     "q22_text_analysis",
     "q25_lsh_near_dup_pairs",
+    # round-3 curation family (no prior-round range)
+    "q40_decontamination",
+    "q44_line_dedup",
+    "q45_dedup_clusters",
 ]
 
 

@@ -111,9 +111,16 @@ def line_dedup(
 
     Scale shape: explode -> one groupBy on the line string (partial-agg'd
     map-side; the heavy key space is the corpus's distinct lines, uniformly
-    hash-partitioned) -> broadcast-free join back on (line, id, pos) -> one
-    groupBy on doc id to reassemble.  Line strings can be md5'd first at
-    petabyte scale; kept verbatim here so the oracle is plain SQL.
+    hash-partitioned) -> join back on line -> one groupBy on doc id to
+    reassemble.  Line strings can be md5'd first at petabyte scale; kept
+    verbatim here so the oracle is plain SQL.
+
+    Skew: boilerplate lines (cookie banners, nav text) are the crawl-native
+    hot keys of the join-back — a line occurring in 10^8 docs puts 10^8
+    probe rows on one key.  The build side carries exactly one row per line
+    (first_at, n_occ), so AQE skew-join (on in build_session) splits the hot
+    partition and replicates the 1-row build side; the groupBys are immune
+    (map-side partial agg absorbs hot keys before the shuffle).
     """
     pos_lines = docs.select(
         F.col(id_col), F.posexplode(lines_col).alias("pos", "line")
