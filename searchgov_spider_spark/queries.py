@@ -676,6 +676,35 @@ def q44_line_dedup(spark, sf_dir):
     return curation.line_dedup(d)
 
 
+def q46_corpus_curation(spark, sf_dir):
+    """The full curation pipeline composed from the proven operators:
+    exact dedup (keep representatives) -> Gopher repetition gate ->
+    token-count gate (>= 20) -> language join -> deterministic stratified
+    sample.  Every stage is individually oracle-backed (q16/q42/q17/q41);
+    this verifies their COMPOSITION end to end — the shape a real corpus
+    build runs.  All JVM-side; the only UDFs in the whole pipeline are none."""
+    d = _docs_with_dups(spark, sf_dir)
+    langs = _t(spark, sf_dir, "documents").select(F.col("doc_id").alias("orig_id"), "lang")
+    dd = dedup.exact_duplicates(d)
+    kept = d.join(
+        dd.filter(F.col("doc_id") == F.col("representative")).select("doc_id"), "doc_id"
+    )
+    not_repetitive = (
+        textstats.repetition_stats(kept).filter(~F.col("repetitive")).select("doc_id")
+    )
+    tok = textstats.token_stats(kept).select("doc_id", "n_tokens").filter(F.col("n_tokens") >= 20)
+    gated = (
+        kept.join(not_repetitive, "doc_id")
+        .join(tok, "doc_id")
+        .withColumn("orig_id", F.col("doc_id") % 100000)
+        .join(langs, "orig_id")
+        .select("doc_id", "lang", "n_tokens")
+    )
+    return curation.stratified_sample(
+        gated, {"en": "8000", "zh": "4000", "es": "4000"}, default_cutoff="2000"
+    )
+
+
 def q45_dedup_clusters(spark, sf_dir):
     """Near-dup CLUSTERS (not just pairs): LSH-verified pairs (q25's exact
     pipeline) -> min-label-propagation connected components -> per-doc
@@ -740,6 +769,7 @@ QUERIES = {
     "q43_pii_redaction": q43_pii_redaction,
     "q44_line_dedup": q44_line_dedup,
     "q45_dedup_clusters": q45_dedup_clusters,
+    "q46_corpus_curation": q46_corpus_curation,
 }
 
 _DUP_DOCS_SQL = (
@@ -923,6 +953,34 @@ ORACLES = {
     "q41_stratified_sample": """
         SELECT doc_id, lang, source, substring(md5(doc_id::VARCHAR), 1, 4) AS bucket
         FROM documents
+        WHERE substring(md5(doc_id::VARCHAR), 1, 4) <
+              CASE lang WHEN 'en' THEN '8000' WHEN 'zh' THEN '4000'
+                        WHEN 'es' THEN '4000' ELSE '2000' END
+    """,
+    "q46_corpus_curation": f"""
+        WITH d AS (SELECT doc_id, text FROM {_DUP_DOCS_SQL}),
+        reps AS (SELECT min(doc_id) AS doc_id
+                 FROM (SELECT doc_id, md5(text) AS h FROM d) GROUP BY h),
+        kept AS (SELECT d.doc_id, d.text FROM d JOIN reps USING (doc_id)),
+        c2 AS (SELECT doc_id, chars, gram, count(*) AS cnt FROM (
+                SELECT doc_id, length(text) AS chars, unnest({_shingles_sql(2)}) AS gram
+                FROM kept) GROUP BY doc_id, chars, gram),
+        top AS (SELECT doc_id, round(max(cnt * length(gram)) * 1.0 / greatest(chars, 1), 6) AS f2
+                FROM c2 GROUP BY doc_id, chars),
+        c5 AS (SELECT doc_id, chars, gram, count(*) AS cnt FROM (
+                SELECT doc_id, length(text) AS chars, unnest({_shingles_sql(5)}) AS gram
+                FROM kept) GROUP BY doc_id, chars, gram),
+        dup AS (SELECT doc_id, round(sum(CASE WHEN cnt > 1 THEN cnt * length(gram) ELSE 0 END) * 1.0
+                                     / greatest(chars, 1), 6) AS f5
+                FROM c5 GROUP BY doc_id, chars),
+        repf AS (SELECT top.doc_id FROM top JOIN dup USING (doc_id)
+                 WHERE NOT (f2 > 0.20 OR f5 > 0.15)),
+        tok AS (SELECT doc_id, len({_TOKS}) AS n_tokens FROM kept WHERE len({_TOKS}) >= 20),
+        g AS (SELECT kept.doc_id, documents.lang, tok.n_tokens
+              FROM kept JOIN repf USING (doc_id) JOIN tok USING (doc_id)
+              JOIN documents ON documents.doc_id = kept.doc_id % 100000)
+        SELECT doc_id, lang, n_tokens, substring(md5(doc_id::VARCHAR), 1, 4) AS bucket
+        FROM g
         WHERE substring(md5(doc_id::VARCHAR), 1, 4) <
               CASE lang WHEN 'en' THEN '8000' WHEN 'zh' THEN '4000'
                         WHEN 'es' THEN '4000' ELSE '2000' END
