@@ -17,7 +17,7 @@ from __future__ import annotations
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Observation
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -169,15 +169,23 @@ def connected_components(
                 .groupBy("id")
                 .agg(F.min("label").alias("nl"))
             )
-            new_labels = (
+            # ONE job per iteration: the convergence count rides the
+            # checkpoint materialization as an Observation instead of a
+            # second count() job (the join/compare re-derivation would pay
+            # full job latency again each round)
+            obs = Observation()
+            step = (
                 labels.join(proposals, "id", "left")
-                .select("id", F.least("label", F.coalesce("nl", "label")).alias("label"))
+                .select(
+                    "id",
+                    F.least("label", F.coalesce("nl", "label")).alias("new_label"),
+                    F.col("label").alias("old_label"),
+                )
+                .observe(obs, F.sum((F.col("new_label") < F.col("old_label")).cast("long")).alias("changed"))
                 .localCheckpoint(eager=True)
             )
-            old = labels.select("id", F.col("label").alias("old_label"))
-            changed = new_labels.join(old, "id").filter(F.col("label") < F.col("old_label")).count()
-            labels = new_labels
-            if changed == 0:
+            labels = step.select("id", F.col("new_label").alias("label"))
+            if int(obs.get["changed"] or 0) == 0:
                 break
     finally:
         und.unpersist()
