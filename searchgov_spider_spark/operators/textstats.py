@@ -11,7 +11,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ..functions import udfs
-from .dedup import TOKEN_PATTERN, shingles_col
+from .dedup import TOKEN_PATTERN, shingles_col, tokens_col
 
 
 def token_stats(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
@@ -68,6 +68,36 @@ def quality_scores(docs: DataFrame, id_col: str = "doc_id", text_col: str = "tex
 
 def fingerprints(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     return docs.select(F.col(id_col), udfs.document_fingerprint(F.col(text_col)).alias("fingerprint"))
+
+
+def unigram_surprisal(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Corpus-unigram surprisal score — the join-based surrogate of
+    CCNet-style LM-perplexity quality filtering (docs whose tokens are
+    improbable under the corpus's own unigram distribution score high;
+    gibberish and boilerplate-free rare text surfaces at both extremes).
+
+    avg_surprisal = mean over tokens of -log2(count(token) / total_tokens).
+
+    Scale shape: the vocabulary is BUILT and CONSUMED distributed — one
+    groupBy on token (map-side partial agg absorbs 'the'-scale hot keys),
+    the corpus total as a 1-row broadcast cross join (no driver action, no
+    collect), then the token->count join (build side is 1 row per vocab key,
+    so AQE skew-join splits the stopword hot keys) and a per-doc avg.
+    A KenLM swap-in would replace the vocab join with a scoring UDF; the
+    pipeline shape stays.
+    """
+    toks = docs.select(F.col(id_col), F.explode(tokens_col(text_col)).alias("tok"))
+    vocab = toks.groupBy("tok").agg(F.count("*").alias("cnt"))
+    total = vocab.agg(F.sum("cnt").alias("total"))
+    return (
+        toks.join(vocab, "tok")
+        .crossJoin(F.broadcast(total))
+        .groupBy(id_col)
+        .agg(
+            F.round(F.avg(-F.log2(F.col("cnt") / F.col("total"))), 6).alias("avg_surprisal"),
+            F.count("*").alias("n_scored_tokens"),
+        )
+    )
 
 
 def repetition_stats(

@@ -705,6 +705,13 @@ def q46_corpus_curation(spark, sf_dir):
     )
 
 
+def q47_unigram_surprisal(spark, sf_dir):
+    """CCNet-style LM-quality surrogate: per-doc mean unigram surprisal
+    under the corpus's own token distribution.  Vocabulary built and joined
+    fully distributed — no collect, no broadcast of the vocab itself."""
+    return textstats.unigram_surprisal(_t(spark, sf_dir, "documents"))
+
+
 def q45_dedup_clusters(spark, sf_dir):
     """Near-dup CLUSTERS (not just pairs): LSH-verified pairs (q25's exact
     pipeline) -> min-label-propagation connected components -> per-doc
@@ -770,6 +777,7 @@ QUERIES = {
     "q44_line_dedup": q44_line_dedup,
     "q45_dedup_clusters": q45_dedup_clusters,
     "q46_corpus_curation": q46_corpus_curation,
+    "q47_unigram_surprisal": q47_unigram_surprisal,
 }
 
 _DUP_DOCS_SQL = (
@@ -956,6 +964,16 @@ ORACLES = {
         WHERE substring(md5(doc_id::VARCHAR), 1, 4) <
               CASE lang WHEN 'en' THEN '8000' WHEN 'zh' THEN '4000'
                         WHEN 'es' THEN '4000' ELSE '2000' END
+    """,
+    "q47_unigram_surprisal": f"""
+        WITH toks AS (SELECT doc_id, unnest({_TOKS}) AS tok FROM documents),
+        vocab AS (SELECT tok, count(*) AS cnt FROM toks GROUP BY tok),
+        total AS (SELECT sum(cnt) AS total FROM vocab)
+        SELECT doc_id,
+               round(avg(-log2(cnt * 1.0 / total)), 6) AS avg_surprisal,
+               count(*) AS n_scored_tokens
+        FROM toks JOIN vocab USING (tok) CROSS JOIN total
+        GROUP BY doc_id
     """,
     "q46_corpus_curation": f"""
         WITH d AS (SELECT doc_id, text FROM {_DUP_DOCS_SQL}),

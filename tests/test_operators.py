@@ -411,3 +411,27 @@ class TestConnectedComponents:
         nodes_df = spark.createDataFrame([(i,) for i in range(5)], "id long")
         got = {r["id"]: r["label"] for r in connected_components(edges_df, nodes_df).collect()}
         assert got == {i: i for i in range(5)}
+
+
+class TestUnigramSurprisal:
+    def test_hand_computed_and_partition_invariant(self, spark):
+        import math
+
+        from searchgov_spider_spark.operators import textstats
+
+        rows = [(0, "a a b"), (1, "b c")]
+        docs = spark.createDataFrame(rows, "doc_id long, text string")
+        got = {r["doc_id"]: r.asDict() for r in textstats.unigram_surprisal(docs).collect()}
+        # corpus: a=2, b=2, c=1, total=5
+        s = lambda cnt: -math.log2(cnt / 5)
+        assert got[0]["avg_surprisal"] == round((s(2) + s(2) + s(2)) / 3, 6)
+        assert got[1]["avg_surprisal"] == round((s(2) + s(1)) / 2, 6)
+        assert got[0]["n_scored_tokens"] == 3 and got[1]["n_scored_tokens"] == 2
+
+        # rounded score stable under arbitrary partitioning (distributed
+        # double-sum reorder stays below the 1e-6 rounding grain)
+        re_got = {
+            r["doc_id"]: r["avg_surprisal"]
+            for r in textstats.unigram_surprisal(docs.repartition(7)).collect()
+        }
+        assert re_got == {k: v["avg_surprisal"] for k, v in got.items()}
