@@ -1,7 +1,9 @@
 """Dynamically-built DuckDB oracle SQL for the non-relational driver queries.
 
-The 13 queries that round 1 left as rows-only checks get hard oracles here:
-for each one the EXPECTED result is derived INDEPENDENTLY of the distributed
+Queries whose semantics aren't a single static SQL statement get hard
+oracles here (the 13 round-1 rows-only checks, plus later additions like
+the q45 recursive-CTE transitive closure): for each one the EXPECTED
+result is derived INDEPENDENTLY of the distributed
 Spark machinery — either as genuine DuckDB SQL over literal input VALUES
 (relational flows: sitemap delta, DAP, LSH banding), or by running the
 single-node pure-Python kernels / the pure-Python reference BFS on the driver
