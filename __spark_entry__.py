@@ -1,9 +1,11 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
 Thin wrapper over searchgov_spider_spark.queries — one queries() entry per
-implemented operator family from SURVEY.md §2, with DuckDB oracle SQL where
-the semantics are ANSI-SQL-expressible (rows-only driver check otherwise;
-those operators are pytest-gated against pure-Python oracles in tests/).
+implemented operator family from SURVEY.md §2.  EVERY query has a DuckDB
+oracle (rows + schema + value-hash): relational flows as ANSI SQL, kernel-
+driven operators via oracles.build_dynamic_oracles() which computes expected
+VALUES independently (golden rows, stdlib re-implementations, or checked-in
+literals) and emits them as SQL.
 """
 
 from __future__ import annotations

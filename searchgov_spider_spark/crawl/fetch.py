@@ -55,18 +55,24 @@ def _default_transport_factory() -> Callable:
             "no HTTP library in this environment — inject a transport_factory"
         ) from exc
 
-    def factory():  # pragma: no cover - requires network
-        import aiohttp
+    class _AiohttpTransport:  # pragma: no cover - requires network
+        """Lazily opens one ClientSession on the event loop that first calls
+        it; HttpFetcher drives ALL batches of a partition on a single loop,
+        so the session stays bound to a live loop, and ``aclose`` releases
+        it before the loop shuts down."""
 
-        session: dict = {}
+        def __init__(self):
+            self._session = None
 
-        async def transport(url: str, policy: FetchPolicy):
-            if "s" not in session:
-                session["s"] = aiohttp.ClientSession(
+        async def __call__(self, url: str, policy: FetchPolicy):
+            import aiohttp
+
+            if self._session is None:
+                self._session = aiohttp.ClientSession(
                     headers={"User-Agent": policy.user_agent},
                     timeout=aiohttp.ClientTimeout(total=policy.timeout_s),
                 )
-            async with session["s"].get(url) as resp:
+            async with self._session.get(url) as resp:
                 # enforce the byte cap DURING streaming, as Scrapy cancels
                 # oversize downloads mid-flight
                 body = bytearray()
@@ -76,9 +82,12 @@ def _default_transport_factory() -> Callable:
                         return resp.status, dict(resp.headers), None
                 return resp.status, dict(resp.headers), bytes(body)
 
-        return transport
+        async def aclose(self):
+            if self._session is not None:
+                await self._session.close()
+                self._session = None
 
-    return factory()
+    return _AiohttpTransport()
 
 
 class HttpFetcher:
@@ -139,12 +148,23 @@ class HttpFetcher:
                 sem = asyncio.Semaphore(policy.max_concurrency)
                 return await asyncio.gather(*(one(u, sem) for u in urls))
 
-            for pdf in batches:
-                results = asyncio.run(run(list(pdf["url_canon"]))) if len(pdf) else []
-                yield pdf.assign(
-                    html=pd.Series([r[0] for r in results], index=pdf.index, dtype=object),
-                    lang=pd.Series([r[1] for r in results], index=pdf.index, dtype=object),
-                )
+            # ONE event loop for the whole partition: a transport that opens
+            # a connection pool (e.g. aiohttp.ClientSession) on first use
+            # stays bound to a live loop across Arrow batches, instead of
+            # dying with the first batch's asyncio.run loop.
+            loop = asyncio.new_event_loop()
+            try:
+                for pdf in batches:
+                    results = loop.run_until_complete(run(list(pdf["url_canon"]))) if len(pdf) else []
+                    yield pdf.assign(
+                        html=pd.Series([r[0] for r in results], index=pdf.index, dtype=object),
+                        lang=pd.Series([r[1] for r in results], index=pdf.index, dtype=object),
+                    )
+            finally:
+                aclose = getattr(transport, "aclose", None)
+                if aclose is not None:
+                    loop.run_until_complete(aclose())
+                loop.close()
 
         return selected.mapInPandas(_fetch_batch, schema=out_schema)
 

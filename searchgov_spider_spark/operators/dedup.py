@@ -161,6 +161,7 @@ def connected_components(
     labels = nodes.select(F.col(id_col).alias("id"), F.col(id_col).alias("label")).localCheckpoint(
         eager=True
     )
+    converged = False
     try:
         for _ in range(max_iter):
             proposals = (
@@ -186,9 +187,19 @@ def connected_components(
             )
             labels = step.select("id", F.col("new_label").alias("label"))
             if int(obs.get["changed"] or 0) == 0:
+                converged = True
                 break
     finally:
         und.unpersist()
+    if not converged:
+        import warnings
+
+        warnings.warn(
+            f"connected_components: label propagation did not converge within "
+            f"max_iter={max_iter} iterations; labels are NOT final component "
+            f"representatives (graph diameter exceeds max_iter)",
+            stacklevel=2,
+        )
     return labels.withColumnRenamed("id", id_col) if id_col != "id" else labels
 
 

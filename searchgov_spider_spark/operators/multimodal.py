@@ -80,6 +80,12 @@ def jpeg_dims(payload: bytes) -> tuple[int, int] | None:
     while pos + 4 <= len(payload):
         if payload[pos] != 0xFF:
             return None
+        # real JPEGs pad with runs of 0xFF fill bytes before a marker
+        # (ISO 10918-1 B.1.1.2) — skip to the last 0xFF of the run
+        while pos + 1 < len(payload) and payload[pos + 1] == 0xFF:
+            pos += 1
+        if pos + 4 > len(payload):
+            return None
         marker = payload[pos + 1]
         if marker == 0xD9:  # EOI
             return None

@@ -142,7 +142,10 @@ def stream_url_dedup(
         .withColumn("url_canon", udfs.canonicalize_url(udfs.strip_jsessionid(F.col("url"))))
         .withColumn("url_hash", F.xxhash64(F.col("url_canon")))
         .withWatermark("ts", f"{ttl_minutes} minutes")
-        .dropDuplicatesWithinWatermark(["url_hash"])
+        # key on the canonical URL itself, not its 64-bit hash: at the 10^10
+        # design point the hash alone has millions of expected colliding
+        # pairs, each silently dropping a distinct URL
+        .dropDuplicatesWithinWatermark(["url_canon"])
         .select("ts", "url_canon", "url_hash")
     )
     return (

@@ -253,6 +253,58 @@ def test_http_fetcher_downloader_semantics(spark, tmp_path):
     assert calls == ["big", "err500", "ok", "timeout"]
 
 
+def test_http_fetcher_session_survives_arrow_batches(spark, tmp_path):
+    """Regression (ADVICE r3 medium): a transport that lazily binds a
+    connection pool to the event loop of its FIRST call (the aiohttp
+    ClientSession shape) must keep working across Arrow batches of the same
+    partition — the old per-batch asyncio.run left the session on a closed
+    loop, silently nulling every fetch after batch 1 — and its aclose()
+    must run before the loop shuts down."""
+    import os
+
+    from searchgov_spider_spark.crawl.fetch import HttpFetcher
+
+    closed_dir = tmp_path / "closed"
+    closed_dir.mkdir()
+    closed_marker = str(closed_dir)
+
+    def _loop_bound_transport_factory():
+        import asyncio
+
+        class T:
+            def __init__(self):
+                self.loop = None  # "session" bound to the first caller's loop
+
+            async def __call__(self, url, policy):
+                running = asyncio.get_running_loop()
+                if self.loop is None:
+                    self.loop = running
+                if self.loop is not running or self.loop.is_closed():
+                    raise RuntimeError("Event loop is closed")  # aiohttp's symptom
+                return 200, {}, url.encode()
+
+            async def aclose(self):
+                # must be awaited on the SAME still-live loop
+                assert self.loop is asyncio.get_running_loop() and not self.loop.is_closed()
+                open(os.path.join(closed_marker, "closed"), "w").close()
+
+        return T()
+
+    urls = [(f"https://loop.gov/p{i}",) for i in range(10)]
+    df = spark.createDataFrame(urls, "url_canon string").coalesce(1)
+    old = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "3")  # 4 batches
+    try:
+        fetcher = HttpFetcher(transport_factory=_loop_bound_transport_factory)
+        got = {r["url_canon"]: r["html"] for r in fetcher.fetch(df).collect()}
+    finally:
+        spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", old)
+    assert len(got) == 10
+    for u, html in got.items():
+        assert html is not None and bytes(html) == u.encode(), u
+    assert os.listdir(closed_marker) == ["closed"]
+
+
 def test_oracle_sanity():
     # structural sanity of the synthetic graph + oracle itself
     policy = POLICIES["full-depth20"]

@@ -119,6 +119,17 @@ class TestMultimodal:
         # kernel level
         assert multimodal.png_dims(multimodal.make_png(640, 480, b"x")) == (640, 480)
         assert multimodal.jpeg_dims(multimodal.make_jpeg(33, 7, b"y" * 50)) == (33, 7)
+        # ADVICE r3: real JPEGs pad with 0xFF fill bytes before markers
+        # (ISO 10918-1 B.1.1.2) — the marker walk must skip the run
+        padded = (
+            b"\xff\xd8"
+            + b"\xff\xff\xff"  # fill run before APP0
+            + b"\xff\xe0" + bytes([0, 4, 0, 0])
+            + b"\xff\xff"  # fill run before SOF0
+            + b"\xff\xc0" + bytes([0, 11, 8, 0, 7, 0, 33, 1, 1, 0x11, 0])
+            + b"\xff\xd9"
+        )
+        assert multimodal.jpeg_dims(padded) == (33, 7)
         assert multimodal.image_dims(b"not an image at all") is None
         assert multimodal.png_dims(b"\x89PNG\r\n\x1a\n\x00") is None  # truncated
         # distributed plumbing
@@ -411,6 +422,25 @@ class TestConnectedComponents:
         nodes_df = spark.createDataFrame([(i,) for i in range(5)], "id long")
         got = {r["id"]: r["label"] for r in connected_components(edges_df, nodes_df).collect()}
         assert got == {i: i for i in range(5)}
+
+    def test_warns_when_max_iter_exhausted(self, spark):
+        """ADVICE r3: silently returning unconverged labels is wrong — a
+        chain longer than max_iter must raise a warning (and converged runs
+        must NOT)."""
+        import warnings
+
+        from searchgov_spider_spark.operators.dedup import connected_components
+
+        edges = [(i, i + 1) for i in range(9)]  # diameter 9 > max_iter 2
+        edges_df = spark.createDataFrame(edges, "id_a long, id_b long")
+        nodes_df = spark.createDataFrame([(i,) for i in range(10)], "id long")
+        with pytest.warns(UserWarning, match="did not converge"):
+            connected_components(edges_df, nodes_df, max_iter=2).collect()
+        with warnings.catch_warnings():
+            warnings.simplefilter("error", UserWarning)  # converged run must be silent
+            got = {r["id"]: r["label"]
+                   for r in connected_components(edges_df, nodes_df, max_iter=20).collect()}
+        assert got == {i: 0 for i in range(10)}
 
 
 class TestUnigramSurprisal:
