@@ -102,17 +102,41 @@ def _docs_with_dups_py() -> list[tuple[int, str]]:
     return base + [(i + 100000, t) for i, t in base if i % 5 == 0]
 
 
+def _simhash_py(text: str | None) -> int:
+    """Independent pure-Python SimHash (Charikar 2002) written from the
+    algorithm's definition, importing nothing from operators/: tokenize
+    ``[a-z0-9]+`` over the lowered text, hash each distinct token to 64 bits
+    (blake2b-8 big-endian), vote each bit +count/-count, set bit i where the
+    vote is positive; result reinterpreted as signed int64.  Pinned to
+    literal hand-derived values in tests/test_operators.py."""
+    import re
+    from collections import Counter
+
+    if not text:
+        return 0
+    toks = re.findall("[a-z0-9]+", text.lower())
+    if not toks:
+        return 0
+    votes = [0] * 64
+    for tok, cnt in Counter(toks).items():
+        h = int.from_bytes(hashlib.blake2b(tok.encode(), digest_size=8).digest(), "big")
+        for i in range(64):
+            votes[i] += cnt if (h >> i) & 1 else -cnt
+    sim = 0
+    for i in range(64):
+        if votes[i] > 0:
+            sim |= 1 << i
+    return sim - (1 << 64) if sim >= (1 << 63) else sim
+
+
 def q23_simhash() -> str:
-    """SimHash values from the single-node kernel; the hamming<=3 pair
-    generation is INDEPENDENT DuckDB SQL (brute-force cross join + bit_count),
-    so the banded candidate path is verified against all-pairs truth."""
-    import pandas as pd
-
-    from .operators.dedup import _simhash_batch
-
+    """SimHash values from an INDEPENDENT pure-Python implementation
+    (``_simhash_py`` above — no kernels/operators import); the hamming<=3
+    pair generation is likewise independent DuckDB SQL (brute-force cross
+    join + bit_count), so the banded candidate path is verified against
+    all-pairs truth and the hash kernel against a second implementation."""
     docs = _docs_with_dups_py()
-    hashes = _simhash_batch(pd.Series([t for _, t in docs])).tolist()
-    rows = [(doc_id, int(h)) for (doc_id, _), h in zip(docs, hashes)]
+    rows = [(doc_id, _simhash_py(t)) for doc_id, t in docs]
     vals = _values(rows, [("doc_id", "BIGINT"), ("simhash", "BIGINT")])
     return f"""
         WITH h AS ({vals})
@@ -256,14 +280,38 @@ def q26_ann_lsh(k: int = 10, bits: int = 8) -> str:
 
 def q27_multimodal_features(n: int = 96) -> str:
     """Independent re-derivation of the multimodal path: the PNG/JPEG
-    containers and the hash-feature formula are rebuilt HERE, importing
-    nothing from operators.multimodal — and the expected width/height come
-    from the fixture FORMULA, not from re-parsing the header, so a broken
-    header writer or dims decoder cannot self-verify."""
+    containers, the PNG forward row filtering (re-implemented from the PNG
+    spec §6) and the hash-feature formula are rebuilt HERE, importing
+    nothing from operators.multimodal — the expected width/height AND pixel
+    statistics come from the fixture FORMULA (pixel (r,c) =
+    blob[(r*w+c) % len], mean/std over those bytes), not from running the
+    repo's decoder, so a broken header writer, dims decoder or row-unfilter
+    cannot self-verify."""
     import struct
     import zlib
 
     import numpy as np
+
+    def png_filter_rows(raw: bytes, w: int) -> bytes:
+        # forward PNG filtering, type cycling 0-4 per row (bpp=1 gray-8)
+        def paeth(a, b, c):
+            p = a + b - c
+            pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+            return a if pa <= pb and pa <= pc else (b if pb <= pc else c)
+
+        out = bytearray()
+        prev = bytes(w)
+        for r in range(0, len(raw), w):
+            row = raw[r : r + w]
+            t = (r // w) % 5
+            out.append(t)
+            for i, x in enumerate(row):
+                left = row[i - 1] if i else 0
+                upleft = prev[i - 1] if i else 0
+                pred = (0, left, prev[i], (left + prev[i]) >> 1, paeth(left, prev[i], upleft))[t]
+                out.append((x - pred) & 0xFF)
+            prev = row
+        return bytes(out)
 
     def png(w: int, h: int, body: bytes) -> bytes:
         def chunk(ctype: bytes, data: bytes) -> bytes:
@@ -272,10 +320,12 @@ def q27_multimodal_features(n: int = 96) -> str:
                 + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
             )
 
+        seed = body or b"\x00"
+        pixels = (seed * (w * h // len(seed) + 1))[: w * h]
         return (
             b"\x89PNG\r\n\x1a\n"
             + chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, 8, 0, 0, 0, 0))
-            + chunk(b"IDAT", zlib.compress(body or b"\x00"))
+            + chunk(b"IDAT", zlib.compress(png_filter_rows(pixels, w)))
             + chunk(b"IEND", b"")
         )
 
@@ -300,32 +350,50 @@ def q27_multimodal_features(n: int = 96) -> str:
     for i in range(n):
         mtype = ("image", "audio", "video")[i % 3]
         blob = hashlib.blake2b(f"media:{i}".encode(), digest_size=64).digest() * (i % 4 + 1)
+        pix_mean = pix_std = None
         if mtype == "image":
             w, h = 16 + (i % 9) * 8, 12 + (i % 5) * 16
-            payload = png(w, h, blob) if i % 2 == 0 else jpeg(w, h, blob)
+            if i % 2 == 0:
+                payload = png(w, h, blob)
+                # expected pixel stats straight from the generation formula
+                flat = np.frombuffer((blob * (w * h // len(blob) + 1))[: w * h], dtype=np.uint8)
+                pix_mean = _round_half_up(float(flat.astype(np.float64).mean()), 5)
+                pix_std = _round_half_up(float(flat.astype(np.float64).std()), 5)
+            else:
+                payload = jpeg(w, h, blob)
         else:
             w = h = None
             payload = blob
-        rows.append((i, mtype, len(payload), _round_half_up(feat0(payload), 5), w, h))
+        rows.append((i, mtype, len(payload), _round_half_up(feat0(payload), 5), w, h, pix_mean, pix_std))
     return _values(
         rows,
         [("media_id", "BIGINT"), ("media_type", "VARCHAR"), ("n_bytes", "INTEGER"),
-         ("f0", "DOUBLE"), ("width", "INTEGER"), ("height", "INTEGER")],
+         ("f0", "DOUBLE"), ("width", "INTEGER"), ("height", "INTEGER"),
+         ("pix_mean", "DOUBLE"), ("pix_std", "DOUBLE")],
     )
 
 
 def q28_robots_eval(n_hosts: int = 8) -> str:
-    """Pure-Python robots kernel evaluation over the same constructed URLs."""
-    from .kernels.robotstxt import parse_robots
+    """Expected allow/deny from the STDLIB ``urllib.robotparser`` — the exact
+    parser the reference's ROBOTSTXT_OBEY=True delegates to (Scrapy's
+    RobotsTxtMiddleware wraps it; settings/domain_spider.py:13) — so the
+    repo's own robots kernel is verified against a reference-independent
+    implementation, not against itself."""
+    import urllib.robotparser
+
     from .synth import webgen
 
-    rules = {webgen.host_name(h): parse_robots(webgen.robots_text(h, n_hosts)) for h in range(n_hosts)}
+    parsers = {}
+    for h in range(n_hosts):
+        rp = urllib.robotparser.RobotFileParser()
+        rp.parse(webgen.robots_text(h, n_hosts).splitlines())
+        parsers[webgen.host_name(h)] = rp
     rows = []
     for doc_id, _ in _docs():
         host = webgen.host_name(doc_id % n_hosts)
         path = "/blocked/x" if doc_id % 3 == 0 else "/ok/x"
         url = f"https://{host}{path}"
-        rows.append((doc_id, url, rules[host].allowed(url)))
+        rows.append((doc_id, url, parsers[host].can_fetch("usasearch", url)))
     return _values(rows, [("doc_id", "BIGINT"), ("url", "VARCHAR"), ("allowed", "BOOLEAN")])
 
 
@@ -419,9 +487,12 @@ def q32_seeds_validation() -> str:
 
 
 def q33_sitemap_expand() -> str:
-    """Single-node recursive expansion of the same fixture sitemap XML via
-    the pure-Python sitemap kernel."""
-    from .kernels.sitemapxml import parse_sitemap_xml
+    """Independent single-node expansion of the fixture sitemap tree using
+    the STDLIB ``xml.etree.ElementTree`` — no import from kernels/sitemapxml,
+    so a sitemap-kernel regression cannot self-verify.  <sitemapindex> locs
+    recurse; <urlset> locs are pages (sitemaps.org protocol)."""
+    import xml.etree.ElementTree as ET
+
     from .synth import webgen
 
     bodies = {}
@@ -439,6 +510,17 @@ def q33_sitemap_expand() -> str:
                 f"<url><loc>{webgen.page_url(h, k)}</loc></url>" for k in range(part * 5, part * 5 + 5)
             )
             bodies[f"https://{host}/sitemap-{part}.xml"] = f"<urlset>{locs}</urlset>"
+
+    def _expand(body: str) -> tuple[list[str], list[str]]:
+        doc = ET.fromstring(body)
+        pages, children = [], []
+        for entry in doc:
+            tag = entry.tag.rsplit("}", 1)[-1]  # namespace-tolerant local name
+            for loc in entry:
+                if loc.tag.rsplit("}", 1)[-1] == "loc" and loc.text:
+                    (children if tag == "sitemap" else pages).append(loc.text.strip())
+        return pages, children
+
     rows = set()
     for root in roots:
         stack, visited = [root], {root}
@@ -447,10 +529,10 @@ def q33_sitemap_expand() -> str:
             body = bodies.get(sm)
             if body is None:
                 continue
-            parsed = parse_sitemap_xml(body)
-            for u in parsed.page_urls:
+            pages, children = _expand(body)
+            for u in pages:
                 rows.add((root, u))
-            for child in parsed.child_sitemaps:
+            for child in children:
                 if child not in visited:
                     visited.add(child)
                     stack.append(child)
@@ -531,13 +613,22 @@ def q38_ann_ivf(k: int = 10, n_cells: int = 16, nprobe: int = 4, sample_mod: int
     return _values(rows, [("vec_id", "BIGINT"), ("cosine", "DOUBLE")])
 
 
-def q37_sitemap_discovery(n_hosts: int = 8) -> str:
-    """Single-node 4-method finder over the same deterministic fixture."""
-    from .kernels.sitemapxml import find_sitemaps
-    from .synth import webgen
+def q37_sitemap_discovery(n: int = 18) -> str:
+    """GOLDEN rows for the 4-method sitemap discovery: literal expected
+    (base, sitemap_url) pairs checked in at golden/q37_sitemap_golden.json,
+    hand-verified against the fixture spec (per-host parity of common-location
+    hits incl. the text/html rejection, robots ``Sitemap:`` http->https
+    directives, <link rel> hrefs, and confirmed sitemap-named .xml hrefs).
+    The oracle imports nothing from kernels/sitemapxml — a finder regression
+    cannot self-verify.  Regenerate deliberately with
+    scripts/regen_q37_golden.py when the fixture changes."""
+    import json
 
-    bases, res = webgen.sitemap_discovery_fixture(n_hosts)
-    rows = sorted((b, sm) for b in bases for sm in find_sitemaps(b, res))
+    path = os.path.join(os.path.dirname(__file__), "golden", "q37_sitemap_golden.json")
+    with open(path) as f:
+        golden = json.load(f)
+    assert len(golden) == n, f"golden rows {len(golden)} != expected {n}"
+    rows = [(g["base_url"], g["sitemap_url"]) for g in golden]
     return _values(rows, [("base_url", "VARCHAR"), ("sitemap_url", "VARCHAR")])
 
 
