@@ -175,15 +175,125 @@ def stream_filters(dict_part: bytes) -> list[bytes]:
     return _FILTER_NAME_RE.findall(m.group(1))
 
 
+# -- DecodeParms predictors (PDF 32000-1:2008 §7.4.4.4, Tables 8-10) ----------
+
+_PARMS_RE = re.compile(rb"/(?:DecodeParms|DP)\s*(\[[^\]]*\]|<<.*?>>|null)", re.DOTALL)
+_PARMS_DICT_RE = re.compile(rb"<<(.*?)>>|(null)", re.DOTALL)
+_PARM_NUM_RE = {
+    key: re.compile(rb"/" + key + rb"\s+(\d+)")
+    for key in (b"Predictor", b"Colors", b"BitsPerComponent", b"Columns")
+}
+
+
+def _parm(parms: bytes, key: bytes, default: int) -> int:
+    m = _PARM_NUM_RE[key].search(parms)
+    return int(m.group(1)) if m else default
+
+
+def _paeth(a: int, b: int, c: int) -> int:
+    p = a + b - c
+    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+    if pa <= pb and pa <= pc:
+        return a
+    return b if pb <= pc else c
+
+
+def apply_png_predictor(data: bytes, colors: int = 1, bpc: int = 8, columns: int = 1) -> bytes:
+    """Reverse PNG row filters (predictors 10-15): each row is a filter-type
+    byte (0 None / 1 Sub / 2 Up / 3 Average / 4 Paeth, PNG spec §6) followed
+    by ``rowlen`` filtered bytes; reconstruction is byte-wise with ``bpp``
+    look-back (the standard pypdf/zlib-tools semantics)."""
+    rowlen = (columns * colors * bpc + 7) // 8
+    bpp = max(1, (colors * bpc + 7) // 8)
+    out = bytearray()
+    prev = bytearray(rowlen)
+    pos = 0
+    while pos < len(data):
+        ftype = data[pos]
+        row = bytearray(data[pos + 1 : pos + 1 + rowlen])
+        if len(row) < rowlen:
+            row.extend(b"\x00" * (rowlen - len(row)))  # tolerate short tail
+        pos += 1 + rowlen
+        if ftype == 1:  # Sub
+            for i in range(bpp, rowlen):
+                row[i] = (row[i] + row[i - bpp]) & 0xFF
+        elif ftype == 2:  # Up
+            for i in range(rowlen):
+                row[i] = (row[i] + prev[i]) & 0xFF
+        elif ftype == 3:  # Average
+            for i in range(rowlen):
+                left = row[i - bpp] if i >= bpp else 0
+                row[i] = (row[i] + ((left + prev[i]) >> 1)) & 0xFF
+        elif ftype == 4:  # Paeth
+            for i in range(rowlen):
+                left = row[i - bpp] if i >= bpp else 0
+                upleft = prev[i - bpp] if i >= bpp else 0
+                row[i] = (row[i] + _paeth(left, prev[i], upleft)) & 0xFF
+        elif ftype != 0:
+            raise ValueError(f"bad PNG filter type {ftype}")
+        out.extend(row)
+        prev = row
+    return bytes(out)
+
+
+def apply_tiff_predictor(data: bytes, colors: int = 1, bpc: int = 8, columns: int = 1) -> bytes:
+    """Reverse TIFF Predictor 2 (horizontal differencing; 8-bit components
+    only — the overwhelmingly common case)."""
+    if bpc != 8:
+        raise ValueError(f"TIFF predictor with BitsPerComponent={bpc} unsupported")
+    rowlen = columns * colors
+    out = bytearray(data)
+    for start in range(0, len(out), rowlen):
+        end = min(start + rowlen, len(out))
+        for i in range(start + colors, end):
+            out[i] = (out[i] + out[i - colors]) & 0xFF
+    return bytes(out)
+
+
+def stream_decode_parms(dict_part: bytes) -> list[bytes]:
+    """Per-filter DecodeParms dict bodies (empty bytes = no parms), aligned
+    with :func:`stream_filters` (name form -> one entry; array form -> one
+    entry per element, ``null`` -> empty)."""
+    m = _PARMS_RE.search(dict_part)
+    if not m:
+        return []
+    tok = m.group(1)
+    if tok == b"null":
+        return [b""]
+    if tok.startswith(b"<<"):
+        return [tok[2:-2]]
+    return [d if d else b"" for d, _null in _PARMS_DICT_RE.findall(tok)]
+
+
+def _apply_predictor(parms: bytes, data: bytes) -> bytes:
+    pred = _parm(parms, b"Predictor", 1)
+    if pred <= 1:
+        return data
+    colors = _parm(parms, b"Colors", 1)
+    bpc = _parm(parms, b"BitsPerComponent", 8)
+    columns = _parm(parms, b"Columns", 1)
+    if pred == 2:
+        return apply_tiff_predictor(data, colors, bpc, columns)
+    if 10 <= pred <= 15:
+        return apply_png_predictor(data, colors, bpc, columns)
+    raise ValueError(f"unsupported predictor {pred}")
+
+
 def decode_stream(dict_part: bytes, stream: bytes) -> bytes:
-    """Apply the stream's filter chain in declaration order.  Raises on an
-    unsupported filter or corrupt data (callers skip such streams)."""
+    """Apply the stream's filter chain in declaration order, honoring each
+    filter's /DecodeParms predictor (PNG 10-15 and TIFF 2) for Flate/LZW.
+    Raises on an unsupported filter or corrupt data (callers skip such
+    streams)."""
     data = stream
-    for name in stream_filters(dict_part):
+    parms_list = stream_decode_parms(dict_part)
+    for idx, name in enumerate(stream_filters(dict_part)):
         fn = _FILTER_FUNCS.get(name)
         if fn is None:
             raise ValueError(f"unsupported PDF filter {name!r}")
         data = fn(data)
+        parms = parms_list[idx] if idx < len(parms_list) else b""
+        if parms and name in (b"FlateDecode", b"Fl", b"LZWDecode", b"LZW"):
+            data = _apply_predictor(parms, data)
     return data
 
 
@@ -307,6 +417,48 @@ _FIXTURE_ENCODERS = {
 }
 
 
+def png_predictor_encode(
+    data: bytes, filter_type: int | list[int], colors: int = 1, bpc: int = 8, columns: int = 1
+) -> bytes:
+    """Forward PNG row filtering for fixture building — the exact inverse of
+    :func:`apply_png_predictor` (round-trip pytest-gated).  ``filter_type``
+    0-4 is applied to every row; a list cycles per row (the Predictor-15
+    "optimum" shape, where each row picks its own filter)."""
+    rowlen = (columns * colors * bpc + 7) // 8
+    bpp = max(1, (colors * bpc + 7) // 8)
+    types = filter_type if isinstance(filter_type, list) else [filter_type]
+    padded = bytearray(data)
+    if len(padded) % rowlen:
+        padded.extend(b"\x00" * (rowlen - len(padded) % rowlen))
+    out = bytearray()
+    prev = bytearray(rowlen)
+    for rowno, start in enumerate(range(0, len(padded), rowlen)):
+        filter_type = types[rowno % len(types)]
+        raw = padded[start : start + rowlen]
+        row = bytearray(raw)
+        if filter_type == 1:  # Sub
+            for i in range(rowlen - 1, bpp - 1, -1):
+                row[i] = (row[i] - raw[i - bpp]) & 0xFF
+        elif filter_type == 2:  # Up
+            for i in range(rowlen):
+                row[i] = (row[i] - prev[i]) & 0xFF
+        elif filter_type == 3:  # Average
+            for i in range(rowlen - 1, -1, -1):
+                left = raw[i - bpp] if i >= bpp else 0
+                row[i] = (row[i] - ((left + prev[i]) >> 1)) & 0xFF
+        elif filter_type == 4:  # Paeth
+            for i in range(rowlen - 1, -1, -1):
+                left = raw[i - bpp] if i >= bpp else 0
+                upleft = prev[i - bpp] if i >= bpp else 0
+                row[i] = (row[i] - _paeth(left, prev[i], upleft)) & 0xFF
+        elif filter_type != 0:
+            raise ValueError(f"bad PNG filter type {filter_type}")
+        out.append(filter_type)
+        out.extend(row)
+        prev = raw
+    return bytes(out)
+
+
 def make_simple_pdf(
     text_lines: list[str],
     annot_uris: list[str] | None = None,
@@ -314,14 +466,25 @@ def make_simple_pdf(
     info: dict[str, str] | None = None,
     filters: list[str] | None = None,
     tj_arrays: list[list[str | float]] | None = None,
+    predictor: int | None = None,
+    predictor_columns: int = 16,
+    xref_stream: bool = False,
 ) -> bytes:
     """Deterministic single-page PDF builder for fixtures (valid enough for
-    this parser and for visual inspection; classic xref layout).
+    this parser and for visual inspection; classic xref layout, or a PDF 1.5
+    cross-reference STREAM when ``xref_stream=True``).
 
     ``filters``: ordered decode-side filter chain (e.g.
     ``["ASCII85Decode", "FlateDecode"]``); overrides ``compress``.
     ``tj_arrays``: extra show-text TJ kerning arrays, each a list of string
     pieces and numeric kern offsets (e.g. ``[["Hel", -30, "lo"]]``).
+    ``predictor``: PNG predictor (10-15) applied to the content stream before
+    its first Flate/LZW encode, declared via /DecodeParms (the row filter
+    used is predictor-10+``ftype`` so 12 = all-Up rows, matching how real
+    writers use a single filter type; pypdf decodes per-row regardless).
+    ``xref_stream``: emit the PDF 1.5 layout — the cross-reference table is
+    itself a /Type /XRef stream (W [1 2 2] binary rows), Flate-compressed
+    with /Predictor 12, and the trailer dict lives in the stream dict.
     """
 
     def esc(s: str) -> str:
@@ -335,15 +498,34 @@ def make_simple_pdf(
     stream = content.encode("latin-1")
     if filters is None:
         filters = ["FlateDecode"] if compress else []
+    parms = b""
+    if predictor is not None:
+        # the predictor pairs with the filter whose DECODE runs last (i.e.
+        # the first one applied at encode time), so it must be the chain's
+        # final /Filter entry — e.g. [/ASCII85Decode /FlateDecode]
+        if not filters or filters[-1] not in ("FlateDecode", "LZWDecode"):
+            raise ValueError("predictor requires a Flate/LZW final filter")
+        # 10-14 -> fixed row filter None/Sub/Up/Average/Paeth; 15 ("optimum",
+        # per-row choice) -> cycle all five so the decoder's per-row dispatch
+        # is exercised
+        ftype: int | list[int] = [0, 1, 2, 3, 4] if predictor == 15 else predictor - 10
+        stream = png_predictor_encode(stream, ftype, columns=predictor_columns)
+        parms_dict = f"<< /Predictor {predictor} /Columns {predictor_columns} >>"
+        if len(filters) == 1:
+            parms = f"/DecodeParms {parms_dict} ".encode()
+        else:
+            nulls = " ".join(["null"] * (len(filters) - 1))
+            # /DecodeParms arrays pair with /Filter positionally
+            parms = f"/DecodeParms [{nulls} {parms_dict}] ".encode()
     # decode order is filters[0], filters[1], ... -> encode in REVERSE
     for name in reversed(filters):
         stream = _FIXTURE_ENCODERS[name](stream)
     if not filters:
         filt = b""
     elif len(filters) == 1:
-        filt = f"/Filter /{filters[0]} ".encode()
+        filt = f"/Filter /{filters[0]} ".encode() + parms
     else:
-        filt = ("/Filter [" + " ".join(f"/{n}" for n in filters) + "] ").encode()
+        filt = ("/Filter [" + " ".join(f"/{n}" for n in filters) + "] ").encode() + parms
 
     annots = b""
     annot_objs: list[bytes] = []
@@ -371,12 +553,42 @@ def make_simple_pdf(
         kv = " ".join(f"/{k} ({esc(str(v))})" for k, v in sorted(info.items()))
         objs.append(f"{info_n} 0 obj\n<< {kv} >>\nendobj\n".encode("latin-1"))
         info_ref = f" /Info {info_n} 0 R".encode()
-    header = b"%PDF-1.4\n"
+    header = b"%PDF-1.5\n" if xref_stream else b"%PDF-1.4\n"
     body = b"".join(objs)
     xref_pos = len(header) + len(body)
-    trailer = (
-        f"xref\n0 {len(objs) + 1}\n".encode()
-        + b"0000000000 65535 f \n" * (len(objs) + 1)
-        + f"trailer\n<< /Size {len(objs) + 1} /Root 1 0 R{info_ref.decode()} >>\nstartxref\n{xref_pos}\n%%EOF\n".encode()
-    )
+    if xref_stream:
+        # PDF 1.5 cross-reference stream: one W=[1 2 2] binary row per
+        # object (type, offset/next-free, gen), rows Up-filtered
+        # (/Predictor 12) then Flate-compressed; the trailer entries (/Size
+        # /Root /Info) live in the stream dict itself.
+        xref_n = len(objs) + 1
+        if xref_pos > 0xFFFF:
+            raise ValueError("xref-stream fixture builder caps offsets at 2 bytes")
+        offsets = [0]
+        pos = len(header)
+        for o in objs:
+            offsets.append(pos)
+            pos += len(o)
+        offsets.append(xref_pos)  # the xref stream object itself
+        rows = bytearray()
+        for n, off in enumerate(offsets):
+            if n == 0:
+                rows += bytes([0]) + (0).to_bytes(2, "big") + (65535).to_bytes(2, "big")
+            else:
+                rows += bytes([1]) + off.to_bytes(2, "big") + (0).to_bytes(2, "big")
+        xdata = zlib.compress(png_predictor_encode(bytes(rows), 2, columns=5))
+        xobj = (
+            f"{xref_n} 0 obj\n<< /Type /XRef /Size {xref_n + 1} /Root 1 0 R{info_ref.decode()} "
+            f"/W [1 2 2] /Filter /FlateDecode "
+            f"/DecodeParms << /Predictor 12 /Columns 5 >> /Length {len(xdata)} >>\nstream\n".encode()
+            + xdata
+            + b"\nendstream\nendobj\n"
+        )
+        trailer = xobj + f"startxref\n{xref_pos}\n%%EOF\n".encode()
+    else:
+        trailer = (
+            f"xref\n0 {len(objs) + 1}\n".encode()
+            + b"0000000000 65535 f \n" * (len(objs) + 1)
+            + f"trailer\n<< /Size {len(objs) + 1} /Root 1 0 R{info_ref.decode()} >>\nstartxref\n{xref_pos}\n%%EOF\n".encode()
+        )
     return header + body + trailer

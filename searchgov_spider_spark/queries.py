@@ -355,7 +355,10 @@ def q26_ann_lsh(spark, sf_dir):
 
 def q27_multimodal_features(spark, sf_dir):
     """Binary-media plumbing via mapInPandas: REAL PNG/JPEG header decode
-    for width/height, deterministic stub for the pixel-feature vector."""
+    for width/height, REAL 8-bit-gray PNG pixel decode (IDAT inflate +
+    row-unfilter) for pix_mean/pix_std, deterministic stub for the
+    pixel-feature vector (the oracle re-derives pixel stats from the
+    fixture's generation formula, so a broken unfilter cannot self-verify)."""
     from .operators import multimodal
 
     media = multimodal.synthetic_media(spark, n=96)
@@ -367,6 +370,8 @@ def q27_multimodal_features(spark, sf_dir):
         "media_id", "media_type", "n_bytes",
         F.round(F.element_at("feature", 1).cast("double"), 5).alias("f0"),
         "width", "height",
+        F.round("pix_mean", 5).alias("pix_mean"),
+        F.round("pix_std", 5).alias("pix_std"),
     )
 
 
@@ -511,7 +516,11 @@ def _pdf_fixture(i: int) -> tuple[str, bytes]:
     """Deterministic PDF fixture i: the stream filter rotates through every
     supported codec branch (flate / plain / LZW / asciihex / a85+flate
     chain), every 3rd page adds a TJ kerning array, every 4th carries an
-    /Info dict (Title + exif dates) — shared with the q36 oracle builder."""
+    /Info dict (Title + exif dates); rows whose final filter is Flate/LZW
+    rotate /DecodeParms PNG predictors (12=Up, 15=optimum per-row, 11=Sub),
+    and every i%4==2 row uses the PDF 1.5 cross-reference-STREAM layout
+    (trailer entries in the /Type /XRef stream dict, itself Predictor-12
+    Flate) — shared with the q36 oracle builder."""
     from .kernels import pdfx
 
     url = f"https://host0.example.gov/docs/AnnualReport{i}.pdf"
@@ -522,13 +531,26 @@ def _pdf_fixture(i: int) -> tuple[str, bytes]:
             "CreationDate": f"D:2024011{i % 10}120000Z00'00'",
             "ModDate": f"D:2024021{i % 10}080000-04'00'",
         }
+    elif i % 8 == 6:
+        # xref-stream rows with /Info: the Info ref lives in the XRef
+        # stream dict, not a classic trailer
+        info = {
+            "Title": f"Xref Stream Report {i}",
+            "CreationDate": f"D:2024030{i % 10}090000Z00'00'",
+        }
     tj = [["Sec", -30.0, "tion", -250.0, f"{i}"]] if i % 3 == 0 else None
+    filters = _PDF_FILTER_ROTATION[i % 5]
+    predictor = None
+    if filters and filters[-1] in ("FlateDecode", "LZWDecode") and i % 7 in (1, 3, 5):
+        predictor = {1: 12, 3: 15, 5: 11}[i % 7]
     pdf = pdfx.make_simple_pdf(
         [f"Annual report number {i}.", f"See https://host0.example.gov/ref{i} for data."],
         annot_uris=[f"https://host0.example.gov/annot{i}"],
         info=info,
-        filters=_PDF_FILTER_ROTATION[i % 5],
+        filters=filters,
         tj_arrays=tj,
+        predictor=predictor,
+        xref_stream=(i % 4 == 2),
     )
     return url, pdf
 
@@ -718,7 +740,14 @@ def q45_dedup_clusters(spark, sf_dir):
     cluster representative + cluster size.  The cluster step a dedup
     pipeline needs to pick survivors; iterations ~ component diameter."""
     d = _docs_with_dups(spark, sf_dir)
-    pairs = dedup.minhash_lsh_pairs(d, k=16, bands=8, threshold=0.8).select("id_a", "id_b")
+    # materialize the verified pair set ONCE: connected_components unions the
+    # edge list with its flip, which would otherwise re-evaluate the whole
+    # LSH pipeline per union branch — q45 must cost ≈ q25 + label propagation
+    pairs = (
+        dedup.minhash_lsh_pairs(d, k=16, bands=8, threshold=0.8)
+        .select("id_a", "id_b")
+        .localCheckpoint(eager=True)
+    )
     cc = dedup.connected_components(pairs, d.select("doc_id"), id_col="doc_id")
     sizes = cc.groupBy("label").agg(F.count("*").alias("cluster_size"))
     return cc.join(sizes, "label").select(

@@ -92,6 +92,79 @@ class TestStreamFilters:
         doc = pdfx.extract_pdf_text(broken)  # no crash, stream skipped
         assert doc.text == ""
 
+    def test_png_predictor_roundtrip_all_filter_types(self):
+        data = bytes((i * 37 + (i >> 3)) & 0xFF for i in range(317))
+        for ftype in (0, 1, 2, 3, 4, [0, 1, 2, 3, 4]):
+            enc = pdfx.png_predictor_encode(data, ftype, columns=16)
+            dec = pdfx.apply_png_predictor(enc, columns=16)
+            # encoder zero-pads the final partial row
+            assert dec[: len(data)] == data and set(dec[len(data):]) <= {0}, ftype
+
+    def test_tiff_predictor(self):
+        raw = bytes((i * 11) & 0xFF for i in range(40))
+        enc = bytearray(raw)
+        for start in range(0, 40, 8):  # forward horizontal differencing
+            for i in range(min(start + 8, 40) - 1, start, -1):
+                enc[i] = (enc[i] - enc[i - 1]) & 0xFF
+        assert pdfx.apply_tiff_predictor(bytes(enc), columns=8) == raw
+
+    def test_decode_parms_parsing(self):
+        assert pdfx.stream_decode_parms(b"/Filter /FlateDecode") == []
+        assert pdfx.stream_decode_parms(
+            b"/Filter /FlateDecode /DecodeParms << /Predictor 12 /Columns 5 >>"
+        ) == [b" /Predictor 12 /Columns 5 "]
+        parms = pdfx.stream_decode_parms(
+            b"/Filter [/ASCII85Decode /FlateDecode] /DecodeParms [null << /Predictor 12 >>]"
+        )
+        assert parms[0] == b"" and b"Predictor 12" in parms[1]
+
+    def test_predictor_end_to_end(self):
+        """DecodeParms predictors (PDF §7.4.4.4) over Flate and LZW content
+        streams — 10-14 fixed row filters, 15 per-row optimum, TIFF 2."""
+        for pred in (10, 11, 12, 13, 14, 15):
+            pdf = pdfx.make_simple_pdf(
+                [f"Pred {pred} body.", "See https://h.gov/p now."],
+                predictor=pred, predictor_columns=7,
+            )
+            doc = pdfx.extract_pdf_text(pdf)
+            assert doc.text == f"Pred {pred} body. See https://h.gov/p now.", pred
+        pdf = pdfx.make_simple_pdf(["LZW pred."], filters=["LZWDecode"], predictor=12)
+        assert pdfx.extract_pdf_text(pdf).text == "LZW pred."
+        # chain: predictor pairs with the FINAL decode filter, null for A85
+        pdf = pdfx.make_simple_pdf(
+            ["Chain pred."], filters=["ASCII85Decode", "FlateDecode"], predictor=12
+        )
+        assert pdfx.extract_pdf_text(pdf).text == "Chain pred."
+
+    def test_xref_stream_layout(self):
+        """PDF 1.5 cross-reference stream: text/links/meta extract through
+        the xref-stream layout, the /Info ref resolves from the XRef stream
+        dict, and the decoded W=[1 2 2] rows point at the real objects."""
+        pdf = pdfx.make_simple_pdf(
+            ["Xref stream text."],
+            annot_uris=["https://a.gov/ann"],
+            info={"Title": "XT", "CreationDate": "D:20240101120000Z00'00'"},
+            xref_stream=True,
+        )
+        assert pdf.startswith(b"%PDF-1.5")
+        doc = pdfx.extract_pdf_text(pdf)
+        assert doc.text == "Xref stream text."
+        assert doc.links == ["https://a.gov/ann"]
+        assert pdfx.extract_pdf_meta(pdf).get("Title") == "XT"
+        assert doc.n_streams == 2  # content + the xref stream itself
+        # decode the xref stream rows (Predictor 12) and verify offsets
+        m = list(pdfx._STREAM_RE.finditer(pdf))[-1]
+        rows = pdfx.decode_stream(m.group(1), m.group(2))
+        assert len(rows) % 5 == 0
+        live = 0
+        for n in range(len(rows) // 5):
+            typ = rows[n * 5]
+            off = int.from_bytes(rows[n * 5 + 1 : n * 5 + 3], "big")
+            if typ == 1:
+                assert pdf[off : off + 12].startswith(f"{n} ".encode()), n
+                live += 1
+        assert live >= 5  # catalog, pages, page, contents, annot(s)/info/xref
+
     def test_tj_kerning_semantics(self):
         # small kern concatenates, large kern reads as a word gap
         pdf = pdfx.make_simple_pdf([], tj_arrays=[["Hel", -30.0, "lo"], ["wor", -250.0, "ld"]])
