@@ -55,6 +55,10 @@ FEATURE_SCHEMA = T.StructType(
         T.StructField("n_bytes", T.IntegerType()),
         T.StructField("width", T.IntegerType()),
         T.StructField("height", T.IntegerType()),
+        # REAL pixel statistics (8-bit gray PNG decode, pure Python);
+        # null for formats whose pixel decode still needs pillow/ffmpeg
+        T.StructField("pix_mean", T.DoubleType()),
+        T.StructField("pix_std", T.DoubleType()),
     ]
 )
 
@@ -109,9 +113,23 @@ def image_dims(payload: bytes) -> tuple[int, int] | None:
     return png_dims(payload) or jpeg_dims(payload)
 
 
+def png_pixels(width: int, height: int, body_seed: bytes) -> bytes:
+    """The fixture pixel formula: gray value of pixel (r, c) is
+    ``body_seed[(r*width + c) % len(body_seed)]`` — shared with the q27
+    oracle, which computes expected pixel statistics from this formula
+    WITHOUT running the decoder."""
+    seed = body_seed or b"\x00"
+    n = width * height
+    reps = bytes(seed * (n // len(seed) + 1))
+    return reps[:n]
+
+
 def make_png(width: int, height: int, body_seed: bytes = b"") -> bytes:
-    """Minimal structurally-valid PNG (signature + IHDR + IDAT + IEND) for
-    fixtures — correct CRCs, deterministic."""
+    """Fully-valid 8-bit grayscale PNG (signature + IHDR + IDAT + IEND) for
+    fixtures — correct CRCs, REAL deterministic pixel data (``png_pixels``),
+    rows filtered with cycling PNG filter types 0-4 so the decoder's
+    unfilter dispatch is exercised."""
+    from ..kernels.pdfx import png_predictor_encode
 
     def chunk(ctype: bytes, data: bytes) -> bytes:
         return (
@@ -122,8 +140,45 @@ def make_png(width: int, height: int, body_seed: bytes = b"") -> bytes:
         )
 
     ihdr = struct.pack(">IIBBBBB", width, height, 8, 0, 0, 0, 0)  # 8-bit gray
-    idat = zlib.compress(body_seed or b"\x00")
+    raw = png_pixels(width, height, body_seed)
+    idat = zlib.compress(png_predictor_encode(raw, [0, 1, 2, 3, 4], columns=width))
     return _PNG_SIG + chunk(b"IHDR", ihdr) + chunk(b"IDAT", idat) + chunk(b"IEND", b"")
+
+
+def png_decode_gray(payload: bytes) -> np.ndarray:
+    """REAL pixel decode for 8-bit grayscale non-interlaced PNG — pure
+    Python/zlib: chunk walk, concatenated-IDAT inflate, PNG row-filter
+    reversal (None/Sub/Up/Average/Paeth).  Returns an (h, w) uint8 array;
+    raises ValueError for other PNG flavors (palette/RGB/16-bit/interlaced,
+    which would need pillow) or malformed data."""
+    from ..kernels.pdfx import apply_png_predictor
+
+    if not payload.startswith(_PNG_SIG):
+        raise ValueError("not a PNG")
+    pos = 8
+    width = height = None
+    idat = bytearray()
+    while pos + 8 <= len(payload):
+        (length,) = struct.unpack(">I", payload[pos : pos + 4])
+        ctype = payload[pos + 4 : pos + 8]
+        data = payload[pos + 8 : pos + 8 + length]
+        pos += 12 + length  # length + type + data + crc
+        if ctype == b"IHDR":
+            width, height, depth, color, _comp, _filt, interlace = struct.unpack(">IIBBBBB", data)
+            if depth != 8 or color != 0 or interlace != 0:
+                raise ValueError(
+                    f"unsupported PNG flavor (depth={depth} color={color} interlace={interlace})"
+                )
+        elif ctype == b"IDAT":
+            idat.extend(data)
+        elif ctype == b"IEND":
+            break
+    if width is None or not idat:
+        raise ValueError("malformed PNG (missing IHDR/IDAT)")
+    raw = apply_png_predictor(zlib.decompress(bytes(idat)), columns=width)
+    if len(raw) < width * height:
+        raise ValueError("truncated PNG pixel data")
+    return np.frombuffer(raw[: width * height], dtype=np.uint8).reshape(height, width)
 
 
 def make_jpeg(width: int, height: int, body_seed: bytes = b"") -> bytes:
@@ -148,33 +203,67 @@ def _fake_features(payload: bytes, dim: int = FEATURE_DIM) -> np.ndarray:
     return arr / norm
 
 
+def real_png_features(pixels: np.ndarray, dim: int = FEATURE_DIM) -> np.ndarray:
+    """REAL pixel-derived feature vector for decoded gray images:
+    [mean, std, min, max] / 255 followed by a (dim-4)-bin normalized
+    intensity histogram."""
+    flat = pixels.astype(np.float64).ravel()
+    hist, _ = np.histogram(flat, bins=dim - 4, range=(0, 256))
+    head = np.array([flat.mean(), flat.std(), flat.min(), flat.max()]) / 255.0
+    return np.concatenate([head, hist / max(1, flat.size)]).astype(np.float32)
+
+
 def extract_features(media: DataFrame, fake_decode: bool = True) -> DataFrame:
     """Batch feature extraction over binary media via mapInPandas.
 
     width/height come from a REAL pure-Python container-header decode (PNG
-    IHDR / JPEG SOFn; null for other payloads); the pixel-level feature
-    vector is the documented deterministic stub unless ``fake_decode=False``
-    (NotImplementedError — pillow/ffmpeg absent here)."""
+    IHDR / JPEG SOFn; null for other payloads), and 8-bit gray PNGs get a
+    REAL pixel decode (``png_decode_gray``: IDAT inflate + row-unfilter) —
+    pix_mean/pix_std are genuine pixel statistics.  The ``feature`` vector
+    is the documented deterministic stub when ``fake_decode=True``; with
+    ``fake_decode=False`` PNGs produce REAL pixel features
+    (``real_png_features``) and other formats raise NotImplementedError
+    (pillow/ffmpeg absent here)."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             feats, nbytes, widths, heights = [], [], [], []
+            pmeans, pstds = [], []
             for payload in pdf["payload"]:
                 if payload is None:
                     feats.append(None)
                     nbytes.append(0)
                     widths.append(None)
                     heights.append(None)
+                    pmeans.append(None)
+                    pstds.append(None)
                     continue
                 raw = bytes(payload)
                 dims = image_dims(raw)
                 widths.append(dims[0] if dims else None)
                 heights.append(dims[1] if dims else None)
+                pixels = None
+                if raw.startswith(_PNG_SIG):
+                    try:
+                        pixels = png_decode_gray(raw)
+                    except ValueError:
+                        pixels = None  # non-gray-8 flavor: stats stay null
+                if pixels is not None:
+                    flat = pixels.astype(np.float64)
+                    pmeans.append(float(flat.mean()))
+                    pstds.append(float(flat.std()))
+                else:
+                    pmeans.append(None)
+                    pstds.append(None)
                 if not fake_decode:
-                    raise NotImplementedError(
-                        "real media decode requires pillow/ffmpeg; not available in this environment"
-                    )
-                feats.append(_fake_features(raw).tolist())
+                    if pixels is None:
+                        raise NotImplementedError(
+                            "real decode beyond gray-8 PNG requires pillow/ffmpeg; "
+                            "not available in this environment"
+                        )
+                    feats.append(real_png_features(pixels).tolist())
+                else:
+                    feats.append(_fake_features(raw).tolist())
                 nbytes.append(len(raw))
             yield pd.DataFrame(
                 {
@@ -184,6 +273,8 @@ def extract_features(media: DataFrame, fake_decode: bool = True) -> DataFrame:
                     "n_bytes": pd.Series(nbytes, dtype="int32"),
                     "width": pd.Series(widths, dtype="Int32"),
                     "height": pd.Series(heights, dtype="Int32"),
+                    "pix_mean": pd.Series(pmeans, dtype="float64"),
+                    "pix_std": pd.Series(pstds, dtype="float64"),
                 }
             )
 
