@@ -331,6 +331,115 @@ def urls_out(documents: DataFrame) -> DataFrame:
     return documents.drop(*drop)
 
 
+def _default_post_transport_factory():
+    """stdlib urllib POST transport (no extra deps); injectable so tests and
+    replays supply fakes, exactly like crawl.fetch.HttpFetcher."""
+
+    def factory():  # pragma: no cover - requires network
+        import json
+        import urllib.request
+
+        def transport(api_url: str, urls: list[str], timeout_s: float) -> int:
+            req = urllib.request.Request(
+                api_url,
+                data=json.dumps({"urls": urls}).encode("utf-8"),
+                headers={"Content-Type": "application/json"},
+                method="POST",
+            )
+            with urllib.request.urlopen(req, timeout=timeout_s) as resp:
+                return resp.status
+
+        return transport
+
+    return factory
+
+
+class HttpEndpointSink:
+    """S10: the 100 KB-batched URL POST sink (pipelines.py:130-191
+    ``_process_api_item`` / ``_send_post_request`` / ``close_spider``),
+    re-expressed as a partition-local batcher with an injectable transport:
+
+      * URLs buffer per partition; when the buffered utf-8 byte total
+        reaches ``max_batch_bytes`` (reference: MAX_URL_BATCH_SIZE_BYTES,
+        checked AFTER each append), the batch POSTs as ``{"urls": [...]}``
+        with ``timeout_s`` (reference: 60 s) and the buffer clears.
+      * At partition end the remainder flushes (``close_spider``).
+      * A failed POST drops THAT batch and continues — the buffer is
+        cleared in ``finally`` exactly like the reference's DropItem path;
+        there is NO retry.
+
+    ``post_urls`` returns a small RECEIPTS DataFrame (one row per POST
+    attempt: partition, batch seq, url count, byte size, status, ok) so the
+    flush behavior is observable, testable, and auditable — the Spark
+    analog of the reference's per-batch log lines.  The transport is a
+    callable ``(api_url, urls, timeout_s) -> status_code``; the factory
+    must be picklable (it ships to executors)."""
+
+    RECEIPT_SCHEMA = (
+        "partition_id int, batch_seq int, n_urls long, n_bytes long, status int, ok boolean"
+    )
+
+    def __init__(
+        self,
+        api_url: str,
+        transport_factory=None,
+        max_batch_bytes: int = 100 * 1024,
+        timeout_s: float = 60.0,
+    ):
+        self.api_url = api_url
+        self.transport_factory = transport_factory or _default_post_transport_factory()
+        self.max_batch_bytes = max_batch_bytes
+        self.timeout_s = timeout_s
+
+    def post_urls(self, df: DataFrame, url_col: str = "url") -> DataFrame:
+        api_url, factory = self.api_url, self.transport_factory
+        maxb, timeout_s = self.max_batch_bytes, self.timeout_s
+
+        def run(batches):
+            import pandas as pd
+            from pyspark import TaskContext
+
+            transport = factory()
+            ctx = TaskContext.get()
+            part = ctx.partitionId() if ctx is not None else -1
+            buf: list[str] = []
+            nbytes = 0
+            seq = 0
+            receipts: list[tuple] = []
+
+            def flush():
+                nonlocal buf, nbytes, seq
+                if not buf:
+                    return
+                status, ok = None, False
+                try:
+                    status = int(transport(api_url, list(buf), timeout_s))
+                    ok = 200 <= status < 300
+                except Exception:
+                    pass  # batch dropped, no retry (DropItem analog)
+                finally:
+                    receipts.append((part, seq, len(buf), nbytes, status, ok))
+                    seq += 1
+                    buf, nbytes = [], 0
+
+            for pdf in batches:
+                for u in pdf[url_col]:
+                    if u is None:
+                        continue
+                    u = str(u)
+                    buf.append(u)
+                    nbytes += len(u.encode("utf-8"))
+                    if nbytes >= maxb:
+                        flush()
+            flush()  # close_spider: send the remainder
+            yield pd.DataFrame(
+                receipts,
+                columns=["partition_id", "batch_seq", "n_urls", "n_bytes", "status", "ok"],
+            )
+
+        return df.select(url_col).mapInPandas(run, schema=self.RECEIPT_SCHEMA)
+
+
 # --- content-type allowlist (F5; helpers/domain_spider.py:51-71,108-118) ------
 
 CONTENT_TYPES_CSV_ENDPOINT = {

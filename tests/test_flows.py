@@ -95,6 +95,86 @@ class TestSinks:
         df = spark.createDataFrame([("u", "c", "b")], "url string, content string, content_type string")
         assert set(flows.urls_out(df).columns) == {"url"}
 
+    def test_http_endpoint_sink_batching_and_close_flush(self, spark, tmp_path):
+        """S10 POST sink semantics (pipelines.py:130-191): URLs batch per
+        partition until the utf-8 byte total reaches the threshold (checked
+        after each append), the partition-end remainder flushes like
+        close_spider, payloads are {"urls": [...]}, and there is NO retry."""
+        import json
+        import os
+
+        calls = tmp_path / "calls"
+        calls.mkdir()
+        cdir = str(calls)
+
+        def _recording_factory():
+            import json as _json
+            import os as _os
+            import time as _time
+
+            def transport(api_url, urls, timeout_s):
+                assert api_url == "https://api.example.gov/urls"
+                payload = _json.dumps({"urls": urls})  # the reference's POST body
+                with open(_os.path.join(cdir, f"{_time.monotonic_ns()}"), "w") as f:
+                    f.write(payload)
+                return 200
+
+            return transport
+
+        # 24-byte URLs, threshold 96 -> flush after every 4th append
+        urls = [(f"https://h.gov/u{i:09d}",) for i in range(10)]
+        df = spark.createDataFrame(urls, "url string").coalesce(1)
+        sink = flows.HttpEndpointSink(
+            "https://api.example.gov/urls",
+            transport_factory=lambda: _recording_factory(),
+            max_batch_bytes=96,
+        )
+        receipts = sink.post_urls(df).collect()
+        assert [(r["n_urls"], r["n_bytes"], r["ok"]) for r in
+                sorted(receipts, key=lambda r: r["batch_seq"])] == [
+            (4, 96, True), (4, 96, True), (2, 48, True)]  # remainder flushed at close
+        posted = []
+        for f in sorted(os.listdir(cdir)):
+            posted.extend(json.load(open(os.path.join(cdir, f)))["urls"])
+        assert posted == [u for (u,) in urls]  # order preserved, one POST per batch
+
+    def test_http_endpoint_sink_failed_batch_dropped_no_retry(self, spark, tmp_path):
+        """A failing POST drops that batch and clears the buffer (the
+        DropItem path) — later batches still send, and the transport is
+        called exactly once per batch."""
+        import os
+
+        calls = tmp_path / "fail_calls"
+        calls.mkdir()
+        cdir = str(calls)
+
+        def _flaky_factory():
+            import os as _os
+            import time as _time
+
+            state = {"n": 0}
+
+            def transport(api_url, urls, timeout_s):
+                open(_os.path.join(cdir, f"{_time.monotonic_ns()}_{len(urls)}"), "w").close()
+                state["n"] += 1
+                if state["n"] == 1:
+                    raise ConnectionError("endpoint down")
+                return 200
+
+            return transport
+
+        urls = [(f"https://h.gov/u{i:09d}",) for i in range(10)]
+        df = spark.createDataFrame(urls, "url string").coalesce(1)
+        sink = flows.HttpEndpointSink(
+            "https://api.example.gov/urls",
+            transport_factory=lambda: _flaky_factory(),
+            max_batch_bytes=96,
+        )
+        receipts = sorted(sink.post_urls(df).collect(), key=lambda r: r["batch_seq"])
+        assert [(r["n_urls"], r["ok"], r["status"]) for r in receipts] == [
+            (4, False, None), (4, True, 200), (2, True, 200)]
+        assert len(os.listdir(cdir)) == 3  # exactly one transport call per batch
+
     def test_content_type_filter(self, spark):
         df = spark.createDataFrame(
             [("a", "text/html; charset=utf-8"), ("b", "application/pdf"), ("c", "image/png"), ("d", "text/plain")],
