@@ -99,6 +99,7 @@ class CrawlEngine:
         self.bloom_bits = bloom_bits
         self.bloom_min_seen = bloom_min_seen
         self._bloom_built = False
+        self._seen_bucketed = None  # set per run() from the checkpoint layout
         self.hot_host_threshold = hot_host_threshold
         self.fetch_partitions = fetch_partitions or max(32, spark.sparkContext.defaultParallelism)
         self.robots = robots.persist() if robots is not None else None
@@ -292,12 +293,21 @@ class CrawlEngine:
         # seen set — a Bloom with missing members would admit duplicates.
         use_bloom = next_seq >= self.bloom_min_seen
         if use_bloom and not self._bloom_built:
+            # the bloom must cover the FULL seen set (bucketed + deltas)
+            seen_full = (
+                self._seen_bucketed.select(*SEEN_COLS).unionByName(seen)
+                if self._seen_bucketed is not None
+                else seen
+            )
             for shard_id, bitmap in build_shard_bitmaps(
-                seen, "url_hash", self.bloom_shards, self.bloom_bits, bloom.k
+                seen_full, "url_hash", self.bloom_shards, self.bloom_bits, bloom.k
             ):
                 bloom.merge_shard_bytes(shard_id, bitmap)
             self._bloom_built = True
-        new_admits = dedup_against_seen(self.spark, candidates, seen, bloom if use_bloom else None)
+        new_admits = dedup_against_seen(
+            self.spark, candidates, seen, bloom if use_bloom else None,
+            seen_bucketed=self._seen_bucketed,
+        )
         # FIFO sequence: small batches (estimated from fan-out) avoid the
         # pre-count pass; the exact count comes from the write Observation.
         # (n_selected <= frontier_hint, so hint * fan-out bounds the batch.)
@@ -359,9 +369,13 @@ class CrawlEngine:
         # committed, so it must be included explicitly — otherwise the seen
         # set lags one round and sibling-discovered URLs get re-admitted.
         seen.unpersist()
-        seen_next = self.store.read_seen(
+        deltas_next = self.store.read_seen(
             self.spark, rnd,
             include_frontier_rounds=(rnd,) if seen_from_frontier else (),
+            exclude_compacted=self._seen_bucketed is not None,
+        )
+        seen_next = (
+            deltas_next if deltas_next is not None else self._seen_bucketed.limit(0)
         ).persist()
         if budget_binds:
             selected.unpersist()
@@ -402,7 +416,15 @@ class CrawlEngine:
                 return run
             frontier = self.store.read_table(spark, last, "frontier")
             next_seq = manifest["next_seq"]
-            seen = self.store.read_seen(spark, last).persist()
+            # compacted seen set (if compaction ran) is a BUCKETED scan the
+            # anti-join reads exchange-free; only post-compaction deltas
+            # union (and persist) here.  STATIC for the whole run —
+            # compaction is maintenance between runs.
+            self._seen_bucketed = self.store.read_seen_bucketed(spark)
+            deltas = self.store.read_seen(
+                spark, last, exclude_compacted=self._seen_bucketed is not None
+            )
+            seen = (deltas if deltas is not None else self._seen_bucketed.limit(0)).persist()
             start_round = last + 1
             self.store.drop_uncommitted(start_round)
             frontier_hint = manifest.get("remaining", 0)
@@ -412,6 +434,7 @@ class CrawlEngine:
             # seeds enter the seen set at admission time (T1/F7)
             frontier.select(*SEEN_COLS).write.mode("overwrite").parquet(self.store.seed_seen_dir())
             seen = spark.read.parquet(self.store.seed_seen_dir()).persist()
+            self._seen_bucketed = None
             start_round = 0
             frontier_hint = next_seq
         # built lazily (complete) once the seen set crosses bloom_min_seen

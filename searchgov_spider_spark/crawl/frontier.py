@@ -121,6 +121,7 @@ def dedup_against_seen(
     candidates: DataFrame,
     seen: DataFrame | None,
     bloom: PartitionedBloom | None,
+    seen_bucketed: DataFrame | None = None,
 ) -> DataFrame:
     """Bloom-prefiltered authoritative dedup (SURVEY.md §2.2 F7 / §2.3 J5).
 
@@ -128,13 +129,32 @@ def dedup_against_seen(
     anti-join entirely; only the maybe-seen slice shuffles against the seen
     table.  Join is on (url_hash, url_canon): the hash drives the hash join,
     the string guards against 64-bit collisions at 10^10 scale.
+
+    ``seen_bucketed`` is the compacted seen set as a BUCKETED table scan
+    (CheckpointStore.read_seen_bucketed): its HashPartitioning(url_hash)
+    satisfies the anti-join's clustering requirement, so the big side comes
+    off disk with NO Exchange (and no sort — buckets are sorted); only the
+    candidate slice shuffles to the bucket layout.  ``seen`` then carries
+    just the post-compaction deltas.  At 10^10 URLs this turns the engine's
+    dominant recurring shuffle into a per-round candidate-sized one.
     """
-    if seen is None:
+    if seen is None and seen_bucketed is None:
         return candidates
+
+    def anti(df: DataFrame) -> DataFrame:
+        out = df
+        # bucketed (big, exchange-free) first; residual deltas (small) second
+        if seen_bucketed is not None:
+            out = out.join(
+                seen_bucketed.select("url_hash", "url_canon"), ["url_hash", "url_canon"], "left_anti"
+            )
+        if seen is not None:
+            out = out.join(seen.select("url_hash", "url_canon"), ["url_hash", "url_canon"], "left_anti")
+        return out
+
     if bloom is not None:
         probed = with_bloom_probe(spark, candidates, bloom, "url_hash")
         definitely_new = probed.filter(~F.col("maybe_seen")).drop("maybe_seen")
         maybe = probed.filter(F.col("maybe_seen")).drop("maybe_seen")
-        survivors = maybe.join(seen.select("url_hash", "url_canon"), ["url_hash", "url_canon"], "left_anti")
-        return definitely_new.unionByName(survivors)
-    return candidates.join(seen.select("url_hash", "url_canon"), ["url_hash", "url_canon"], "left_anti")
+        return definitely_new.unionByName(anti(maybe))
+    return anti(candidates)

@@ -177,11 +177,30 @@ class CheckpointStore:
 
     SEEN_COLS = ["url_hash", "url_canon", "depth", "seq"]
 
+    def _seen_paths(
+        self,
+        upto_round: int,
+        include_frontier_rounds: tuple[int, ...] = (),
+        include_seed: bool = True,
+    ) -> list[str]:
+        paths = (
+            [self.seed_seen_dir()] if include_seed and os.path.isdir(self.seed_seen_dir()) else []
+        )
+        for r in range(upto_round + 1):
+            if os.path.isdir(self.seen_delta_dir(r)):
+                paths.append(self.seen_delta_dir(r))
+            elif r in include_frontier_rounds or (
+                os.path.exists(self.manifest_path(r)) and self.read_manifest(r).get("seen_from_frontier")
+            ):
+                paths.append(os.path.join(self.round_dir(r), "frontier"))
+        return paths
+
     def read_seen(
         self,
         spark: SparkSession,
         upto_round: int,
         include_frontier_rounds: tuple[int, ...] = (),
+        exclude_compacted: bool = False,
     ) -> DataFrame | None:
         """Union of the seed delta and all seen-deltas up to ``upto_round``.
 
@@ -193,31 +212,83 @@ class CheckpointStore:
         it for the round IN PROGRESS, whose manifest is not yet written (the
         flag-based fallback alone would lag the seen set one round behind and
         re-admit sibling-discovered URLs).
+
+        ``exclude_compacted=True`` skips the seed dir — the engine uses it
+        when it holds the compacted set separately as a BUCKETED table
+        (``read_seen_bucketed``), so only the post-compaction deltas union
+        here.  The bucketed files are plain parquet, so the default
+        (include) path reads the full set regardless of layout.
         """
-        paths = [self.seed_seen_dir()] if os.path.isdir(self.seed_seen_dir()) else []
-        for r in range(upto_round + 1):
-            if os.path.isdir(self.seen_delta_dir(r)):
-                paths.append(self.seen_delta_dir(r))
-            elif r in include_frontier_rounds or (
-                os.path.exists(self.manifest_path(r)) and self.read_manifest(r).get("seen_from_frontier")
-            ):
-                paths.append(os.path.join(self.round_dir(r), "frontier"))
+        paths = self._seen_paths(upto_round, include_frontier_rounds, include_seed=not exclude_compacted)
         if not paths:
             return None
         return spark.read.parquet(*paths).select(*self.SEEN_COLS)
 
+    # -- bucketed seen table (F7 at 10^10 scale) --------------------------------
+
+    BUCKET_MARKER = "_BUCKETS"
+
+    def _bucketed_table_name(self) -> str:
+        import hashlib
+
+        return "seen_bucketed_" + hashlib.md5(os.path.abspath(self.root).encode()).hexdigest()[:10]
+
+    def read_seen_bucketed(self, spark: SparkSession) -> DataFrame | None:
+        """The compacted seen set as a BUCKETED table scan, or None before
+        the first compaction.
+
+        ``compact_seen`` writes the seed dir with Spark's bucketed-file
+        layout (bucket id encoded in each file name, rows hash-distributed
+        and sorted by the anti-join keys (url_hash, url_canon)) and drops a
+        ``_BUCKETS`` marker.  This re-registers an external bucketed table
+        over that directory, so the scan's output partitioning is
+        HashPartitioning(url_hash, url_canon, N) straight off disk — the
+        dedup anti-join's seen side then needs NO Exchange (and no sort,
+        buckets are sorted): only the bloom-surviving candidate slice
+        shuffles.  At the 10^10-URL design point this removes the engine's
+        dominant recurring shuffle (DESIGN.md's seen-table gap; the
+        reference's Redis SET probe is the O(1) analog,
+        job_state/dupefilter.py:8-25).
+
+        DROP+CREATE per call keeps the catalog entry and its file-listing
+        cache in sync with the directory contents after compaction swaps.
+        """
+        marker = os.path.join(self.seed_seen_dir(), self.BUCKET_MARKER)
+        if not os.path.exists(marker):
+            return None
+        with open(marker) as f:
+            info = json.load(f)
+        keys = ", ".join(info["bucket_cols"])
+        tbl = self._bucketed_table_name()
+        loc = os.path.abspath(self.seed_seen_dir())
+        schema = spark.read.parquet(loc).schema
+        cols = ", ".join(f"{fld.name} {fld.dataType.simpleString()}" for fld in schema.fields)
+        spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+        spark.sql(
+            f"CREATE TABLE {tbl} ({cols}) USING parquet "
+            f"CLUSTERED BY ({keys}) SORTED BY ({keys}) "
+            f"INTO {info['buckets']} BUCKETS LOCATION '{loc}'"
+        )
+        return spark.table(tbl)
+
     # -- maintenance ------------------------------------------------------------
     def compact_seen(self, spark: SparkSession, upto_round: int, buckets: int = 32) -> int:
         """Merge the seed delta + all per-round seen deltas up to
-        ``upto_round`` into one hash-distributed parquet, replacing the seed
-        dir and removing the merged delta dirs.
+        ``upto_round`` into one hash-BUCKETED parquet table, replacing the
+        seed dir and removing the merged delta dirs.
 
         Bounds file-count growth over long crawls (SURVEY.md §2.7 T2 /
-        DESIGN.md known gap).  Safe ordering: the compacted set is written to
-        a temp dir, atomically swapped in as the seed dir, and only then are
-        the old delta dirs removed — a crash at any point leaves a readable
-        (possibly duplicated) seen set, and dedup semantics tolerate
-        duplicate seen rows.  Returns the number of delta dirs removed.
+        DESIGN.md known gap) AND writes the result in Spark's bucketed-file
+        layout (bucket id per file name, sorted within buckets) plus a
+        ``_BUCKETS`` marker, so subsequent rounds' dedup anti-joins read the
+        seen side pre-partitioned with no Exchange (``read_seen_bucketed``).
+        Safe ordering: the compacted set is written to a temp dir, atomically
+        swapped in as the seed dir, and only then are the old delta dirs
+        removed — a crash at any point leaves a readable (possibly
+        duplicated) seen set, and dedup semantics tolerate duplicate seen
+        rows.  The bucketed files are plain parquet, so every non-bucketed
+        reader (``read_seen``, resume equivalence) is unaffected.  Returns
+        the number of delta dirs removed.
         """
         from pyspark.sql import functions as F
 
@@ -225,7 +296,24 @@ class CheckpointStore:
         if seen is None:
             return 0
         tmp = self.seed_seen_dir() + ".compact"
-        seen.repartition(buckets, F.col("url_hash")).write.mode("overwrite").parquet(tmp)
+        shutil.rmtree(tmp, ignore_errors=True)
+        tmp_tbl = self._bucketed_table_name() + "_compacting"
+        spark.sql(f"DROP TABLE IF EXISTS {tmp_tbl}")
+        # bucket on BOTH anti-join keys: Spark's co-partition check requires
+        # the bucket spec to cover every join key (requireAllClusterKeysFor-
+        # CoPartition), so (url_hash, url_canon) buckets are what lets the
+        # join consume the scan's partitioning with no Exchange
+        (
+            seen.repartition(buckets, F.col("url_hash"), F.col("url_canon"))
+            .write.mode("overwrite")
+            .bucketBy(buckets, "url_hash", "url_canon")
+            .sortBy("url_hash", "url_canon")
+            .option("path", tmp)
+            .saveAsTable(tmp_tbl)
+        )
+        spark.sql(f"DROP TABLE IF EXISTS {tmp_tbl}")  # external table: files remain
+        with open(os.path.join(tmp, self.BUCKET_MARKER), "w") as f:
+            json.dump({"buckets": buckets, "bucket_cols": ["url_hash", "url_canon"]}, f)
         old_seed = self.seed_seen_dir() + ".old"
         shutil.rmtree(old_seed, ignore_errors=True)
         if os.path.isdir(self.seed_seen_dir()):
