@@ -91,7 +91,20 @@ def test_stateful_rate_limited_frontier(spark, tmp_path):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(180)
+    # a ProcessingTimeTimeout stateful query keeps scheduling no-data
+    # micro-batches, so availableNow never self-terminates — poll until the
+    # guaranteed admissions landed (a: 2 per data batch, b: its single row),
+    # let a few timeout batches drain more, then stop explicitly.
+    import time
+
+    deadline = time.monotonic() + 120
+    while time.monotonic() < deadline and q.isActive:
+        flat = [r for _, rows in batches for r in rows]
+        if len([s for h, s in flat if h == "a"]) >= 4 and ("b", 100) in flat:
+            break
+        time.sleep(0.2)
+    time.sleep(1.0)  # allow a few timeout flush batches through
+    q.stop()
 
     all_rows = [r for _, rows in batches for r in rows]
     # FIFO per host: a admits seqs 0,1 in its first batch, 2,3 next...
@@ -131,7 +144,14 @@ def test_stateful_rate_limited_frontier(spark, tmp_path):
         .trigger(availableNow=True)
         .start()
     )
-    q2.awaitTermination(180)
+    deadline = time.monotonic() + 120
+    while time.monotonic() < deadline and q2.isActive:
+        flat2 = [r for _, rows in batches2 for r in rows]
+        a_all = a_seqs + [s for h, s in flat2 if h == "a"]
+        if a_all == [0, 1, 2, 3, 4, 9] and ("c", 200) in flat2:
+            break
+        time.sleep(0.2)
+    q2.stop()
     all_rows2 = [r for _, rows in batches2 for r in rows]
     a_seqs2 = [s for h, s in all_rows2 if h == "a"]
     combined = a_seqs + a_seqs2
