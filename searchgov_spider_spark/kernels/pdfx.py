@@ -304,6 +304,45 @@ class PdfDoc:
     n_streams: int = 0
 
 
+_OBJSTM_TYPE_RE = re.compile(rb"/Type\s*/ObjStm")
+_OBJSTM_FIRST_RE = re.compile(rb"/First\s+(\d+)")
+_OBJSTM_N_RE = re.compile(rb"/N\s+(\d+)")
+
+
+def expand_object_streams(body: bytes) -> list[tuple[int, int, bytes]]:
+    """Decode every /Type /ObjStm stream (PDF 1.5 compressed-object
+    container, §7.5.7) and split out its embedded objects.
+
+    Returns (objnum, index, object_bytes) for every object in every object
+    stream: the stream's decoded form is N whitespace-separated
+    ``objnum offset`` integer pairs followed by the serialized objects
+    starting at /First.  Undecodable or malformed streams are skipped
+    (consistent with the tolerant scanner elsewhere)."""
+    out: list[tuple[int, int, bytes]] = []
+    for dict_part, stream in _STREAM_RE.findall(body):
+        if not _OBJSTM_TYPE_RE.search(dict_part):
+            continue
+        m_first, m_n = _OBJSTM_FIRST_RE.search(dict_part), _OBJSTM_N_RE.search(dict_part)
+        if not m_first or not m_n:
+            continue
+        try:
+            data = decode_stream(dict_part, stream)
+        except (ValueError, zlib.error):
+            continue
+        first, n = int(m_first.group(1)), int(m_n.group(1))
+        header = data[:first].split()
+        if len(header) < 2 * n:
+            continue
+        try:
+            pairs = [(int(header[2 * i]), int(header[2 * i + 1])) for i in range(n)]
+        except ValueError:
+            continue
+        for i, (objnum, off) in enumerate(pairs):
+            end = first + pairs[i + 1][1] if i + 1 < n else len(data)
+            out.append((objnum, i, data[first + off : end]))
+    return out
+
+
 def extract_pdf_text(body: bytes) -> PdfDoc:
     """Text + links from a simple PDF (see module doc for subset limits).
 
@@ -318,6 +357,8 @@ def extract_pdf_text(body: bytes) -> PdfDoc:
     parts: list[str] = []
     for dict_part, stream in _STREAM_RE.findall(body):
         out.n_streams += 1
+        if _OBJSTM_TYPE_RE.search(dict_part) or b"/XRef" in dict_part:
+            continue  # object/xref containers carry no show-text operators
         try:
             data = decode_stream(dict_part, stream)
         except (ValueError, zlib.error):
@@ -339,11 +380,16 @@ def extract_pdf_text(body: bytes) -> PdfDoc:
     out.text = " ".join(p for p in parts if p).strip()
 
     seen: set[str] = set()
-    for m in _URI_RE.findall(body):
-        uri = _unescape(m)
-        if uri not in seen:
-            seen.add(uri)
-            out.links.append(uri)
+    # /Annots URI actions: raw objects first, then objects compressed into
+    # object streams (both annot-first relative to visible-text URLs,
+    # matching the reference's get_pdf_links union order)
+    uri_sources = [body] + [obj for _n, _i, obj in expand_object_streams(body)]
+    for src in uri_sources:
+        for m in _URI_RE.findall(src):
+            uri = _unescape(m)
+            if uri not in seen:
+                seen.add(uri)
+                out.links.append(uri)
     for m in _TEXT_URL_RE.findall(out.text):
         url = m.rstrip(".,;")
         if url not in seen:
@@ -366,9 +412,16 @@ def extract_pdf_meta(body: bytes) -> dict[str, str]:
         return {}
     obj_re = re.compile(rb"(?<![0-9])" + m.group(1) + rb"\s+0\s+obj\s*<<(.*?)>>", re.DOTALL)
     obj = obj_re.search(body)
-    if not obj:
-        return {}
-    return {k.decode("latin-1"): _unescape(v) for k, v in _INFO_KV_RE.findall(obj.group(1))}
+    if obj:
+        return {k.decode("latin-1"): _unescape(v) for k, v in _INFO_KV_RE.findall(obj.group(1))}
+    # /Info object compressed into an object stream (PDF 1.5 §7.5.7)
+    info_num = int(m.group(1))
+    for objnum, _idx, data in expand_object_streams(body):
+        if objnum == info_num:
+            dm = re.search(rb"<<(.*?)>>", data, re.DOTALL)
+            if dm:
+                return {k.decode("latin-1"): _unescape(v) for k, v in _INFO_KV_RE.findall(dm.group(1))}
+    return {}
 
 
 def convert_pdf(body: bytes, url: str) -> dict:
@@ -469,6 +522,7 @@ def make_simple_pdf(
     predictor: int | None = None,
     predictor_columns: int = 16,
     xref_stream: bool = False,
+    obj_stream: bool = False,
 ) -> bytes:
     """Deterministic single-page PDF builder for fixtures (valid enough for
     this parser and for visual inspection; classic xref layout, or a PDF 1.5
@@ -485,6 +539,9 @@ def make_simple_pdf(
     ``xref_stream``: emit the PDF 1.5 layout — the cross-reference table is
     itself a /Type /XRef stream (W [1 2 2] binary rows), Flate-compressed
     with /Predictor 12, and the trailer dict lives in the stream dict.
+    ``obj_stream``: additionally compress the annot + /Info objects into a
+    /Type /ObjStm container (type-2 xref entries) — the PDF 1.5 compressed-
+    object layout real writers pair with xref streams.
     """
 
     def esc(s: str) -> str:
@@ -527,16 +584,21 @@ def make_simple_pdf(
     else:
         filt = ("/Filter [" + " ".join(f"/{n}" for n in filters) + "] ").encode() + parms
 
+    n_annots = len(annot_uris or [])
     annots = b""
-    annot_objs: list[bytes] = []
     if annot_uris:
-        refs = " ".join(f"{5 + i} 0 R" for i in range(len(annot_uris)))
+        refs = " ".join(f"{5 + i} 0 R" for i in range(n_annots))
         annots = f"/Annots [{refs}] ".encode()
-        for i, uri in enumerate(annot_uris):
-            annot_objs.append(
-                f"{5 + i} 0 obj\n<< /Type /Annot /Subtype /Link /Rect [0 0 10 10] "
-                f"/A << /S /URI /URI ({esc(uri)}) >> >>\nendobj\n".encode("latin-1")
-            )
+    annot_dicts = [
+        f"<< /Type /Annot /Subtype /Link /Rect [0 0 10 10] "
+        f"/A << /S /URI /URI ({esc(uri)}) >> >>".encode("latin-1")
+        for uri in (annot_uris or [])
+    ]
+    info_n = 5 + n_annots
+    info_dict = b""
+    if info:
+        kv = " ".join(f"/{k} ({esc(str(v))})" for k, v in sorted(info.items()))
+        info_dict = f"<< {kv} >>".encode("latin-1")
 
     objs = [
         b"1 0 obj\n<< /Type /Catalog /Pages 2 0 R >>\nendobj\n",
@@ -545,37 +607,65 @@ def make_simple_pdf(
         + annots
         + b"/Contents 4 0 R >>\nendobj\n",
         b"4 0 obj\n<< " + filt + f"/Length {len(stream)} >>\nstream\n".encode() + stream + b"\nendstream\nendobj\n",
-        *annot_objs,
     ]
-    info_ref = b""
-    if info:
-        info_n = 5 + len(annot_objs)
-        kv = " ".join(f"/{k} ({esc(str(v))})" for k, v in sorted(info.items()))
-        objs.append(f"{info_n} 0 obj\n<< {kv} >>\nendobj\n".encode("latin-1"))
-        info_ref = f" /Info {info_n} 0 R".encode()
+    # compressed objects: annots + /Info serialized INTO a /Type /ObjStm
+    # container (PDF 1.5 §7.5.7) instead of standing as classic objects
+    inner: list[tuple[int, bytes]] = []
+    if obj_stream:
+        if not xref_stream:
+            raise ValueError("obj_stream requires the xref_stream layout (type-2 entries)")
+        inner = [(5 + i, d) for i, d in enumerate(annot_dicts)]
+        if info:
+            inner.append((info_n, info_dict))
+    else:
+        for i, d in enumerate(annot_dicts):
+            objs.append(f"{5 + i} 0 obj\n".encode() + d + b"\nendobj\n")
+        if info:
+            objs.append(f"{info_n} 0 obj\n".encode() + info_dict + b"\nendobj\n")
+    objstm_num = None
+    if inner:
+        payload = b" ".join(d for _n, d in inner)
+        offs = []
+        pos = 0
+        for _n, d in inner:
+            offs.append(pos)
+            pos += len(d) + 1  # the joining space
+        hdr = (" ".join(f"{n} {o}" for (n, _d), o in zip(inner, offs)) + "\n").encode()
+        objstm_data = zlib.compress(hdr + payload)
+        objstm_num = info_n + (1 if info else 0)
+        objs.append(
+            f"{objstm_num} 0 obj\n<< /Type /ObjStm /N {len(inner)} /First {len(hdr)} "
+            f"/Filter /FlateDecode /Length {len(objstm_data)} >>\nstream\n".encode()
+            + objstm_data
+            + b"\nendstream\nendobj\n"
+        )
+    info_ref = f" /Info {info_n} 0 R".encode() if info else b""
     header = b"%PDF-1.5\n" if xref_stream else b"%PDF-1.4\n"
     body = b"".join(objs)
     xref_pos = len(header) + len(body)
     if xref_stream:
         # PDF 1.5 cross-reference stream: one W=[1 2 2] binary row per
-        # object (type, offset/next-free, gen), rows Up-filtered
-        # (/Predictor 12) then Flate-compressed; the trailer entries (/Size
-        # /Root /Info) live in the stream dict itself.
-        xref_n = len(objs) + 1
+        # object — type 1 (offset, gen) for classic objects, type 2
+        # (containing ObjStm number, index within it) for compressed
+        # objects — rows Up-filtered (/Predictor 12) then Flate-compressed;
+        # the trailer entries (/Size /Root /Info) live in the stream dict.
         if xref_pos > 0xFFFF:
             raise ValueError("xref-stream fixture builder caps offsets at 2 bytes")
-        offsets = [0]
+        entries: dict[int, tuple[int, int, int]] = {0: (0, 0, 65535)}
         pos = len(header)
+        objnum_re = re.compile(rb"^(\d+) 0 obj")
         for o in objs:
-            offsets.append(pos)
+            num = int(objnum_re.match(o).group(1))
+            entries[num] = (1, pos, 0)
             pos += len(o)
-        offsets.append(xref_pos)  # the xref stream object itself
+        for idx, (num, _d) in enumerate(inner):
+            entries[num] = (2, objstm_num, idx)
+        xref_n = max(entries) + 1
+        entries[xref_n] = (1, xref_pos, 0)
         rows = bytearray()
-        for n, off in enumerate(offsets):
-            if n == 0:
-                rows += bytes([0]) + (0).to_bytes(2, "big") + (65535).to_bytes(2, "big")
-            else:
-                rows += bytes([1]) + off.to_bytes(2, "big") + (0).to_bytes(2, "big")
+        for n in range(xref_n + 1):
+            typ, f2, f3 = entries[n]
+            rows += bytes([typ]) + f2.to_bytes(2, "big") + f3.to_bytes(2, "big")
         xdata = zlib.compress(png_predictor_encode(bytes(rows), 2, columns=5))
         xobj = (
             f"{xref_n} 0 obj\n<< /Type /XRef /Size {xref_n + 1} /Root 1 0 R{info_ref.decode()} "

@@ -520,7 +520,10 @@ def _pdf_fixture(i: int) -> tuple[str, bytes]:
     rotate /DecodeParms PNG predictors (12=Up, 15=optimum per-row, 11=Sub),
     and every i%4==2 row uses the PDF 1.5 cross-reference-STREAM layout
     (trailer entries in the /Type /XRef stream dict, itself Predictor-12
-    Flate) — shared with the q36 oracle builder."""
+    Flate) with the annot + /Info objects compressed into a /Type /ObjStm
+    container (type-2 xref entries) — extraction output must be identical
+    to the classic layout, which the checked-in golden rows pin.  Shared
+    with the q36 oracle builder."""
     from .kernels import pdfx
 
     url = f"https://host0.example.gov/docs/AnnualReport{i}.pdf"
@@ -551,6 +554,7 @@ def _pdf_fixture(i: int) -> tuple[str, bytes]:
         tj_arrays=tj,
         predictor=predictor,
         xref_stream=(i % 4 == 2),
+        obj_stream=(i % 4 == 2),
     )
     return url, pdf
 

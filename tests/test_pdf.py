@@ -165,6 +165,40 @@ class TestStreamFilters:
                 live += 1
         assert live >= 5  # catalog, pages, page, contents, annot(s)/info/xref
 
+    def test_object_stream_layout(self):
+        """PDF 1.5 object streams (§7.5.7): annot /URI actions and the
+        /Info dict compressed inside a /Type /ObjStm container must extract
+        identically to the classic layout — links annot-first, Info via the
+        type-2 xref entry chain."""
+        kwargs = dict(
+            annot_uris=["https://a.gov/ann1", "https://a.gov/ann2"],
+            info={"Title": "Compressed Info", "CreationDate": "D:20240101120000Z00'00'"},
+        )
+        classic = pdfx.make_simple_pdf(["Body.", "See https://x.gov/p ."], **kwargs)
+        objstm = pdfx.make_simple_pdf(
+            ["Body.", "See https://x.gov/p ."], xref_stream=True, obj_stream=True, **kwargs
+        )
+        # really compressed: URIs/Title absent from the raw bytes
+        assert b"ann1" in classic and b"ann1" not in objstm
+        assert b"Compressed Info" not in objstm
+        dc, do = pdfx.extract_pdf_text(classic), pdfx.extract_pdf_text(objstm)
+        assert do.text == dc.text == "Body. See https://x.gov/p ."
+        assert do.links == dc.links == [
+            "https://a.gov/ann1", "https://a.gov/ann2", "https://x.gov/p"]
+        assert pdfx.extract_pdf_meta(objstm) == pdfx.extract_pdf_meta(classic)
+        # expand_object_streams sees all three embedded objects with indices
+        embedded = pdfx.expand_object_streams(objstm)
+        assert [(n, i) for n, i, _d in embedded] == [(5, 0), (6, 1), (7, 2)]
+        # the xref stream carries matching type-2 entries
+        m = [mm for mm in pdfx._STREAM_RE.finditer(objstm) if b"/XRef" in mm.group(1)][0]
+        rows = pdfx.decode_stream(m.group(1), m.group(2))
+        t2 = [
+            (rows[i * 5], int.from_bytes(rows[i * 5 + 3 : i * 5 + 5], "big"))
+            for i in range(len(rows) // 5)
+            if rows[i * 5] == 2
+        ]
+        assert t2 == [(2, 0), (2, 1), (2, 2)]
+
     def test_tj_kerning_semantics(self):
         # small kern concatenates, large kern reads as a word gap
         pdf = pdfx.make_simple_pdf([], tj_arrays=[["Hel", -30.0, "lo"], ["wor", -250.0, "ld"]])
