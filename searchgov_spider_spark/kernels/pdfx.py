@@ -29,11 +29,16 @@ from dataclasses import dataclass, field
 
 _STREAM_RE = re.compile(rb"<<(.*?)>>\s*stream\r?\n(.*?)\r?\nendstream", re.DOTALL)
 # one-pass show-text scan preserving operator ORDER: group 1 = Tj / '
-# literal, group 2 = TJ array body (strings + kern numbers)
+# literal, group 2 = TJ array body (strings + kern numbers), group 3 =
+# hex show string (composite-font codes, decoded via ToUnicode CMaps)
 _SHOW_RE = re.compile(
-    rb"\(((?:[^()\\]|\\.)*)\)\s*(?:Tj|')" rb"|\[((?:\((?:[^()\\]|\\.)*\)|[^\[\]()])*)\]\s*TJ"
+    rb"\(((?:[^()\\]|\\.)*)\)\s*(?:Tj|')"
+    rb"|\[((?:\((?:[^()\\]|\\.)*\)|[^\[\]()])*)\]\s*TJ"
+    rb"|<([0-9A-Fa-f\s]+)>\s*(?:Tj|')"
 )
-_ARRAY_TOK_RE = re.compile(rb"\(((?:[^()\\]|\\.)*)\)|(-?\d+(?:\.\d+)?)")
+_ARRAY_TOK_RE = re.compile(
+    rb"\(((?:[^()\\]|\\.)*)\)|<([0-9A-Fa-f\s]*)>|(-?\d+(?:\.\d+)?)"
+)
 _URI_RE = re.compile(rb"/URI\s*\(((?:[^()\\]|\\.)*)\)")
 _TEXT_URL_RE = re.compile(r"https?://[^\s<>\")\]]+")
 _FILTER_RE = re.compile(rb"/Filter\s*(\[(?:[^\]]*)\]|/\w+)")
@@ -304,6 +309,98 @@ class PdfDoc:
     n_streams: int = 0
 
 
+# -- ToUnicode CMaps (composite fonts; PDF §9.10.3, Adobe CMap spec) ----------
+
+_CMAP_HINT = b"begincmap"
+_CODESPACE_RE = re.compile(rb"begincodespacerange(.*?)endcodespacerange", re.DOTALL)
+_BFCHAR_RE = re.compile(rb"beginbfchar(.*?)endbfchar", re.DOTALL)
+_BFRANGE_RE = re.compile(rb"beginbfrange(.*?)endbfrange", re.DOTALL)
+_HEX_TOK_RE = re.compile(rb"<([0-9A-Fa-f]+)>|\[((?:<[0-9A-Fa-f]+>|\s)+)\]")
+
+
+def _utf16be(hexs: bytes) -> str:
+    raw = bytes.fromhex(hexs.decode("ascii"))
+    return raw.decode("utf-16-be", errors="replace")
+
+
+def parse_tounicode_cmaps(body: bytes) -> list[tuple[int, dict[int, str]]]:
+    """(code_width_bytes, {code -> unicode}) per ToUnicode CMap stream in
+    the document: codespacerange fixes the code width, bfchar maps single
+    codes, bfrange maps [lo..hi] -> consecutive destinations (or an explicit
+    destination array).  Destinations are UTF-16BE per the spec."""
+    out: list[tuple[int, dict[int, str]]] = []
+    for dict_part, stream in _STREAM_RE.findall(body):
+        try:
+            data = decode_stream(dict_part, stream)
+        except (ValueError, zlib.error):
+            continue
+        if _CMAP_HINT not in data:
+            continue
+        width = 2
+        m = _CODESPACE_RE.search(data)
+        if m:
+            toks = re.findall(rb"<([0-9A-Fa-f]+)>", m.group(1))
+            if toks:
+                width = max(1, len(toks[0]) // 2)
+        mapping: dict[int, str] = {}
+        for sect in _BFCHAR_RE.findall(data):
+            toks = re.findall(rb"<([0-9A-Fa-f]+)>", sect)
+            for src, dst in zip(toks[0::2], toks[1::2]):
+                mapping[int(src, 16)] = _utf16be(dst)
+        for sect in _BFRANGE_RE.findall(data):
+            toks = list(_HEX_TOK_RE.finditer(sect))
+            i = 0
+            while i + 3 <= len(toks):
+                lo_t, hi_t, dst_t = toks[i], toks[i + 1], toks[i + 2]
+                if lo_t.group(1) is None or hi_t.group(1) is None:
+                    break  # malformed triple
+                lo, hi = int(lo_t.group(1), 16), int(hi_t.group(1), 16)
+                if dst_t.group(1) is not None:  # consecutive destinations
+                    base_hex = dst_t.group(1)
+                    base_raw = bytes.fromhex(base_hex.decode("ascii"))
+                    base = int(base_hex, 16)
+                    nbytes = len(base_raw)
+                    for off in range(hi - lo + 1):
+                        mapping[lo + off] = (
+                            (base + off).to_bytes(nbytes, "big").decode("utf-16-be", errors="replace")
+                        )
+                else:  # explicit destination array, one entry per code
+                    dsts = re.findall(rb"<([0-9A-Fa-f]+)>", dst_t.group(2))
+                    for off, d in enumerate(dsts[: hi - lo + 1]):
+                        mapping[lo + off] = _utf16be(d)
+                i += 3
+        if mapping:
+            out.append((width, mapping))
+    return out
+
+
+def _decode_hex_show(hextok: bytes, cmaps: list[tuple[int, dict[int, str]]]) -> str:
+    """Decode one hex show-string: try each CMap (splitting the byte string
+    into its code width), pick the one mapping every code; fall back to
+    latin-1 single bytes (simple-font hex strings with no ToUnicode)."""
+    digits = re.sub(rb"\s+", b"", hextok)
+    if len(digits) % 2:
+        digits += b"0"  # PDF: odd final digit reads as 0
+    raw = bytes.fromhex(digits.decode("ascii"))
+    best: str | None = None
+    best_missing = None
+    for width, mapping in cmaps:
+        if len(raw) % width:
+            continue
+        codes = [int.from_bytes(raw[i : i + width], "big") for i in range(0, len(raw), width)]
+        missing = sum(1 for c in codes if c not in mapping)
+        if best_missing is None or missing < best_missing:
+            best_missing = missing
+            best = "".join(mapping.get(c, "") for c in codes)
+        if missing == 0:
+            return best
+    if best is not None and best_missing == 0:
+        return best
+    if best is not None and best_missing is not None and best_missing * 2 < len(raw):
+        return best  # majority mapped: trust the CMap, drop unmapped codes
+    return raw.decode("latin-1")
+
+
 _OBJSTM_TYPE_RE = re.compile(rb"/Type\s*/ObjStm")
 _OBJSTM_FIRST_RE = re.compile(rb"/First\s+(\d+)")
 _OBJSTM_N_RE = re.compile(rb"/N\s+(\d+)")
@@ -354,6 +451,7 @@ def extract_pdf_text(body: bytes) -> PdfDoc:
     out = PdfDoc()
     if not body.startswith(b"%PDF"):
         return out
+    cmaps = parse_tounicode_cmaps(body)
     parts: list[str] = []
     for dict_part, stream in _STREAM_RE.findall(body):
         out.n_streams += 1
@@ -363,16 +461,22 @@ def extract_pdf_text(body: bytes) -> PdfDoc:
             data = decode_stream(dict_part, stream)
         except (ValueError, zlib.error):
             continue
+        if _CMAP_HINT in data:
+            continue  # ToUnicode CMap stream, not page content
         frags: list[str] = []
         for m in _SHOW_RE.finditer(data):
-            if m.group(1) is not None:  # Tj / '
+            if m.group(1) is not None:  # Tj / ' literal string
                 frags.append(_unescape(m.group(1)))
+            elif m.group(3) is not None:  # Tj / ' hex string (composite font)
+                frags.append(_decode_hex_show(m.group(3), cmaps))
             else:  # TJ kerning array: concat pieces, big kern gap -> space
                 pieces: list[str] = []
                 for t in _ARRAY_TOK_RE.finditer(m.group(2)):
                     if t.group(1) is not None:
                         pieces.append(_unescape(t.group(1)))
-                    elif float(t.group(2)) <= KERN_SPACE_THRESHOLD:
+                    elif t.group(2) is not None:
+                        pieces.append(_decode_hex_show(t.group(2), cmaps))
+                    elif float(t.group(3)) <= KERN_SPACE_THRESHOLD:
                         pieces.append(" ")
                 frags.append("".join(pieces))
         if frags:
@@ -523,6 +627,7 @@ def make_simple_pdf(
     predictor_columns: int = 16,
     xref_stream: bool = False,
     obj_stream: bool = False,
+    hex_text_lines: list[str] | None = None,
 ) -> bytes:
     """Deterministic single-page PDF builder for fixtures (valid enough for
     this parser and for visual inspection; classic xref layout, or a PDF 1.5
@@ -542,6 +647,11 @@ def make_simple_pdf(
     ``obj_stream``: additionally compress the annot + /Info objects into a
     /Type /ObjStm container (type-2 xref entries) — the PDF 1.5 compressed-
     object layout real writers pair with xref streams.
+    ``hex_text_lines``: lines shown as two-byte HEX strings through a
+    generated /ToUnicode CMap whose codes are offset into the private-use
+    area (0xE000 + ord) — decoding them correctly REQUIRES the CMap
+    (consecutive-ordinal runs become bfrange entries, the rest bfchar), so
+    a byte-fallback reader produces garbage, not silently-correct text.
     """
 
     def esc(s: str) -> str:
@@ -551,6 +661,36 @@ def make_simple_pdf(
     for arr in tj_arrays or []:
         toks = " ".join(f"({esc(t)})" if isinstance(t, str) else f"{t:g}" for t in arr)
         ops.append(f"[{toks}] TJ")
+    cmap_obj_body: bytes | None = None
+    if hex_text_lines:
+        code = lambda c: 0xE000 + ord(c)  # noqa: E731 - private-use offset
+        for ln in hex_text_lines:
+            ops.append("<" + "".join(f"{code(c):04X}" for c in ln) + "> Tj")
+        chars = sorted({c for ln in hex_text_lines for c in ln})
+        # consecutive-ordinal runs of >= 3 go to bfrange, the rest to bfchar
+        runs: list[list[str]] = []
+        for c in chars:
+            if runs and ord(c) == ord(runs[-1][-1]) + 1:
+                runs[-1].append(c)
+            else:
+                runs.append([c])
+        bfchar = [c for r in runs if len(r) < 3 for c in r]
+        bfrange = [r for r in runs if len(r) >= 3]
+        sections = ["1 begincodespacerange <0000> <FFFF> endcodespacerange"]
+        if bfchar:
+            entries = " ".join(f"<{code(c):04X}> <{ord(c):04X}>" for c in bfchar)
+            sections.append(f"{len(bfchar)} beginbfchar {entries} endbfchar")
+        if bfrange:
+            entries = " ".join(
+                f"<{code(r[0]):04X}> <{code(r[-1]):04X}> <{ord(r[0]):04X}>" for r in bfrange
+            )
+            sections.append(f"{len(bfrange)} beginbfrange {entries} endbfrange")
+        cmap_text = (
+            "/CIDInit /ProcSet findresource begin 12 dict begin begincmap "
+            + " ".join(sections)
+            + " endcmap CMapName currentdict /CMap defineresource pop end end"
+        )
+        cmap_obj_body = zlib.compress(cmap_text.encode("latin-1"))
     content = "BT /F1 12 Tf 72 720 Td " + " T* ".join(ops) + " ET"
     stream = content.encode("latin-1")
     if filters is None:
@@ -622,6 +762,15 @@ def make_simple_pdf(
             objs.append(f"{5 + i} 0 obj\n".encode() + d + b"\nendobj\n")
         if info:
             objs.append(f"{info_n} 0 obj\n".encode() + info_dict + b"\nendobj\n")
+    next_num = info_n + (1 if info else 0)
+    if cmap_obj_body is not None:
+        objs.append(
+            f"{next_num} 0 obj\n<< /Filter /FlateDecode /Length {len(cmap_obj_body)} "
+            f">>\nstream\n".encode()
+            + cmap_obj_body
+            + b"\nendstream\nendobj\n"
+        )
+        next_num += 1
     objstm_num = None
     if inner:
         payload = b" ".join(d for _n, d in inner)
@@ -632,7 +781,7 @@ def make_simple_pdf(
             pos += len(d) + 1  # the joining space
         hdr = (" ".join(f"{n} {o}" for (n, _d), o in zip(inner, offs)) + "\n").encode()
         objstm_data = zlib.compress(hdr + payload)
-        objstm_num = info_n + (1 if info else 0)
+        objstm_num = next_num
         objs.append(
             f"{objstm_num} 0 obj\n<< /Type /ObjStm /N {len(inner)} /First {len(hdr)} "
             f"/Filter /FlateDecode /Length {len(objstm_data)} >>\nstream\n".encode()

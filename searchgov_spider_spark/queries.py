@@ -542,6 +542,10 @@ def _pdf_fixture(i: int) -> tuple[str, bytes]:
             "CreationDate": f"D:2024030{i % 10}090000Z00'00'",
         }
     tj = [["Sec", -30.0, "tion", -250.0, f"{i}"]] if i % 3 == 0 else None
+    # every 6th row (i%6==1) shows an extra line as composite-font HEX
+    # strings through a generated /ToUnicode CMap (bfchar + bfrange,
+    # private-use codes — decoding REQUIRES the CMap)
+    hex_lines = [f"Unicode appendix {i}."] if i % 6 == 1 else None
     filters = _PDF_FILTER_ROTATION[i % 5]
     predictor = None
     if filters and filters[-1] in ("FlateDecode", "LZWDecode") and i % 7 in (1, 3, 5):
@@ -555,6 +559,7 @@ def _pdf_fixture(i: int) -> tuple[str, bytes]:
         predictor=predictor,
         xref_stream=(i % 4 == 2),
         obj_stream=(i % 4 == 2),
+        hex_text_lines=hex_lines,
     )
     return url, pdf
 

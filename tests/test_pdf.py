@@ -199,6 +199,42 @@ class TestStreamFilters:
         ]
         assert t2 == [(2, 0), (2, 1), (2, 2)]
 
+    def test_tounicode_cmap_hex_strings(self):
+        """Composite-font hex show-strings decode through /ToUnicode CMaps
+        (bfchar + bfrange, 2-byte codes); the fixture's private-use code
+        offset means a byte-fallback cannot silently pass."""
+        pdf = pdfx.make_simple_pdf(
+            ["Literal line."],
+            hex_text_lines=["Hello CMap world!", "abcdefg 0123"],
+            annot_uris=["https://a.gov/x"],
+        )
+        doc = pdfx.extract_pdf_text(pdf)
+        assert doc.text == "Literal line. Hello CMap world! abcdefg 0123"
+        cmaps = pdfx.parse_tounicode_cmaps(pdf)
+        assert len(cmaps) == 1 and cmaps[0][0] == 2
+        assert cmaps[0][1][0xE000 + ord("H")] == "H"
+        # digit run 0123 + letter run abcdefg come from bfrange entries
+        assert all(0xE000 + ord(c) in cmaps[0][1] for c in "abcdefg0123")
+
+    def test_hex_string_fallback_and_tj_arrays(self):
+        # no CMap: simple-font hex strings fall back to latin-1 bytes
+        raw = (b"%PDF-1.4\n4 0 obj\n<< /Length 44 >>\nstream\n"
+               b"BT <48656C6C6F> Tj (lit) Tj ET\nendstream\nendobj\n%%EOF")
+        assert pdfx.extract_pdf_text(raw).text == "Hello lit"
+        # hex pieces inside TJ kerning arrays
+        raw = (b"%PDF-1.4\n4 0 obj\n<< /Length 60 >>\nstream\n"
+               b"BT [<4865> -300 <6C6C6F>] TJ ET\nendstream\nendobj\n%%EOF")
+        assert pdfx.extract_pdf_text(raw).text == "He llo"
+
+    def test_cmap_composes_with_xref_and_object_streams(self):
+        pdf = pdfx.make_simple_pdf(
+            [], hex_text_lines=["Xref hex body."], info={"Title": "HX"},
+            annot_uris=["https://a.gov/y"], xref_stream=True, obj_stream=True,
+        )
+        assert pdfx.extract_pdf_text(pdf).text == "Xref hex body."
+        assert pdfx.extract_pdf_meta(pdf)["Title"] == "HX"
+        assert pdfx.extract_pdf_text(pdf).links[0] == "https://a.gov/y"
+
     def test_tj_kerning_semantics(self):
         # small kern concatenates, large kern reads as a word gap
         pdf = pdfx.make_simple_pdf([], tj_arrays=[["Hel", -30.0, "lo"], ["wor", -250.0, "ld"]])
