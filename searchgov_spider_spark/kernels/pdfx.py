@@ -383,21 +383,20 @@ def _decode_hex_show(hextok: bytes, cmaps: list[tuple[int, dict[int, str]]]) -> 
         digits += b"0"  # PDF: odd final digit reads as 0
     raw = bytes.fromhex(digits.decode("ascii"))
     best: str | None = None
-    best_missing = None
+    best_frac: float | None = None
     for width, mapping in cmaps:
         if len(raw) % width:
             continue
         codes = [int.from_bytes(raw[i : i + width], "big") for i in range(0, len(raw), width)]
         missing = sum(1 for c in codes if c not in mapping)
-        if best_missing is None or missing < best_missing:
-            best_missing = missing
-            best = "".join(mapping.get(c, "") for c in codes)
         if missing == 0:
-            return best
-    if best is not None and best_missing == 0:
-        return best
-    if best is not None and best_missing is not None and best_missing * 2 < len(raw):
-        return best  # majority mapped: trust the CMap, drop unmapped codes
+            return "".join(mapping[c] for c in codes)
+        frac = missing / max(1, len(codes))
+        if best_frac is None or frac < best_frac:
+            best_frac = frac
+            best = "".join(mapping.get(c, "") for c in codes)
+    if best is not None and best_frac is not None and best_frac < 0.5:
+        return best  # majority of codes mapped: trust the CMap, drop the rest
     return raw.decode("latin-1")
 
 

@@ -764,6 +764,29 @@ def q45_dedup_clusters(spark, sf_dir):
     )
 
 
+def q48_embedding_dup_clusters(spark, sf_dir):
+    """Embedding near-dup CLUSTERS: SRP-LSH verified pairs (q34's exact
+    pipeline, materialized once) -> min-label-propagation connected
+    components -> per-vector cluster representative + size.  The
+    survivor-selection step over the EMBEDDING modality, same composition
+    as q45's text-shingle version — the pair pipeline's ids-only candidate
+    join + the O(diameter) localCheckpoint'd propagation both hold at
+    corpus scale."""
+    from .operators import similarity
+
+    emb = _embeddings_with_dups(spark, sf_dir)
+    pairs = (
+        similarity.embedding_near_dup_pairs(emb, dim=64, threshold=0.95)
+        .select("id_a", "id_b")
+        .localCheckpoint(eager=True)
+    )
+    cc = dedup.connected_components(pairs, emb.select("vec_id"), id_col="vec_id")
+    sizes = cc.groupBy("label").agg(F.count("*").alias("cluster_size"))
+    return cc.join(sizes, "label").select(
+        "vec_id", F.col("label").alias("cluster_rep"), "cluster_size"
+    )
+
+
 # ---------------------------------------------------------------------------
 # registry + oracle SQL
 # ---------------------------------------------------------------------------
@@ -816,6 +839,7 @@ QUERIES = {
     "q45_dedup_clusters": q45_dedup_clusters,
     "q46_corpus_curation": q46_corpus_curation,
     "q47_unigram_surprisal": q47_unigram_surprisal,
+    "q48_embedding_dup_clusters": q48_embedding_dup_clusters,
 }
 
 _DUP_DOCS_SQL = (
@@ -1113,6 +1137,29 @@ ORACLES = {
                round(list_cosine_similarity(a.embedding, b.embedding), 4) AS cosine
         FROM e a JOIN e b ON a.vec_id < b.vec_id
         WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.95
+    """,
+    "q48_embedding_dup_clusters": """
+        WITH RECURSIVE e AS (
+            SELECT vec_id, embedding FROM embeddings
+            UNION ALL
+            SELECT vec_id + 100000 AS vec_id, embedding FROM embeddings WHERE vec_id % 10 = 0
+        ),
+        edges AS (
+            SELECT a.vec_id AS id_a, b.vec_id AS id_b
+            FROM e a JOIN e b ON a.vec_id < b.vec_id
+            WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.95
+        ),
+        und AS (SELECT id_a AS a, id_b AS b FROM edges
+                UNION ALL SELECT id_b AS a, id_a AS b FROM edges),
+        reach(src, dst) AS (
+            SELECT vec_id, vec_id FROM e
+            UNION
+            SELECT r.src, u.b FROM reach r JOIN und u ON r.dst = u.a
+        ),
+        lab AS (SELECT src AS vec_id, min(dst) AS cluster_rep FROM reach GROUP BY src)
+        SELECT vec_id, cluster_rep,
+               count(*) OVER (PARTITION BY cluster_rep) AS cluster_size
+        FROM lab
     """,
     "q35_training_pipeline": f"""
         WITH d AS (SELECT doc_id, text FROM {_DUP_DOCS_SQL}),

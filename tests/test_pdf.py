@@ -1,5 +1,8 @@
 """Minimal-PDF extraction kernel tests (X4/U4 subset)."""
 
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
 from searchgov_spider_spark.kernels import pdfx
 
 
@@ -99,6 +102,20 @@ class TestStreamFilters:
             dec = pdfx.apply_png_predictor(enc, columns=16)
             # encoder zero-pads the final partial row
             assert dec[: len(data)] == data and set(dec[len(data):]) <= {0}, ftype
+
+    @settings(max_examples=60, deadline=None)
+    @given(
+        data=st.binary(min_size=0, max_size=600),
+        ftype=st.one_of(st.integers(0, 4), st.lists(st.integers(0, 4), min_size=1, max_size=5)),
+        columns=st.integers(1, 40),
+    )
+    def test_png_predictor_roundtrip_property(self, data, ftype, columns):
+        """Property: decode(encode(x)) == x (mod row zero-padding) for every
+        filter type / per-row cycle / column width over arbitrary bytes."""
+        enc = pdfx.png_predictor_encode(data, ftype, columns=columns)
+        dec = pdfx.apply_png_predictor(enc, columns=columns)
+        assert dec[: len(data)] == data
+        assert set(dec[len(data):]) <= {0}
 
     def test_tiff_predictor(self):
         raw = bytes((i * 11) & 0xFF for i in range(40))
