@@ -710,10 +710,15 @@ def q44_line_dedup(spark, sf_dir):
 def q46_corpus_curation(spark, sf_dir):
     """The full curation pipeline composed from the proven operators:
     exact dedup (keep representatives) -> Gopher repetition gate ->
-    token-count gate (>= 20) -> language join -> deterministic stratified
-    sample.  Every stage is individually oracle-backed (q16/q42/q17/q41);
-    this verifies their COMPOSITION end to end — the shape a real corpus
-    build runs.  All JVM-side; the only UDFs in the whole pipeline are none."""
+    token-count gate (>= 20) -> benchmark DECONTAMINATION (drop docs
+    sharing any 8-token-gram with the doc_id%37 eval set — which removes
+    the eval docs themselves from the corpus, exactly as a real build
+    excludes benchmark text) -> language join -> deterministic stratified
+    sample.  Every stage is individually oracle-backed (q16/q42/q17/q40/
+    q41); this verifies their COMPOSITION end to end — the shape a real
+    corpus build runs.  All JVM-side; the only UDFs in the pipeline are
+    none; the eval n-gram side broadcasts (the corpus never shuffles for
+    the decontamination join)."""
     d = _docs_with_dups(spark, sf_dir)
     langs = _t(spark, sf_dir, "documents").select(F.col("doc_id").alias("orig_id"), "lang")
     dd = dedup.exact_duplicates(d)
@@ -724,9 +729,16 @@ def q46_corpus_curation(spark, sf_dir):
         textstats.repetition_stats(kept).filter(~F.col("repetitive")).select("doc_id")
     )
     tok = textstats.token_stats(kept).select("doc_id", "n_tokens").filter(F.col("n_tokens") >= 20)
+    eval_docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") % 37 == 0)
+    clean = (
+        curation.decontaminate(kept, eval_docs, n=8)
+        .filter(~F.col("contaminated"))
+        .select("doc_id")
+    )
     gated = (
         kept.join(not_repetitive, "doc_id")
         .join(tok, "doc_id")
+        .join(clean, "doc_id")
         .withColumn("orig_id", F.col("doc_id") % 100000)
         .join(langs, "orig_id")
         .select("doc_id", "lang", "n_tokens")
@@ -1056,9 +1068,15 @@ ORACLES = {
         repf AS (SELECT top.doc_id FROM top JOIN dup USING (doc_id)
                  WHERE NOT (f2 > 0.20 OR f5 > 0.15)),
         tok AS (SELECT doc_id, len({_TOKS}) AS n_tokens FROM kept WHERE len({_TOKS}) >= 20),
+        eval_grams AS (SELECT DISTINCT unnest({_shingles_sql(8)}) AS gram
+                       FROM documents WHERE doc_id % 37 = 0),
+        doc_grams AS (SELECT DISTINCT doc_id, unnest({_shingles_sql(8)}) AS gram
+                      FROM (SELECT doc_id, text FROM kept)),
+        contaminated AS (SELECT DISTINCT doc_id FROM doc_grams JOIN eval_grams USING (gram)),
         g AS (SELECT kept.doc_id, documents.lang, tok.n_tokens
               FROM kept JOIN repf USING (doc_id) JOIN tok USING (doc_id)
-              JOIN documents ON documents.doc_id = kept.doc_id % 100000)
+              JOIN documents ON documents.doc_id = kept.doc_id % 100000
+              WHERE kept.doc_id NOT IN (SELECT doc_id FROM contaminated))
         SELECT doc_id, lang, n_tokens, substring(md5(doc_id::VARCHAR), 1, 4) AS bucket
         FROM g
         WHERE substring(md5(doc_id::VARCHAR), 1, 4) <
