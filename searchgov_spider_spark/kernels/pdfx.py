@@ -319,8 +319,71 @@ _HEX_TOK_RE = re.compile(rb"<([0-9A-Fa-f]+)>|\[((?:<[0-9A-Fa-f]+>|\s)+)\]")
 
 
 def _utf16be(hexs: bytes) -> str:
+    if len(hexs) % 2:
+        hexs += b"0"  # tolerate odd-length destinations from sloppy writers
     raw = bytes.fromhex(hexs.decode("ascii"))
     return raw.decode("utf-16-be", errors="replace")
+
+
+def _has_cmap_structure(data: bytes) -> bool:
+    """CMap classification: requires structural section tokens, not just the
+    `begincmap` keyword — a content stream whose visible TEXT mentions
+    'begincmap' (a PDF about PDFs) must not be misclassified; it is kept as
+    content when it carries show-text operators (checked at the call site)."""
+    return _CMAP_HINT in data and (
+        b"begincodespacerange" in data or b"beginbfchar" in data or b"beginbfrange" in data
+    )
+
+
+def _parse_cmap_bytes(data: bytes) -> tuple[int, dict[int, str]] | None:
+    """Parse one decoded ToUnicode CMap; malformed entries are skipped
+    best-effort and a structurally hopeless stream yields None — one bad
+    crawled PDF must degrade, never crash the extraction task."""
+    width = 2
+    m = _CODESPACE_RE.search(data)
+    if m:
+        toks = re.findall(rb"<([0-9A-Fa-f]+)>", m.group(1))
+        if toks:
+            width = max(1, len(toks[0]) // 2)
+    mapping: dict[int, str] = {}
+    for sect in _BFCHAR_RE.findall(data):
+        toks = re.findall(rb"<([0-9A-Fa-f]+)>", sect)
+        for src, dst in zip(toks[0::2], toks[1::2]):
+            try:
+                mapping[int(src, 16)] = _utf16be(dst)
+            except ValueError:
+                continue  # malformed pair: skip, keep the rest
+    for sect in _BFRANGE_RE.findall(data):
+        toks = list(_HEX_TOK_RE.finditer(sect))
+        i = 0
+        while i + 3 <= len(toks):
+            lo_t, hi_t, dst_t = toks[i], toks[i + 1], toks[i + 2]
+            i += 3
+            if lo_t.group(1) is None or hi_t.group(1) is None:
+                break  # malformed triple
+            try:
+                lo, hi = int(lo_t.group(1), 16), int(hi_t.group(1), 16)
+                if hi < lo or hi - lo > 0x10000:
+                    continue  # nonsense range: skip
+                if dst_t.group(1) is not None:  # consecutive destinations
+                    base_hex = dst_t.group(1)
+                    if len(base_hex) % 2:
+                        base_hex += b"0"
+                    base = int(base_hex, 16)
+                    nbytes = len(base_hex) // 2
+                    for off in range(hi - lo + 1):
+                        v = base + off
+                        # widen rather than overflow when the range walks
+                        # past the destination byte width (sloppy writers)
+                        vb = v.to_bytes(max(nbytes, (v.bit_length() + 7) // 8), "big")
+                        mapping[lo + off] = vb.decode("utf-16-be", errors="replace")
+                else:  # explicit destination array, one entry per code
+                    dsts = re.findall(rb"<([0-9A-Fa-f]+)>", dst_t.group(2))
+                    for off, d in enumerate(dsts[: hi - lo + 1]):
+                        mapping[lo + off] = _utf16be(d)
+            except ValueError:
+                continue
+    return (width, mapping) if mapping else None
 
 
 def parse_tounicode_cmaps(body: bytes) -> list[tuple[int, dict[int, str]]]:
@@ -334,43 +397,11 @@ def parse_tounicode_cmaps(body: bytes) -> list[tuple[int, dict[int, str]]]:
             data = decode_stream(dict_part, stream)
         except (ValueError, zlib.error):
             continue
-        if _CMAP_HINT not in data:
+        if not _has_cmap_structure(data):
             continue
-        width = 2
-        m = _CODESPACE_RE.search(data)
-        if m:
-            toks = re.findall(rb"<([0-9A-Fa-f]+)>", m.group(1))
-            if toks:
-                width = max(1, len(toks[0]) // 2)
-        mapping: dict[int, str] = {}
-        for sect in _BFCHAR_RE.findall(data):
-            toks = re.findall(rb"<([0-9A-Fa-f]+)>", sect)
-            for src, dst in zip(toks[0::2], toks[1::2]):
-                mapping[int(src, 16)] = _utf16be(dst)
-        for sect in _BFRANGE_RE.findall(data):
-            toks = list(_HEX_TOK_RE.finditer(sect))
-            i = 0
-            while i + 3 <= len(toks):
-                lo_t, hi_t, dst_t = toks[i], toks[i + 1], toks[i + 2]
-                if lo_t.group(1) is None or hi_t.group(1) is None:
-                    break  # malformed triple
-                lo, hi = int(lo_t.group(1), 16), int(hi_t.group(1), 16)
-                if dst_t.group(1) is not None:  # consecutive destinations
-                    base_hex = dst_t.group(1)
-                    base_raw = bytes.fromhex(base_hex.decode("ascii"))
-                    base = int(base_hex, 16)
-                    nbytes = len(base_raw)
-                    for off in range(hi - lo + 1):
-                        mapping[lo + off] = (
-                            (base + off).to_bytes(nbytes, "big").decode("utf-16-be", errors="replace")
-                        )
-                else:  # explicit destination array, one entry per code
-                    dsts = re.findall(rb"<([0-9A-Fa-f]+)>", dst_t.group(2))
-                    for off, d in enumerate(dsts[: hi - lo + 1]):
-                        mapping[lo + off] = _utf16be(d)
-                i += 3
-        if mapping:
-            out.append((width, mapping))
+        parsed = _parse_cmap_bytes(data)
+        if parsed is not None:
+            out.append(parsed)
     return out
 
 
@@ -405,6 +436,27 @@ _OBJSTM_FIRST_RE = re.compile(rb"/First\s+(\d+)")
 _OBJSTM_N_RE = re.compile(rb"/N\s+(\d+)")
 
 
+def _expand_objstm_bytes(dict_part: bytes, data: bytes) -> list[tuple[int, int, bytes]]:
+    """Split one DECODED /ObjStm payload into (objnum, index, object_bytes)
+    via the N ``objnum offset`` header pairs + /First."""
+    m_first, m_n = _OBJSTM_FIRST_RE.search(dict_part), _OBJSTM_N_RE.search(dict_part)
+    if not m_first or not m_n:
+        return []
+    first, n = int(m_first.group(1)), int(m_n.group(1))
+    header = data[:first].split()
+    if len(header) < 2 * n:
+        return []
+    try:
+        pairs = [(int(header[2 * i]), int(header[2 * i + 1])) for i in range(n)]
+    except ValueError:
+        return []
+    out = []
+    for i, (objnum, off) in enumerate(pairs):
+        end = first + pairs[i + 1][1] if i + 1 < n else len(data)
+        out.append((objnum, i, data[first + off : end]))
+    return out
+
+
 def expand_object_streams(body: bytes) -> list[tuple[int, int, bytes]]:
     """Decode every /Type /ObjStm stream (PDF 1.5 compressed-object
     container, §7.5.7) and split out its embedded objects.
@@ -418,24 +470,11 @@ def expand_object_streams(body: bytes) -> list[tuple[int, int, bytes]]:
     for dict_part, stream in _STREAM_RE.findall(body):
         if not _OBJSTM_TYPE_RE.search(dict_part):
             continue
-        m_first, m_n = _OBJSTM_FIRST_RE.search(dict_part), _OBJSTM_N_RE.search(dict_part)
-        if not m_first or not m_n:
-            continue
         try:
             data = decode_stream(dict_part, stream)
         except (ValueError, zlib.error):
             continue
-        first, n = int(m_first.group(1)), int(m_n.group(1))
-        header = data[:first].split()
-        if len(header) < 2 * n:
-            continue
-        try:
-            pairs = [(int(header[2 * i]), int(header[2 * i + 1])) for i in range(n)]
-        except ValueError:
-            continue
-        for i, (objnum, off) in enumerate(pairs):
-            end = first + pairs[i + 1][1] if i + 1 < n else len(data)
-            out.append((objnum, i, data[first + off : end]))
+        out.extend(_expand_objstm_bytes(dict_part, data))
     return out
 
 
@@ -446,22 +485,40 @@ def extract_pdf_text(body: bytes) -> PdfDoc:
     with " " (the reference joins pages with " ", parse.py:113-151).  Links =
     /Annots URI actions ∪ URLs matched in visible text, first-seen order,
     deduplicated (parse.py:214-252 get_pdf_links).
+
+    SINGLE decompression pass: every stream decodes exactly once, then is
+    classified — ObjStm containers expand, XRef streams drop, ToUnicode
+    CMaps (structural tokens AND no show-text operators, so a page whose
+    visible text merely mentions 'begincmap' stays content) parse, and the
+    rest scan for show-text.  Any per-stream failure degrades that stream,
+    never the document (one bad crawled PDF must not fail a Spark task).
     """
     out = PdfDoc()
     if not body.startswith(b"%PDF"):
         return out
-    cmaps = parse_tounicode_cmaps(body)
-    parts: list[str] = []
+    cmaps: list[tuple[int, dict[int, str]]] = []
+    objstm_objs: list[tuple[int, int, bytes]] = []
+    content: list[bytes] = []
     for dict_part, stream in _STREAM_RE.findall(body):
         out.n_streams += 1
-        if _OBJSTM_TYPE_RE.search(dict_part) or b"/XRef" in dict_part:
-            continue  # object/xref containers carry no show-text operators
         try:
             data = decode_stream(dict_part, stream)
         except (ValueError, zlib.error):
             continue
-        if _CMAP_HINT in data:
-            continue  # ToUnicode CMap stream, not page content
+        if _OBJSTM_TYPE_RE.search(dict_part):
+            objstm_objs.extend(_expand_objstm_bytes(dict_part, data))
+            continue
+        if b"/XRef" in dict_part:
+            continue  # cross-reference stream: binary rows, no text
+        if _has_cmap_structure(data) and not _SHOW_RE.search(data):
+            parsed = _parse_cmap_bytes(data)
+            if parsed is not None:
+                cmaps.append(parsed)
+            continue
+        content.append(data)
+
+    parts: list[str] = []
+    for data in content:
         frags: list[str] = []
         for m in _SHOW_RE.finditer(data):
             if m.group(1) is not None:  # Tj / ' literal string
@@ -486,8 +543,7 @@ def extract_pdf_text(body: bytes) -> PdfDoc:
     # /Annots URI actions: raw objects first, then objects compressed into
     # object streams (both annot-first relative to visible-text URLs,
     # matching the reference's get_pdf_links union order)
-    uri_sources = [body] + [obj for _n, _i, obj in expand_object_streams(body)]
-    for src in uri_sources:
+    for src in [body] + [obj for _n, _i, obj in objstm_objs]:
         for m in _URI_RE.findall(src):
             uri = _unescape(m)
             if uri not in seen:

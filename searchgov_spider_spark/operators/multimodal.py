@@ -155,27 +155,33 @@ def png_decode_gray(payload: bytes) -> np.ndarray:
 
     if not payload.startswith(_PNG_SIG):
         raise ValueError("not a PNG")
-    pos = 8
-    width = height = None
-    idat = bytearray()
-    while pos + 8 <= len(payload):
-        (length,) = struct.unpack(">I", payload[pos : pos + 4])
-        ctype = payload[pos + 4 : pos + 8]
-        data = payload[pos + 8 : pos + 8 + length]
-        pos += 12 + length  # length + type + data + crc
-        if ctype == b"IHDR":
-            width, height, depth, color, _comp, _filt, interlace = struct.unpack(">IIBBBBB", data)
-            if depth != 8 or color != 0 or interlace != 0:
-                raise ValueError(
-                    f"unsupported PNG flavor (depth={depth} color={color} interlace={interlace})"
-                )
-        elif ctype == b"IDAT":
-            idat.extend(data)
-        elif ctype == b"IEND":
-            break
-    if width is None or not idat:
-        raise ValueError("malformed PNG (missing IHDR/IDAT)")
-    raw = apply_png_predictor(zlib.decompress(bytes(idat)), columns=width)
+    # truncated chunks (struct.error) and corrupt IDAT (zlib.error) are
+    # normalized to ValueError — the documented contract, so callers'
+    # damaged-download handling (null stats, not a failed Spark task) holds
+    try:
+        pos = 8
+        width = height = None
+        idat = bytearray()
+        while pos + 8 <= len(payload):
+            (length,) = struct.unpack(">I", payload[pos : pos + 4])
+            ctype = payload[pos + 4 : pos + 8]
+            data = payload[pos + 8 : pos + 8 + length]
+            pos += 12 + length  # length + type + data + crc
+            if ctype == b"IHDR":
+                width, height, depth, color, _comp, _filt, interlace = struct.unpack(">IIBBBBB", data)
+                if depth != 8 or color != 0 or interlace != 0:
+                    raise ValueError(
+                        f"unsupported PNG flavor (depth={depth} color={color} interlace={interlace})"
+                    )
+            elif ctype == b"IDAT":
+                idat.extend(data)
+            elif ctype == b"IEND":
+                break
+        if width is None or not idat:
+            raise ValueError("malformed PNG (missing IHDR/IDAT)")
+        raw = apply_png_predictor(zlib.decompress(bytes(idat)), columns=width)
+    except (struct.error, zlib.error) as exc:
+        raise ValueError(f"malformed PNG: {exc}") from exc
     if len(raw) < width * height:
         raise ValueError("truncated PNG pixel data")
     return np.frombuffer(raw[: width * height], dtype=np.uint8).reshape(height, width)

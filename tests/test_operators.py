@@ -130,6 +130,17 @@ class TestMultimodal:
         bad[25] = 2  # IHDR color type byte (sig 8 + len/type 8 + w/h 8 + depth 1) -> RGB
         with pytest.raises(ValueError, match="unsupported PNG flavor"):
             multimodal.png_decode_gray(bytes(bad))
+        # review finding: truncated chunks / corrupt IDAT must raise the
+        # documented ValueError (not struct.error / zlib.error), so the
+        # damaged-download path yields null stats instead of a failed task
+        good = multimodal.make_png(8, 8, b"x")
+        with pytest.raises(ValueError, match="malformed PNG"):
+            multimodal.png_decode_gray(good[:20])  # cut mid-IHDR
+        corrupt = bytearray(good)
+        idat_at = good.index(b"IDAT")
+        corrupt[idat_at + 4 : idat_at + 8] = b"\xde\xad\xbe\xef"
+        with pytest.raises(ValueError):
+            multimodal.png_decode_gray(bytes(corrupt))
 
     def test_real_png_features_distributed(self, spark):
         """fake_decode=False over a PNG-only table yields REAL pixel

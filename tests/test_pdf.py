@@ -243,6 +243,35 @@ class TestStreamFilters:
                b"BT [<4865> -300 <6C6C6F>] TJ ET\nendstream\nendobj\n%%EOF")
         assert pdfx.extract_pdf_text(raw).text == "He llo"
 
+    def test_malformed_cmap_degrades_never_crashes(self):
+        """Review findings: odd-length hex destinations and bfrange bases
+        walking past their byte width (sloppy real-world writers) must not
+        raise out of extract_pdf_text — one bad crawled PDF must not fail a
+        Spark task.  Well-formed entries in the same CMap still apply."""
+        bad_cmap = (
+            b"begincmap 1 begincodespacerange <0000> <FFFF> endcodespacerange "
+            b"2 beginbfchar <0041> <414> <0042> <0042> endbfchar "  # odd-length dst
+            b"1 beginbfrange <0050> <0060> <FF> endbfrange "  # 1-byte base overflows
+            b"endcmap"
+        )
+        pdf = (
+            b"%PDF-1.4\n5 0 obj\n<< /Length " + str(len(bad_cmap)).encode()
+            + b" >>\nstream\n" + bad_cmap + b"\nendstream\nendobj\n"
+            b"4 0 obj\n<< /Length 30 >>\nstream\nBT <0042> Tj (lit) Tj ET\nendstream\nendobj\n%%EOF"
+        )
+        doc = pdfx.extract_pdf_text(pdf)  # must not raise
+        assert "lit" in doc.text
+        assert "B" in doc.text  # the well-formed <0042> -> B mapping survived
+
+    def test_content_mentioning_begincmap_keeps_its_text(self):
+        """A page whose VISIBLE text mentions 'begincmap beginbfchar' (a PDF
+        about PDFs) must not be misclassified as a CMap stream and dropped —
+        classification requires structure AND no show-text operators."""
+        content = b"BT (How begincmap and beginbfchar sections work) Tj ET"
+        pdf = (b"%PDF-1.4\n4 0 obj\n<< /Length " + str(len(content)).encode()
+               + b" >>\nstream\n" + content + b"\nendstream\nendobj\n%%EOF")
+        assert pdfx.extract_pdf_text(pdf).text == "How begincmap and beginbfchar sections work"
+
     def test_cmap_composes_with_xref_and_object_streams(self):
         pdf = pdfx.make_simple_pdf(
             [], hex_text_lines=["Xref hex body."], info={"Title": "HX"},
