@@ -19,6 +19,10 @@ Env knobs:
   BENCH_SKIP_SCALING    set to skip the 2-vs-8 scaling runs (fast iteration)
   BENCH_CRAWL_PAGES     override headline synthetic web size
   BENCH_SCALING_PAGES   override scaling web size (default 1,000,000)
+  BENCH_LOAD_SLACK      external-load headroom for the gate (default 4.0)
+  BENCH_LOAD_MAX_WAIT   max seconds to wait for a quiet window (default 150)
+  BENCH_LOAD_ATTEMPTS   max runs per gated phase incl. retries (default 2)
+  BENCH_LOAD_GATE       set to 0 to disable the load gate entirely
 """
 
 from __future__ import annotations
@@ -37,6 +41,19 @@ from searchgov_spider_spark.synth import webgen  # noqa: E402
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+# ---- host-load gate (VERDICT r4 #1) -----------------------------------------
+# This box runs processes outside the sandbox's control; 1-min load bursts of
+# 10-17 have crushed the pinned low-core scaling phases in two driver-recorded
+# rounds (the ratio degrades, not just the absolutes, because external load
+# hits the small-pinned run hardest).  The gate makes the bench defend itself:
+# wait (bounded) for a quiet window before each gated phase, sample the load
+# DURING the run, and retry once if the during-run load shows a burst.  Every
+# attempt — accepted or not — is declared in the artifact.
+LOAD_SLACK = float(os.environ.get("BENCH_LOAD_SLACK", "4.0"))
+LOAD_MAX_WAIT = float(os.environ.get("BENCH_LOAD_MAX_WAIT", "150"))
+LOAD_ATTEMPTS = max(1, int(os.environ.get("BENCH_LOAD_ATTEMPTS", "2")))
+LOAD_GATE_ON = os.environ.get("BENCH_LOAD_GATE", "1") != "0"
 
 BENCH_QUERIES = [
     "q01_pricing_summary",
@@ -355,20 +372,99 @@ def _run_phase(args: list[str], pin_cores: int | None = None) -> dict:
     if pin_cores and _shutil.which("taskset") and pin_cores < (os.cpu_count() or pin_cores):
         cmd = ["taskset", "-c", f"0-{pin_cores - 1}", *cmd]
     load_before = os.getloadavg()[0]
-    out = subprocess.run(
-        cmd,
-        stdout=subprocess.PIPE,
-        stderr=sys.stderr,
-        check=True,
-        text=True,
-    )
-    result = json.loads(out.stdout.strip().splitlines()[-1])
+    # sample the 1-min load every 2 s WHILE the phase runs: the during-run
+    # profile (not just the before/after endpoints) is what distinguishes an
+    # external burst from our own pinned work — a phase pinned to N cores
+    # whose mean load is far above N + its own runnable threads was sharing
+    # the machine, and the gate below retries it.
+    proc = subprocess.Popen(cmd, stdout=subprocess.PIPE, stderr=sys.stderr, text=True)
+    samples: list[float] = []
+    while proc.poll() is None:
+        samples.append(os.getloadavg()[0])
+        time.sleep(2.0)
+    out, _ = proc.communicate()
+    if proc.returncode != 0:
+        raise RuntimeError(f"bench phase {args} exited {proc.returncode}")
+    result = json.loads(out.strip().splitlines()[-1])
     # external-host-load evidence: this box runs processes outside the
     # sandbox's control and wall times drift 20-70% under their load —
     # recording the 1-min load around each phase makes any weak sample
     # self-evidencing (see BENCH.md variance notes)
     result["host_load_1m"] = {"before": round(load_before, 2), "after": round(os.getloadavg()[0], 2)}
+    if samples:
+        result["host_load_during"] = {
+            "mean": round(sum(samples) / len(samples), 2),
+            "max": round(max(samples), 2),
+            "n": len(samples),
+        }
     return result
+
+
+def _wait_for_quiet(threshold: float, max_wait_s: float = LOAD_MAX_WAIT) -> dict:
+    """Poll the 1-min load until it decays below ``threshold`` or the wait
+    budget runs out (the 1-min EMA has a ~60 s time constant, so 150 s is
+    enough to shed both our previous phase's load and a short external
+    burst).  Returns a declaration of what happened for the artifact."""
+    t0 = time.monotonic()
+    first = os.getloadavg()[0]
+    load = first
+    while load > threshold and time.monotonic() - t0 < max_wait_s:
+        time.sleep(5.0)
+        load = os.getloadavg()[0]
+    return {
+        "threshold": round(threshold, 2),
+        "load_start": round(first, 2),
+        "load_end": round(load, 2),
+        "waited_s": round(time.monotonic() - t0, 1),
+        "quiet": load <= threshold,
+    }
+
+
+def _run_phase_gated(args: list[str], pin_cores: int | None, own_cores: int | None = None) -> dict:
+    """Load-defended phase runner (VERDICT r4 #1): wait for a quiet window,
+    run the phase while sampling host load, and retry (bounded) if the
+    during-run mean load exceeds what the phase itself can generate plus
+    BENCH_LOAD_SLACK.  Acceptance is on LOAD only — never on the measured
+    throughput — so retries cannot tune the protocol toward a number; a
+    clean first run costs nothing.  All attempts are declared under
+    ``load_gate`` in the kept result."""
+    if not LOAD_GATE_ON:
+        return _run_phase(args, pin_cores=pin_cores)
+    own = own_cores if own_cores is not None else (pin_cores or CPUS)
+    # a pinned phase's own runnable threads can push loadavg somewhat above
+    # its pin count (GC/compiler threads queue on the pinned cores), so the
+    # acceptance threshold is own-cores + slack; the pre-wait threshold is
+    # slack alone because nothing of ours should be running yet.
+    accept_threshold = own + LOAD_SLACK
+    attempts: list[dict] = []
+    best: dict | None = None
+    best_mean = float("inf")
+    for i in range(LOAD_ATTEMPTS):
+        wait = _wait_for_quiet(LOAD_SLACK)
+        result = _run_phase(args, pin_cores=pin_cores)
+        during = result.get("host_load_during", {})
+        mean = during.get("mean", 0.0)
+        accepted = mean <= accept_threshold
+        attempts.append({
+            "attempt": i + 1,
+            "pre_wait": wait,
+            "load_during": during,
+            "accepted": accepted,
+            "wall_s": result.get("wall_s"),
+        })
+        if mean < best_mean:
+            best, best_mean = result, mean
+        if accepted:
+            break
+    assert best is not None
+    best["load_gate"] = {
+        "accept_threshold": round(accept_threshold, 2),
+        "slack": LOAD_SLACK,
+        "attempts": attempts,
+        "accepted": attempts[-1]["accepted"],
+        "kept": "first accepted attempt" if attempts[-1]["accepted"] else "lowest-load attempt",
+    }
+    return best
 
 
 def main() -> None:
@@ -377,10 +473,14 @@ def main() -> None:
     n_hosts = webgen.SF_HOSTS.get(sf, max(20, int(2_000 * sf)))
 
     total_t0 = time.monotonic()
-    qres = _run_phase(["--phase", "queries"])
+    qres = _run_phase_gated(["--phase", "queries"], pin_cores=None, own_cores=CPUS)
     queries = qres["timings"]
 
-    high = _run_phase(["--phase", "crawl", "--cores", str(CPUS), "--pages", str(n_pages), "--hosts", str(n_hosts)])
+    high = _run_phase_gated(
+        ["--phase", "crawl", "--cores", str(CPUS), "--pages", str(n_pages), "--hosts", str(n_hosts)],
+        pin_cores=None,
+        own_cores=CPUS,
+    )
     queries["crawl_sf_web"] = high["wall_s"]
 
     extras = {
@@ -405,12 +505,12 @@ def main() -> None:
         scale_hosts = 200
         seed_rounds = int(os.environ.get("BENCH_SEED_ROUNDS", "3"))
         lo_cores, hi_cores = 2, 8
-        hi = _run_phase(
+        hi = _run_phase_gated(
             ["--phase", "crawl", "--cores", str(hi_cores), "--pages", str(scale_pages),
              "--hosts", str(scale_hosts), "--seed-rounds", str(seed_rounds)],
             pin_cores=hi_cores,
         )
-        lo = _run_phase(
+        lo = _run_phase_gated(
             ["--phase", "crawl", "--cores", str(lo_cores), "--pages", str(scale_pages),
              "--hosts", str(scale_hosts), "--seed-rounds", str(seed_rounds)],
             pin_cores=lo_cores,
@@ -429,8 +529,8 @@ def main() -> None:
         extras["crawl"][f"scaling_local{hi_cores}"] = hi
         # stateful-streaming politeness operator at both core counts
         # (VERDICT r3 item 8): rows/s through applyInPandasWithState
-        st_hi = _run_phase(["--phase", "stateful", "--cores", str(hi_cores)], pin_cores=hi_cores)
-        st_lo = _run_phase(["--phase", "stateful", "--cores", str(lo_cores)], pin_cores=lo_cores)
+        st_hi = _run_phase_gated(["--phase", "stateful", "--cores", str(hi_cores)], pin_cores=hi_cores)
+        st_lo = _run_phase_gated(["--phase", "stateful", "--cores", str(lo_cores)], pin_cores=lo_cores)
         st_eff = (st_hi["rows_per_sec"] / st_lo["rows_per_sec"]) / ratio if st_lo["rows_per_sec"] else 0.0
         st_wq_eff = (
             (st_hi["whole_query_rows_per_sec"] / st_lo["whole_query_rows_per_sec"]) / ratio
@@ -459,8 +559,13 @@ def main() -> None:
                 "declared per-run (tail_rounds_unbilled/tail_selected/tail_wall_s) "
                 "— identical deterministic work at both core counts"
             ),
-            "urls_per_sec_low": lo["billed_urls_per_sec"],
-            "urls_per_sec_high": hi["billed_urls_per_sec"],
+            # raw whole-window rates under the round-1/2 key names (ADVICE r4:
+            # reusing them for the billed rate silently changed metric
+            # semantics across rounds); the billed rate has its own keys.
+            "urls_per_sec_low": lo["urls_per_sec"],
+            "urls_per_sec_high": hi["urls_per_sec"],
+            "billed_urls_per_sec_low": lo["billed_urls_per_sec"],
+            "billed_urls_per_sec_high": hi["billed_urls_per_sec"],
             "efficiency": round(deep_eff, 3),
             "efficiency_basis": "deep rounds of the measured window",
             "whole_crawl_efficiency": round(billed_eff, 3),
@@ -504,8 +609,22 @@ def main() -> None:
             for k in (
                 "low_cores", "high_cores", "pages", "cpu_pinned", "seed_rounds_unbilled",
                 "urls_per_sec_low", "urls_per_sec_high",
+                "billed_urls_per_sec_low", "billed_urls_per_sec_high",
                 "efficiency", "whole_crawl_efficiency", "all_rounds_efficiency",
                 "tail_rounds_unbilled_low", "tail_rounds_unbilled_high",
+            )
+        }
+        # one-glance load-gate evidence for the compact artifact: per gated
+        # phase, was the kept run load-clean and how many attempts it took
+        line["load_gate"] = {
+            name: {
+                "accepted": res.get("load_gate", {}).get("accepted"),
+                "attempts": len(res.get("load_gate", {}).get("attempts", [])),
+                "load_during_mean": res.get("host_load_during", {}).get("mean"),
+            }
+            for name, res in (
+                ("crawl_headline", high), ("scaling_low", lo), ("scaling_high", hi),
+                ("stateful_low", st_lo), ("stateful_high", st_hi),
             )
         }
     full_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_full.json")
