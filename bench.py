@@ -350,6 +350,106 @@ def stateful_bench(cores: int, rows: int = 2_000_000, hosts: int = 20_000) -> di
         spark.stop()
 
 
+def seenjoin_bench(
+    cores: int,
+    cand: int = 100_000,
+    repeats: int = 3,
+    sizes: tuple[int, ...] = (500_000, 2_000_000, 8_000_000),
+) -> dict:
+    """Bucketed vs plain seen-side anti-join at the 10^10 shape (VERDICT r4
+    #3): a pre-compacted multi-million-row seen set against a small
+    candidate batch — the steady-state frontier dedup once a long crawl's
+    visited set dwarfs each round's discoveries.
+
+    Controlled A/B: ``compact_seen`` writes the bucketed layout, and the
+    PLAIN side reads the *same files* as ordinary parquet (bucketed files
+    are plain parquet), so both plans consume identical bytes — the only
+    difference is Exchange+hash-join (plain re-shuffles the seen side every
+    round) vs exchange-free bucketed SMJ (only the candidate slice sorts).
+    The derived crossover (smallest seen size where bucketed wins) is what
+    CrawlEngine's ``bucketed_min_seen`` default encodes."""
+    from pyspark.sql import functions as F
+
+    from searchgov_spider_spark.crawl.frontier import dedup_against_seen
+    from searchgov_spider_spark.storage.tables import CheckpointStore
+
+    spark = build_session(
+        app_name=f"bench-seenjoin-{cores}",
+        master=f"local[{cores}]",
+        shuffle_partitions=2 * cores,
+    )
+    out: dict = {"cores": cores, "cand_rows": cand, "repeats": repeats, "points": []}
+    try:
+        far = 10 * max(sizes)
+        for S in sizes:
+            ckpt = tempfile.mkdtemp(prefix=f"bench_seenjoin_{S}_")
+            store = CheckpointStore(ckpt)
+            (
+                spark.range(S)
+                .selectExpr(
+                    "concat('https://h', id % 1000, '.example.gov/p/', id) as url_canon",
+                    "0 as depth",
+                    "id as seq",
+                )
+                .withColumn("url_hash", F.xxhash64("url_canon"))
+                .select("url_hash", "url_canon", "depth", "seq")
+                .write.mode("overwrite")
+                .parquet(store.seed_seen_dir())
+            )
+            store.compact_seen(spark, upto_round=-1)  # unbilled: one-time maintenance
+            bucketed = store.read_seen_bucketed(spark)
+            plain = spark.read.parquet(store.seed_seen_dir()).select(
+                "url_hash", "url_canon", "depth", "seq"
+            )
+            # candidate batch: half already-seen (pruned), half genuinely new
+            cand_df = (
+                spark.range(cand)
+                .selectExpr(
+                    "concat('https://h', id % 1000, '.example.gov/p/', "
+                    f"CASE WHEN id % 2 = 0 THEN id ELSE id + {far} END) as url_canon",
+                    "0 as depth",
+                    "0 as seq",
+                )
+                .withColumn("url_hash", F.xxhash64("url_canon"))
+                .persist()
+            )
+            cand_df.count()
+
+            def one(use_bucketed: bool) -> tuple[float, int]:
+                t0 = time.monotonic()
+                n = dedup_against_seen(
+                    spark,
+                    cand_df,
+                    seen=None if use_bucketed else plain,
+                    bloom=None,
+                    seen_bucketed=bucketed if use_bucketed else None,
+                ).count()
+                return time.monotonic() - t0, n
+
+            point: dict = {"seen_rows": S}
+            for label, flag in (("bucketed", True), ("plain", False)):
+                one(flag)  # warm-up, unbilled
+                walls, ns = [], set()
+                for _ in range(repeats):
+                    w, n = one(flag)
+                    walls.append(round(w, 3))
+                    ns.add(n)
+                point[label] = {"median_s": sorted(walls)[len(walls) // 2], "runs": walls}
+                point[f"{label}_rows"] = sorted(ns)
+            assert point["bucketed_rows"] == point["plain_rows"], "layouts must agree on the result"
+            point["rows_out"] = point.pop("bucketed_rows")[0]
+            point.pop("plain_rows")
+            point["bucketed_wins"] = point["bucketed"]["median_s"] < point["plain"]["median_s"]
+            out["points"].append(point)
+            cand_df.unpersist()
+            shutil.rmtree(ckpt, ignore_errors=True)
+        winners = [p["seen_rows"] for p in out["points"] if p["bucketed_wins"]]
+        out["crossover_seen_rows"] = min(winners) if winners else None
+    finally:
+        spark.stop()
+    return out
+
+
 def _run_phase(args: list[str], pin_cores: int | None = None) -> dict:
     """Run one bench phase in a FRESH python subprocess (one SparkContext per
     process).  Sequential stop/start of SparkContexts inside one process
@@ -531,6 +631,11 @@ def main() -> None:
         # (VERDICT r3 item 8): rows/s through applyInPandasWithState
         st_hi = _run_phase_gated(["--phase", "stateful", "--cores", str(hi_cores)], pin_cores=hi_cores)
         st_lo = _run_phase_gated(["--phase", "stateful", "--cores", str(lo_cores)], pin_cores=lo_cores)
+        # bucketed-vs-plain seen anti-join at the 10^10 shape (VERDICT r4 #3):
+        # where does the exchange-free bucketed path start to win, and by how
+        # much where it matters
+        sj = _run_phase_gated(["--phase", "seenjoin", "--cores", str(hi_cores)], pin_cores=hi_cores)
+        extras["seenjoin"] = sj
         st_eff = (st_hi["rows_per_sec"] / st_lo["rows_per_sec"]) / ratio if st_lo["rows_per_sec"] else 0.0
         st_wq_eff = (
             (st_hi["whole_query_rows_per_sec"] / st_lo["whole_query_rows_per_sec"]) / ratio
@@ -601,6 +706,18 @@ def main() -> None:
             "high": extras["stateful"]["high"]["rows_per_sec"],
             "efficiency": extras["stateful"]["efficiency"],
         }
+    if "seenjoin" in extras:
+        line["seenjoin"] = {
+            "crossover_seen_rows": extras["seenjoin"].get("crossover_seen_rows"),
+            "points": [
+                {
+                    "seen_rows": p["seen_rows"],
+                    "bucketed_s": p["bucketed"]["median_s"],
+                    "plain_s": p["plain"]["median_s"],
+                }
+                for p in extras["seenjoin"]["points"]
+            ],
+        }
     if "scaling" in extras:
         s = extras["scaling"]
         # numbers only — the basis/protocol prose is in BENCH_full.json
@@ -642,6 +759,8 @@ if __name__ == "__main__":
 
         if phase == "queries":
             print(json.dumps(query_bench()))
+        elif phase == "seenjoin":
+            print(json.dumps(seenjoin_bench(_arg("--cores", 8), cand=_arg("--cand", 100_000))))
         elif phase == "stateful":
             print(json.dumps(stateful_bench(_arg("--cores", CPUS), _arg("--rows", 2_000_000), _arg("--hosts", 20_000))))
         elif phase == "crawl":

@@ -89,6 +89,7 @@ class CrawlEngine:
         bloom_min_seen: int = 500_000,
         fetch_partitions: int | None = None,
         hot_host_threshold: int = 200_000,
+        bucketed_min_seen: int = 4_000_000,
     ):
         self.spark = spark
         self.policy = policy
@@ -100,6 +101,18 @@ class CrawlEngine:
         self.bloom_min_seen = bloom_min_seen
         self._bloom_built = False
         self._seen_bucketed = None  # set per run() from the checkpoint layout
+        # Crossover for consuming a compacted seen set via the bucketed scan
+        # vs. as plain parquet: below ~4M rows the plain side fits Spark's
+        # broadcast/cheap-shuffle regime (autoBroadcastJoinThreshold=64m) and
+        # the bucketed SMJ's per-round candidate sort costs more than the
+        # shuffle it avoids; above it the plain path re-shuffles the whole
+        # seen set every round while the bucketed scan is exchange-free.
+        # Measured on this box (bench.py --phase seenjoin, local[8], 100k
+        # candidates): 2M seen -> bucketed 2.2 s vs plain 1.9 s; 4M -> 0.60
+        # vs 0.92; 8M -> 0.72 vs 1.11.  At the 10^10 design point the
+        # bucketed path is always on; the threshold only protects small
+        # crawls from paying SMJ overhead they don't need.
+        self.bucketed_min_seen = bucketed_min_seen
         self.hot_host_threshold = hot_host_threshold
         self.fetch_partitions = fetch_partitions or max(32, spark.sparkContext.defaultParallelism)
         self.robots = robots.persist() if robots is not None else None
@@ -419,8 +432,16 @@ class CrawlEngine:
             # compacted seen set (if compaction ran) is a BUCKETED scan the
             # anti-join reads exchange-free; only post-compaction deltas
             # union (and persist) here.  STATIC for the whole run —
-            # compaction is maintenance between runs.
-            self._seen_bucketed = self.store.read_seen_bucketed(spark)
+            # compaction is maintenance between runs.  Size-gated: below
+            # bucketed_min_seen the compacted files are consumed as plain
+            # parquet instead (read_seen includes the seed dir), letting the
+            # optimizer broadcast/hash-join the small seen side — see the
+            # crossover note in __init__.
+            info = self.store.bucketed_seen_info()
+            use_bucketed = info is not None and (
+                info.get("rows", self.bucketed_min_seen) >= self.bucketed_min_seen
+            )
+            self._seen_bucketed = self.store.read_seen_bucketed(spark) if use_bucketed else None
             deltas = self.store.read_seen(
                 spark, last, exclude_compacted=self._seen_bucketed is not None
             )

@@ -233,6 +233,18 @@ class CheckpointStore:
 
         return "seen_bucketed_" + hashlib.md5(os.path.abspath(self.root).encode()).hexdigest()[:10]
 
+    def bucketed_seen_info(self) -> dict | None:
+        """The ``_BUCKETS`` marker of the compacted seen set (buckets,
+        bucket_cols, rows) or None before the first compaction.  ``rows``
+        lets the engine apply its size-based crossover WITHOUT scanning the
+        table (markers written before the field existed omit it and are
+        treated as large)."""
+        marker = os.path.join(self.seed_seen_dir(), self.BUCKET_MARKER)
+        if not os.path.exists(marker):
+            return None
+        with open(marker) as f:
+            return json.load(f)
+
     def read_seen_bucketed(self, spark: SparkSession) -> DataFrame | None:
         """The compacted seen set as a BUCKETED table scan, or None before
         the first compaction.
@@ -253,11 +265,9 @@ class CheckpointStore:
         DROP+CREATE per call keeps the catalog entry and its file-listing
         cache in sync with the directory contents after compaction swaps.
         """
-        marker = os.path.join(self.seed_seen_dir(), self.BUCKET_MARKER)
-        if not os.path.exists(marker):
+        info = self.bucketed_seen_info()
+        if info is None:
             return None
-        with open(marker) as f:
-            info = json.load(f)
         keys = ", ".join(info["bucket_cols"])
         tbl = self._bucketed_table_name()
         loc = os.path.abspath(self.seed_seen_dir())
@@ -312,8 +322,12 @@ class CheckpointStore:
             .saveAsTable(tmp_tbl)
         )
         spark.sql(f"DROP TABLE IF EXISTS {tmp_tbl}")  # external table: files remain
+        # footer-only count (parquet row-group metadata): recorded in the
+        # marker so the engine's bucketed-vs-plain crossover check never has
+        # to scan the table
+        rows = spark.read.parquet(tmp).count()
         with open(os.path.join(tmp, self.BUCKET_MARKER), "w") as f:
-            json.dump({"buckets": buckets, "bucket_cols": ["url_hash", "url_canon"]}, f)
+            json.dump({"buckets": buckets, "bucket_cols": ["url_hash", "url_canon"], "rows": rows}, f)
         old_seed = self.seed_seen_dir() + ".old"
         shutil.rmtree(old_seed, ignore_errors=True)
         if os.path.isdir(self.seed_seen_dir()):

@@ -109,6 +109,42 @@ def test_compacted_seen_bucketed_anti_join_no_seen_exchange(spark, tmp_path):
     assert {r["url_canon"] for r in again.collect()} == plain_urls
 
 
+def test_bucketed_crossover_rule(spark, tmp_path):
+    """Size-based bucketed-vs-plain choice (bench.py --phase seenjoin):
+    a compacted seen set below ``bucketed_min_seen`` is consumed as plain
+    parquet (optimizer broadcasts/hash-joins the small side), above it via
+    the exchange-free bucketed scan — and the visited set is identical
+    either way.  The marker's row count is what the rule consumes, so no
+    scan happens at decision time."""
+    import shutil
+
+    engine, partial, policy = _run_partial(spark, tmp_path, max_rounds=3)
+    store = engine.store
+    last = store.last_committed()
+    store.compact_seen(spark, last)
+    info = store.bucketed_seen_info()
+    assert info["rows"] == store.read_seen(spark, last).count()
+    # identical checkpoint for the second engine (resume mutates state)
+    ckpt2 = str(tmp_path / "ckpt2")
+    shutil.copytree(str(tmp_path / "ckpt"), ckpt2)
+
+    # default threshold: this toy seen set sits far below the crossover
+    resumed = engine.run([webgen.page_url(0, 0)], max_rounds=64, resume=True)
+    assert engine._seen_bucketed is None, "below-crossover compacted set must use the plain path"
+    plain_urls = [r["url_canon"] for r in resumed.seen(spark).orderBy("seq").collect()]
+
+    pages = spark.createDataFrame(webgen.pages_pandas(N_PAGES, N_HOSTS), schema=PAGES_SCHEMA)
+    robots = spark.createDataFrame(webgen.robots_pandas(N_HOSTS))
+    forced = CrawlEngine(
+        spark, pages, robots, policy, ckpt2,
+        bloom_shards=4, bloom_bits=1 << 14, bucketed_min_seen=0,
+    )
+    resumed2 = forced.run([webgen.page_url(0, 0)], max_rounds=64, resume=True)
+    assert forced._seen_bucketed is not None, "threshold 0 must force the bucketed scan"
+    bucketed_urls = [r["url_canon"] for r in resumed2.seen(spark).orderBy("seq").collect()]
+    assert bucketed_urls == plain_urls
+
+
 def test_expire_rounds_keeps_resume_state(spark, tmp_path):
     engine, run, _ = _run_partial(spark, tmp_path, max_rounds=64)
     store = engine.store
