@@ -90,6 +90,7 @@ class CrawlEngine:
         fetch_partitions: int | None = None,
         hot_host_threshold: int = 200_000,
         bucketed_min_seen: int = 4_000_000,
+        auto_compact_deltas: int | None = 64,
     ):
         self.spark = spark
         self.policy = policy
@@ -113,6 +114,15 @@ class CrawlEngine:
         # bucketed path is always on; the threshold only protects small
         # crawls from paying SMJ overhead they don't need.
         self.bucketed_min_seen = bucketed_min_seen
+        # Auto-compaction (T2): once this many seen-delta directories have
+        # accumulated since the last compaction, the engine compacts them
+        # into the bucketed seed table between rounds (the maintenance
+        # window).  Bounds small-file growth over unbounded crawls — at one
+        # delta dir per round a month-long crawl would otherwise union
+        # thousands of parquet paths into every dedup anti-join.  None
+        # disables (compaction stays manual, as before round 5).
+        self.auto_compact_deltas = auto_compact_deltas
+        self.compactions: list[dict] = []
         self.hot_host_threshold = hot_host_threshold
         self.fetch_partitions = fetch_partitions or max(32, spark.sparkContext.defaultParallelism)
         self.robots = robots.persist() if robots is not None else None
@@ -471,5 +481,48 @@ class CrawlEngine:
             run.rounds = rnd + 1
             if metrics["stop"]:
                 break
+            seen = self._maybe_auto_compact(rnd, seen)
             frontier = self.store.read_table(spark, rnd, "frontier")
         return run
+
+    def _maybe_auto_compact(self, rnd: int, seen: DataFrame) -> DataFrame:
+        """Maintenance window between rounds: compact accumulated seen
+        deltas into the bucketed seed table once ``auto_compact_deltas``
+        directories are pending, then re-derive the round-loop seen view
+        (bucketed scan vs plain, per the ``bucketed_min_seen`` crossover).
+
+        Runs strictly AFTER ``commit_round`` — compaction only merges
+        committed deltas, and a crash mid-compaction leaves a readable
+        (possibly duplicated) seen set that resume tolerates
+        (``compact_seen``'s atomic-swap ordering).  The Bloom filter is
+        membership-based, so it stays valid across the rewrite.
+        """
+        if self.auto_compact_deltas is None:
+            return seen
+        pending = len(self.store._seen_paths(rnd, include_seed=False))
+        if pending < self.auto_compact_deltas:
+            return seen
+        t0 = time.monotonic()
+        removed = self.store.compact_seen(self.spark, rnd)
+        info = self.store.bucketed_seen_info()
+        use_bucketed = info is not None and (
+            info.get("rows", self.bucketed_min_seen) >= self.bucketed_min_seen
+        )
+        self._seen_bucketed = self.store.read_seen_bucketed(self.spark) if use_bucketed else None
+        # the old persisted view references delta files compaction just
+        # removed — rebuild it from the new layout before anything re-reads
+        seen.unpersist()
+        deltas = self.store.read_seen(
+            self.spark, rnd, exclude_compacted=self._seen_bucketed is not None
+        )
+        new_seen = (deltas if deltas is not None else self._seen_bucketed.limit(0)).persist()
+        self.compactions.append(
+            {
+                "round": rnd,
+                "deltas_merged": removed,
+                "rows": info.get("rows") if info else None,
+                "bucketed_in_use": self._seen_bucketed is not None,
+                "wall_s": round(time.monotonic() - t0, 3),
+            }
+        )
+        return new_seen

@@ -145,6 +145,37 @@ def test_bucketed_crossover_rule(spark, tmp_path):
     assert bucketed_urls == plain_urls
 
 
+def test_auto_compaction_fires_mid_crawl_and_preserves_visited_set(spark, tmp_path):
+    """T2 auto-compaction policy: with the delta threshold lowered, the
+    engine compacts accumulated seen deltas in the maintenance window
+    BETWEEN rounds of one long crawl, and the final visited set and BFS
+    order still match the pure-Python reference exactly."""
+    pages = spark.createDataFrame(webgen.pages_pandas(N_PAGES, N_HOSTS), schema=PAGES_SCHEMA)
+    robots = spark.createDataFrame(webgen.robots_pandas(N_HOSTS))
+    policy = CrawlPolicy(allowed_domains=[webgen.host_name(0)], depth_limit=20)
+    engine = CrawlEngine(
+        spark, pages, robots, policy, str(tmp_path / "ckpt"),
+        bloom_shards=4, bloom_bits=1 << 14, auto_compact_deltas=3,
+    )
+    run = engine.run([webgen.page_url(0, 0)], max_rounds=64)
+    assert engine.compactions, "threshold 3 must trigger at least one compaction"
+    assert engine.compactions[0]["round"] < run.rounds - 1, "must fire MID-crawl, not at the end"
+    assert all(c["deltas_merged"] > 0 for c in engine.compactions)
+
+    pages_dict = {
+        webgen.page_url(h, k): webgen.build_page(h, k, p, N_HOSTS)["html"]
+        for h, k, p in webgen.page_index(N_PAGES, N_HOSTS)
+    }
+    from searchgov_spider_spark.kernels.urlnorm import canonicalize_url
+
+    pages_dict = {canonicalize_url(u): b for u, b in pages_dict.items()}
+    robots_dict = {webgen.host_name(h): webgen.robots_text(h, N_HOSTS) for h in range(N_HOSTS)}
+    oracle = reference_crawl(pages_dict, robots_dict, [webgen.page_url(0, 0)], policy)
+    seen = run.seen(spark)
+    assert {r["url_canon"] for r in seen.collect()} == set(oracle.depth)
+    assert [r["url_canon"] for r in seen.orderBy("seq").collect()] == oracle.order
+
+
 def test_expire_rounds_keeps_resume_state(spark, tmp_path):
     engine, run, _ = _run_partial(spark, tmp_path, max_rounds=64)
     store = engine.store
