@@ -30,11 +30,13 @@ from dataclasses import dataclass, field
 _STREAM_RE = re.compile(rb"<<(.*?)>>\s*stream\r?\n(.*?)\r?\nendstream", re.DOTALL)
 # one-pass show-text scan preserving operator ORDER: group 1 = Tj / '
 # literal, group 2 = TJ array body (strings + kern numbers), group 3 =
-# hex show string (composite-font codes, decoded via ToUnicode CMaps)
+# hex show string (composite-font codes, decoded via ToUnicode CMaps),
+# group 4 = Tf font selection (drives per-font decode state)
 _SHOW_RE = re.compile(
     rb"\(((?:[^()\\]|\\.)*)\)\s*(?:Tj|')"
     rb"|\[((?:\((?:[^()\\]|\\.)*\)|[^\[\]()])*)\]\s*TJ"
     rb"|<([0-9A-Fa-f\s]+)>\s*(?:Tj|')"
+    rb"|/(\w+)\s+[\d.]+\s+Tf"
 )
 _ARRAY_TOK_RE = re.compile(
     rb"\(((?:[^()\\]|\\.)*)\)|<([0-9A-Fa-f\s]*)>|(-?\d+(?:\.\d+)?)"
@@ -51,11 +53,14 @@ KERN_SPACE_THRESHOLD = -180.0
 _ESCAPES = {b"\\n": b"\n", b"\\r": b"\r", b"\\t": b"\t", b"\\(": b"(", b"\\)": b")", b"\\\\": b"\\"}
 
 
-def _unescape(raw: bytes) -> str:
+def _unescape_bytes(raw: bytes) -> bytes:
     for esc, repl in _ESCAPES.items():
         raw = raw.replace(esc, repl)
-    raw = re.sub(rb"\\([0-7]{1,3})", lambda m: bytes([int(m.group(1), 8) & 0xFF]), raw)
-    return raw.decode("latin-1")
+    return re.sub(rb"\\([0-7]{1,3})", lambda m: bytes([int(m.group(1), 8) & 0xFF]), raw)
+
+
+def _unescape(raw: bytes) -> str:
+    return _unescape_bytes(raw).decode("latin-1")
 
 
 # -- stream filters (PDF 32000-1:2008 §7.4) -----------------------------------
@@ -309,6 +314,244 @@ class PdfDoc:
     n_streams: int = 0
 
 
+# -- simple-font encodings (PDF §9.6.6: /Encoding dicts with /Differences) ---
+#
+# A subset font's /Differences array remaps byte codes to glyph NAMES; naive
+# latin-1 decoding of its show-strings produces garbage (the most common
+# remaining real-corpus text defect after round 4 — reference breadth via
+# pypdf, indexing/parse.py:113-252).  Glyph names resolve through a compact
+# Adobe-Glyph-List subset plus the uniXXXX/uXXXX conventions.
+
+_GLYPH_NAMES: dict[str, str] = {
+    # ASCII punctuation / digits (AGL names)
+    "space": " ", "exclam": "!", "quotedbl": '"', "numbersign": "#", "dollar": "$",
+    "percent": "%", "ampersand": "&", "quotesingle": "'", "parenleft": "(",
+    "parenright": ")", "asterisk": "*", "plus": "+", "comma": ",", "hyphen": "-",
+    "period": ".", "slash": "/", "zero": "0", "one": "1", "two": "2", "three": "3",
+    "four": "4", "five": "5", "six": "6", "seven": "7", "eight": "8", "nine": "9",
+    "colon": ":", "semicolon": ";", "less": "<", "equal": "=", "greater": ">",
+    "question": "?", "at": "@", "bracketleft": "[", "backslash": "\\",
+    "bracketright": "]", "asciicircum": "^", "underscore": "_", "grave": "`",
+    "braceleft": "{", "bar": "|", "braceright": "}", "asciitilde": "~",
+    # common Latin-1 / WinAnsi names
+    "exclamdown": "¡", "cent": "¢", "sterling": "£",
+    "currency": "¤", "yen": "¥", "section": "§",
+    "copyright": "©", "ordfeminine": "ª", "guillemotleft": "«",
+    "registered": "®", "degree": "°", "plusminus": "±",
+    "paragraph": "¶", "periodcentered": "·", "ordmasculine": "º",
+    "guillemotright": "»", "questiondown": "¿",
+    "Agrave": "À", "Aacute": "Á", "Acircumflex": "Â",
+    "Atilde": "Ã", "Adieresis": "Ä", "Aring": "Å", "AE": "Æ",
+    "Ccedilla": "Ç", "Egrave": "È", "Eacute": "É",
+    "Ecircumflex": "Ê", "Edieresis": "Ë", "Igrave": "Ì",
+    "Iacute": "Í", "Icircumflex": "Î", "Idieresis": "Ï",
+    "Eth": "Ð", "Ntilde": "Ñ", "Ograve": "Ò", "Oacute": "Ó",
+    "Ocircumflex": "Ô", "Otilde": "Õ", "Odieresis": "Ö",
+    "multiply": "×", "Oslash": "Ø", "Ugrave": "Ù",
+    "Uacute": "Ú", "Ucircumflex": "Û", "Udieresis": "Ü",
+    "Yacute": "Ý", "Thorn": "Þ", "germandbls": "ß",
+    "agrave": "à", "aacute": "á", "acircumflex": "â",
+    "atilde": "ã", "adieresis": "ä", "aring": "å", "ae": "æ",
+    "ccedilla": "ç", "egrave": "è", "eacute": "é",
+    "ecircumflex": "ê", "edieresis": "ë", "igrave": "ì",
+    "iacute": "í", "icircumflex": "î", "idieresis": "ï",
+    "eth": "ð", "ntilde": "ñ", "ograve": "ò", "oacute": "ó",
+    "ocircumflex": "ô", "otilde": "õ", "odieresis": "ö",
+    "divide": "÷", "oslash": "ø", "ugrave": "ù", "uacute": "ú",
+    "ucircumflex": "û", "udieresis": "ü", "yacute": "ý",
+    "thorn": "þ", "ydieresis": "ÿ",
+    # WinAnsi 0x80-0x9F specials
+    "Euro": "€", "quotesinglbase": "‚", "florin": "ƒ",
+    "quotedblbase": "„", "ellipsis": "…", "dagger": "†",
+    "daggerdbl": "‡", "circumflex": "ˆ", "perthousand": "‰",
+    "Scaron": "Š", "guilsinglleft": "‹", "OE": "Œ",
+    "Zcaron": "Ž", "quoteleft": "‘", "quoteright": "’",
+    "quotedblleft": "“", "quotedblright": "”", "bullet": "•",
+    "endash": "–", "emdash": "—", "tilde": "˜",
+    "trademark": "™", "scaron": "š", "guilsinglright": "›",
+    "oe": "œ", "zcaron": "ž", "Ydieresis": "Ÿ",
+    "dotlessi": "ı", "fi": "ﬁ", "fl": "ﬂ", "minus": "−",
+    "fraction": "⁄", "nbspace": "\u00a0",
+}
+# single-character names (a, B, 7, ...) map to themselves per the AGL
+_UNI_NAME_RE = re.compile(r"^uni([0-9A-Fa-f]{4,6})$|^u([0-9A-Fa-f]{4,6})$")
+
+
+def glyph_to_unicode(name: str) -> str | None:
+    """AGL-subset glyph-name resolution: table hit, single-char identity,
+    or the uniXXXX / uXXXX hex conventions.  None for unknown names
+    (subset-font gXX/cidXX indices carry no unicode semantics)."""
+    if name in _GLYPH_NAMES:
+        return _GLYPH_NAMES[name]
+    if len(name) == 1:
+        return name
+    m = _UNI_NAME_RE.match(name)
+    if m:
+        try:
+            return chr(int(m.group(1) or m.group(2), 16))
+        except (ValueError, OverflowError):
+            return None
+    return None
+
+
+@dataclass
+class PdfFont:
+    """Resolved per-font decode state (PDF §9.6-9.10).
+
+    ``composite``: /Subtype /Type0 — show-strings are multi-byte codes
+    through the associated ``cmap``.  Simple fonts decode byte-per-code via
+    ``diff_map`` (from /Encoding /Differences) over ``base`` (cp1252 for
+    /WinAnsiEncoding, latin-1 otherwise — StandardEncoding approximated)."""
+
+    composite: bool = False
+    cmap: tuple[int, dict[int, str]] | None = None
+    diff_map: dict[int, str] = field(default_factory=dict)
+    base: str = "latin-1"
+
+
+def _match_delim(data: bytes, start: int, open_tok: bytes, close_tok: bytes) -> int:
+    """End index (exclusive of close_tok) of the balanced region opening at
+    ``start`` (which must point just past ``open_tok``); -1 if unbalanced."""
+    depth = 1
+    i = start
+    while i < len(data):
+        if data.startswith(open_tok, i):
+            depth += 1
+            i += len(open_tok)
+        elif data.startswith(close_tok, i):
+            depth -= 1
+            if depth == 0:
+                return i
+            i += len(close_tok)
+        else:
+            i += 1
+    return -1
+
+
+_DIFF_TOK_RE = re.compile(rb"/([^\s/\[\]<>()]+)|(\d+)")
+_ENC_REF_RE = re.compile(rb"/Encoding\s+(\d+)\s+\d+\s+R")
+_ENC_NAME_RE = re.compile(rb"/Encoding\s*/(\w+)")
+_TOUNICODE_REF_RE = re.compile(rb"/ToUnicode\s+(\d+)\s+\d+\s+R")
+_TYPE0_RE = re.compile(rb"/Subtype\s*/Type0\b")
+_FONT_TYPE_RE = re.compile(rb"/Type\s*/Font\b")
+_BASEENC_RE = re.compile(rb"/BaseEncoding\s*/(\w+)")
+_FONT_ENTRY_RE = re.compile(rb"/(\w+)\s+(\d+)\s+\d+\s+R")
+_OBJ_RE = re.compile(rb"(\d+)\s+\d+\s+obj\b(.*?)endobj", re.DOTALL)
+
+
+def _parse_differences(enc_dict: bytes) -> dict[int, str]:
+    """/Differences [ code /name /name code /name ... ] -> {code: unicode}.
+    Unknown glyph names are DROPPED (decode to ""), mirroring the CMap
+    unmapped-glyph policy — a wrong character is worse than a missing one."""
+    idx = enc_dict.find(b"/Differences")
+    if idx < 0:
+        return {}
+    open_idx = enc_dict.find(b"[", idx)
+    if open_idx < 0:
+        return {}
+    end = _match_delim(enc_dict, open_idx + 1, b"[", b"]")
+    if end < 0:
+        return {}
+    out: dict[int, str] = {}
+    code = 0
+    for m in _DIFF_TOK_RE.finditer(enc_dict[open_idx + 1 : end]):
+        if m.group(2) is not None:
+            code = int(m.group(2))
+        else:
+            uni = glyph_to_unicode(m.group(1).decode("latin-1"))
+            if 0 <= code <= 255:
+                out[code] = uni if uni is not None else ""
+            code += 1
+    return out
+
+
+def _extract_dict_after(data: bytes, key: bytes) -> bytes | None:
+    """The balanced << ... >> dict following ``key`` in ``data``, or None."""
+    idx = data.find(key)
+    if idx < 0:
+        return None
+    open_idx = data.find(b"<<", idx)
+    if open_idx < 0:
+        return None
+    end = _match_delim(data, open_idx + 2, b"<<", b">>")
+    return data[open_idx + 2 : end] if end >= 0 else None
+
+
+def build_font_table(
+    objects: dict[int, bytes], cmap_by_obj: dict[int, tuple[int, dict[int, str]]]
+) -> dict[bytes, PdfFont]:
+    """Resource-name -> PdfFont over every /Font resource dict in the
+    document (page dicts, raw or ObjStm-compressed).
+
+    Per-font association (vs the document-global CMap heuristic): each
+    /Tf-selected font decodes its show-strings through ITS OWN ToUnicode
+    CMap or /Differences table, so a multi-font document can no longer have
+    the wrong font's CMap win on a best-fraction guess.  Document-global
+    merge of resource names (last wins) — per-page scoping is not modeled,
+    and unresolvable names simply fall back to the global heuristic.
+    """
+    fonts: dict[bytes, PdfFont] = {}
+
+    def parse_font_obj(obj: bytes) -> PdfFont | None:
+        if not _FONT_TYPE_RE.search(obj):
+            return None
+        font = PdfFont(composite=bool(_TYPE0_RE.search(obj)))
+        m = _TOUNICODE_REF_RE.search(obj)
+        if m and int(m.group(1)) in cmap_by_obj:
+            font.cmap = cmap_by_obj[int(m.group(1))]
+        enc_dict = _extract_dict_after(obj, b"/Encoding")
+        if enc_dict is None:
+            m = _ENC_REF_RE.search(obj)
+            if m and int(m.group(1)) in objects:
+                enc_obj = objects[int(m.group(1))]
+                enc_dict = _extract_dict_after(enc_obj, b"<<")
+                if enc_dict is None:
+                    enc_dict = enc_obj
+        base_name = None
+        if enc_dict is not None:
+            font.diff_map = _parse_differences(enc_dict)
+            mb = _BASEENC_RE.search(enc_dict)
+            if mb:
+                base_name = mb.group(1)
+        else:
+            mn = _ENC_NAME_RE.search(obj)
+            if mn:
+                base_name = mn.group(1)
+        if base_name == b"WinAnsiEncoding":
+            font.base = "cp1252"
+        return font
+
+    for src in objects.values():
+        fidx = src.find(b"/Font")
+        if fidx < 0:
+            continue
+        fdict = _extract_dict_after(src, b"/Font")
+        if fdict is None:
+            continue
+        for m in _FONT_ENTRY_RE.finditer(fdict):
+            ref = int(m.group(2))
+            if ref in objects:
+                font = parse_font_obj(objects[ref])
+                if font is not None:
+                    fonts[m.group(1)] = font
+    return fonts
+
+
+def _decode_simple_bytes(raw: bytes, font: PdfFont) -> str:
+    """Byte-per-code simple-font decode: /Differences remap first, then the
+    base encoding (cp1252 for WinAnsi — exact for 0x80-0x9F smart quotes
+    etc. — latin-1 otherwise)."""
+    out: list[str] = []
+    for b in raw:
+        if b in font.diff_map:
+            out.append(font.diff_map[b])
+        elif font.base == "latin-1":
+            out.append(chr(b))
+        else:
+            out.append(bytes([b]).decode(font.base, errors="replace"))
+    return "".join(out)
+
+
 # -- ToUnicode CMaps (composite fonts; PDF §9.10.3, Adobe CMap spec) ----------
 
 _CMAP_HINT = b"begincmap"
@@ -497,9 +740,12 @@ def extract_pdf_text(body: bytes) -> PdfDoc:
     if not body.startswith(b"%PDF"):
         return out
     cmaps: list[tuple[int, dict[int, str]]] = []
+    cmap_by_obj: dict[int, tuple[int, dict[int, str]]] = {}
     objstm_objs: list[tuple[int, int, bytes]] = []
     content: list[bytes] = []
-    for dict_part, stream in _STREAM_RE.findall(body):
+    _OBJ_PREFIX_RE = re.compile(rb"(\d+)\s+\d+\s+obj\s*$")
+    for sm in _STREAM_RE.finditer(body):
+        dict_part, stream = sm.group(1), sm.group(2)
         out.n_streams += 1
         try:
             data = decode_stream(dict_part, stream)
@@ -514,24 +760,73 @@ def extract_pdf_text(body: bytes) -> PdfDoc:
             parsed = _parse_cmap_bytes(data)
             if parsed is not None:
                 cmaps.append(parsed)
+                # object number (for per-font /ToUnicode association): the
+                # `N G obj` token immediately preceding this stream's dict
+                pm = _OBJ_PREFIX_RE.search(body, max(0, sm.start() - 48), sm.start())
+                if pm:
+                    cmap_by_obj[int(pm.group(1))] = parsed
             continue
         content.append(data)
+
+    # per-font decode state (PDF §9.6-9.10): resource name -> PdfFont, from
+    # every indirect object (raw body + ObjStm-expanded).  Any structural
+    # surprise degrades to the document-global fallback, never fails the doc.
+    try:
+        objects: dict[int, bytes] = {
+            int(m.group(1)): m.group(2) for m in _OBJ_RE.finditer(body)
+        }
+        for objnum, _idx, obj in objstm_objs:
+            objects[objnum] = obj
+        fonts = build_font_table(objects, cmap_by_obj)
+    except Exception:  # noqa: BLE001 - tolerant scanner contract
+        fonts = {}
+
+    def decode_literal(raw: bytes, font: PdfFont | None) -> str:
+        if font is not None and not font.composite:
+            return _decode_simple_bytes(_unescape_bytes(raw), font)
+        return _unescape(raw)
+
+    def decode_hex(hextok: bytes, font: PdfFont | None) -> str:
+        if font is not None:
+            if font.composite and font.cmap is not None:
+                width, mapping = font.cmap
+                digits = re.sub(rb"\s+", b"", hextok)
+                if len(digits) % 2:
+                    digits += b"0"
+                raw = bytes.fromhex(digits.decode("ascii"))
+                if len(raw) % width == 0:
+                    codes = [
+                        int.from_bytes(raw[i : i + width], "big")
+                        for i in range(0, len(raw), width)
+                    ]
+                    # THIS font's CMap is authoritative; unmapped codes drop
+                    # (subset-font notdefs), never another font's guess
+                    return "".join(mapping.get(c, "") for c in codes)
+            elif not font.composite and (font.diff_map or font.base != "latin-1"):
+                digits = re.sub(rb"\s+", b"", hextok)
+                if len(digits) % 2:
+                    digits += b"0"
+                return _decode_simple_bytes(bytes.fromhex(digits.decode("ascii")), font)
+        return _decode_hex_show(hextok, cmaps)
 
     parts: list[str] = []
     for data in content:
         frags: list[str] = []
+        font: PdfFont | None = None  # text state resets per content stream
         for m in _SHOW_RE.finditer(data):
-            if m.group(1) is not None:  # Tj / ' literal string
-                frags.append(_unescape(m.group(1)))
+            if m.group(4) is not None:  # Tf: select the current font
+                font = fonts.get(m.group(4))
+            elif m.group(1) is not None:  # Tj / ' literal string
+                frags.append(decode_literal(m.group(1), font))
             elif m.group(3) is not None:  # Tj / ' hex string (composite font)
-                frags.append(_decode_hex_show(m.group(3), cmaps))
+                frags.append(decode_hex(m.group(3), font))
             else:  # TJ kerning array: concat pieces, big kern gap -> space
                 pieces: list[str] = []
                 for t in _ARRAY_TOK_RE.finditer(m.group(2)):
                     if t.group(1) is not None:
-                        pieces.append(_unescape(t.group(1)))
+                        pieces.append(decode_literal(t.group(1), font))
                     elif t.group(2) is not None:
-                        pieces.append(_decode_hex_show(t.group(2), cmaps))
+                        pieces.append(decode_hex(t.group(2), font))
                     elif float(t.group(3)) <= KERN_SPACE_THRESHOLD:
                         pieces.append(" ")
                 frags.append("".join(pieces))
@@ -683,6 +978,7 @@ def make_simple_pdf(
     xref_stream: bool = False,
     obj_stream: bool = False,
     hex_text_lines: list[str] | None = None,
+    diff_text_lines: list[str] | None = None,
 ) -> bytes:
     """Deterministic single-page PDF builder for fixtures (valid enough for
     this parser and for visual inspection; classic xref layout, or a PDF 1.5
@@ -746,6 +1042,23 @@ def make_simple_pdf(
             + " endcmap CMapName currentdict /CMap defineresource pop end end"
         )
         cmap_obj_body = zlib.compress(cmap_text.encode("latin-1"))
+    resources = b""
+    diff_chars: list[str] = []
+    if diff_text_lines:
+        # subset-font style /Differences remap: distinct chars get sequential
+        # codes from 0x21, DELIBERATELY misaligned with ASCII so a naive
+        # latin-1 reader produces garbage — decoding requires the /Encoding
+        # /Differences table through the /F2 font object.
+        diff_chars = sorted({c for ln in diff_text_lines for c in ln})
+        if len(diff_chars) > 200:
+            raise ValueError("diff fixture supports at most 200 distinct chars")
+        codemap = {c: 0x21 + i for i, c in enumerate(diff_chars)}
+        ops.append("/F2 12 Tf")
+        for ln in diff_text_lines:
+            ops.append("(" + "".join(f"\\{codemap[c]:03o}" for c in ln) + ") Tj")
+        # object numbering: annots, info, cmap, then the two font objects
+        _f1 = 5 + len(annot_uris or []) + (1 if info else 0) + (1 if cmap_obj_body is not None else 0)
+        resources = f"/Resources << /Font << /F1 {_f1} 0 R /F2 {_f1 + 1} 0 R >> >> ".encode()
     content = "BT /F1 12 Tf 72 720 Td " + " T* ".join(ops) + " ET"
     stream = content.encode("latin-1")
     if filters is None:
@@ -800,6 +1113,7 @@ def make_simple_pdf(
         b"2 0 obj\n<< /Type /Pages /Kids [3 0 R] /Count 1 >>\nendobj\n",
         b"3 0 obj\n<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
         + annots
+        + resources
         + b"/Contents 4 0 R >>\nendobj\n",
         b"4 0 obj\n<< " + filt + f"/Length {len(stream)} >>\nstream\n".encode() + stream + b"\nendstream\nendobj\n",
     ]
@@ -826,6 +1140,27 @@ def make_simple_pdf(
             + b"\nendstream\nendobj\n"
         )
         next_num += 1
+    if diff_text_lines:
+        def glyph_name(c: str) -> str:
+            for name, ch in _GLYPH_NAMES.items():
+                if ch == c:
+                    return name
+            if c.isascii() and (c.isalpha() or c.isdigit()):
+                return c  # single-char AGL identity
+            return f"uni{ord(c):04X}"
+
+        diffs = " ".join(["33"] + ["/" + glyph_name(c) for c in diff_chars])
+        objs.append(
+            f"{next_num} 0 obj\n<< /Type /Font /Subtype /Type1 "
+            f"/BaseFont /Helvetica >>\nendobj\n".encode()
+        )
+        objs.append(
+            f"{next_num + 1} 0 obj\n<< /Type /Font /Subtype /Type1 "
+            f"/BaseFont /FixtureSubset /Encoding << /Type /Encoding "
+            f"/BaseEncoding /WinAnsiEncoding /Differences [{diffs}] >> "
+            f">>\nendobj\n".encode("latin-1")
+        )
+        next_num += 2
     objstm_num = None
     if inner:
         payload = b" ".join(d for _n, d in inner)

@@ -546,6 +546,11 @@ def _pdf_fixture(i: int) -> tuple[str, bytes]:
     # strings through a generated /ToUnicode CMap (bfchar + bfrange,
     # private-use codes — decoding REQUIRES the CMap)
     hex_lines = [f"Unicode appendix {i}."] if i % 6 == 1 else None
+    # every 6th row (i%6==4) adds a line through a simple subset font whose
+    # /Encoding /Differences table remaps sequential codes from 0x21 —
+    # correct text REQUIRES the per-font Differences decode (round-5 X4
+    # expansion; naive latin-1 reads punctuation garbage)
+    diff_lines = [f"Résumé — année {i} déposée."] if i % 6 == 4 else None
     filters = _PDF_FILTER_ROTATION[i % 5]
     predictor = None
     if filters and filters[-1] in ("FlateDecode", "LZWDecode") and i % 7 in (1, 3, 5):
@@ -560,6 +565,7 @@ def _pdf_fixture(i: int) -> tuple[str, bytes]:
         xref_stream=(i % 4 == 2),
         obj_stream=(i % 4 == 2),
         hex_text_lines=hex_lines,
+        diff_text_lines=diff_lines,
     )
     return url, pdf
 

@@ -336,3 +336,109 @@ class TestPdfMetadata:
         assert doc["title"] == "AnnualReport2024"
         assert doc["content"].startswith("Annual Report 2024 AnnualReport2024.pdf Text.")
         assert doc["created_at"] is None and doc["changed"] is None
+
+
+class TestSimpleFontEncodings:
+    """PDF §9.6.6 /Encoding /Differences + per-font decode association
+    (reference breadth via pypdf, indexing/parse.py:113-252)."""
+
+    def test_differences_remap_requires_encoding_table(self):
+        from searchgov_spider_spark.kernels import pdfx
+
+        pdf = pdfx.make_simple_pdf(["Plain line."], diff_text_lines=["café — résumé"])
+        assert pdfx.extract_pdf_text(pdf).text == "Plain line. café — résumé"
+        # the show-string bytes are code 0x21+ — a naive latin-1 reader
+        # would emit punctuation garbage, so passing proves the table ran
+        raw_codes = "".join(chr(0x21 + i) for i in range(5))
+        assert raw_codes not in pdfx.extract_pdf_text(pdf).text
+
+    def test_differences_compose_with_xref_objstm_and_cmap(self):
+        from searchgov_spider_spark.kernels import pdfx
+
+        pdf = pdfx.make_simple_pdf(
+            ["A."], hex_text_lines=["HexPart"], diff_text_lines=["équité"],
+            annot_uris=["https://x.gov/a"], info={"Title": "T"},
+        )
+        doc = pdfx.extract_pdf_text(pdf)
+        assert doc.text == "A. HexPart équité"
+        assert doc.links == ["https://x.gov/a"]
+        pdf2 = pdfx.make_simple_pdf(
+            ["A."], diff_text_lines=["über"], xref_stream=True, obj_stream=True,
+            info={"Title": "T"}, annot_uris=["https://y.gov/b"],
+        )
+        assert pdfx.extract_pdf_text(pdf2).text == "A. über"
+
+    def test_winansi_base_encoding_decodes_80_9f(self):
+        """Bytes 0x80-0x9F through a /BaseEncoding /WinAnsiEncoding font are
+        cp1252 smart quotes / euro, NOT latin-1 control chars."""
+        from searchgov_spider_spark.kernels import pdfx
+
+        body = (
+            b"%PDF-1.4\n"
+            b"3 0 obj\n<< /Type /Page /Resources << /Font << /FW 7 0 R >> >> >>\nendobj\n"
+            b"7 0 obj\n<< /Type /Font /Subtype /Type1 /Encoding << /Type /Encoding "
+            b"/BaseEncoding /WinAnsiEncoding >> >>\nendobj\n"
+            b"4 0 obj\n<< /Length 44 >>\nstream\n"
+            b"BT /FW 12 Tf (\\200 \\223quoted\\224 \\226) Tj ET\nendstream\nendobj\n"
+        )
+        assert pdfx.extract_pdf_text(body).text == "€ “quoted” –"
+
+    def test_per_font_cmap_association(self):
+        """Two composite fonts with overlapping code ranges: each hex string
+        decodes through ITS font's /ToUnicode CMap (selected by Tf), never
+        the other font's mapping (round-4 ADVICE: the document-global
+        best-fraction heuristic could let the wrong CMap win)."""
+        import zlib
+
+        from searchgov_spider_spark.kernels import pdfx
+
+        def cmap_stream(objnum, pairs):
+            text = (
+                "begincmap 1 begincodespacerange <0000> <FFFF> endcodespacerange "
+                + f"{len(pairs)} beginbfchar "
+                + " ".join(f"<{src:04X}> <{ord(dst):04X}>" for src, dst in pairs)
+                + " endbfchar endcmap"
+            ).encode()
+            data = zlib.compress(text)
+            return (
+                f"{objnum} 0 obj\n<< /Filter /FlateDecode /Length {len(data)} >>\nstream\n".encode()
+                + data + b"\nendstream\nendobj\n"
+            )
+
+        # code 0x0001 means "A" in font X's CMap but "Z" in font Y's
+        body = (
+            b"%PDF-1.4\n"
+            b"3 0 obj\n<< /Type /Page /Resources << /Font << /FX 10 0 R /FY 11 0 R >> >> >>\nendobj\n"
+            b"10 0 obj\n<< /Type /Font /Subtype /Type0 /ToUnicode 20 0 R >>\nendobj\n"
+            b"11 0 obj\n<< /Type /Font /Subtype /Type0 /ToUnicode 21 0 R >>\nendobj\n"
+            + cmap_stream(20, [(1, "A"), (2, "B")])
+            + cmap_stream(21, [(1, "Z"), (2, "Y")])
+            + b"4 0 obj\n<< /Length 60 >>\nstream\n"
+            b"BT /FX 12 Tf <00010002> Tj /FY 12 Tf <00010002> Tj ET\nendstream\nendobj\n"
+        )
+        assert pdfx.extract_pdf_text(body).text == "AB ZY"
+
+    def test_unknown_glyph_names_drop_not_garble(self):
+        from searchgov_spider_spark.kernels import pdfx
+
+        body = (
+            b"%PDF-1.4\n"
+            b"3 0 obj\n<< /Type /Page /Resources << /Font << /FS 7 0 R >> >> >>\nendobj\n"
+            b"7 0 obj\n<< /Type /Font /Subtype /Type1 /Encoding << /Differences "
+            b"[33 /g42 /eacute /cid77] >> >>\nendobj\n"
+            b"4 0 obj\n<< /Length 40 >>\nstream\n"
+            b"BT /FS 12 Tf (\\041\\042\\043) Tj ET\nendstream\nendobj\n"
+        )
+        # g42 and cid77 carry no unicode semantics -> dropped; eacute maps
+        assert pdfx.extract_pdf_text(body).text == "é"
+
+    def test_glyph_name_conventions(self):
+        from searchgov_spider_spark.kernels.pdfx import glyph_to_unicode
+
+        assert glyph_to_unicode("eacute") == "é"
+        assert glyph_to_unicode("Euro") == "€"
+        assert glyph_to_unicode("a") == "a"
+        assert glyph_to_unicode("uni20AC") == "€"
+        assert glyph_to_unicode("u0041") == "A"
+        assert glyph_to_unicode("g123") is None
+        assert glyph_to_unicode("cid42") is None
