@@ -44,16 +44,42 @@ class FetchPolicy:
     max_concurrency: int = 20  # REACTOR_THREADPOOL_MAXSIZE analog, per partition
 
 
+class _UrllibTransport:
+    """stdlib HTTP transport: ``urllib.request`` driven on the event loop's
+    default thread-pool executor.  The production fallback when aiohttp is
+    absent — a REAL network path (loopback-integration-tested in
+    tests/test_http_loopback.py), not a stub.  Enforces the byte cap DURING
+    the chunked read, like the aiohttp path; non-2xx raises HTTPError which
+    the fetch wrapper turns into a downloader miss (html NULL, no retry)."""
+
+    async def __call__(self, url: str, policy: FetchPolicy):
+        import asyncio
+        import urllib.request
+
+        def get():
+            req = urllib.request.Request(url, headers={"User-Agent": policy.user_agent})
+            with urllib.request.urlopen(req, timeout=policy.timeout_s) as resp:
+                body = bytearray()
+                while True:
+                    chunk = resp.read(1 << 16)
+                    if not chunk:
+                        break
+                    body.extend(chunk)
+                    if len(body) > policy.max_bytes:
+                        return resp.status, dict(resp.headers), None
+                return resp.status, dict(resp.headers), bytes(body)
+
+        return await asyncio.get_running_loop().run_in_executor(None, get)
+
+
 def _default_transport_factory() -> Callable:
-    """Real aiohttp transport when the library exists; otherwise an honest
-    NotImplementedError (no network in this sandbox).  Injectable so tests
-    and replays supply fakes."""
+    """Real aiohttp transport when the library exists; otherwise the stdlib
+    urllib transport (thread-pool-driven) — both real network paths.
+    Injectable so tests and replays supply fakes."""
     try:
         import aiohttp  # noqa: F401
-    except ImportError as exc:  # pragma: no cover - env boundary
-        raise NotImplementedError(
-            "no HTTP library in this environment — inject a transport_factory"
-        ) from exc
+    except ImportError:
+        return _UrllibTransport()
 
     class _AiohttpTransport:  # pragma: no cover - requires network
         """Lazily opens one ClientSession on the event loop that first calls
