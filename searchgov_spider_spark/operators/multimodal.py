@@ -113,23 +113,28 @@ def image_dims(payload: bytes) -> tuple[int, int] | None:
     return png_dims(payload) or jpeg_dims(payload)
 
 
-def png_pixels(width: int, height: int, body_seed: bytes) -> bytes:
-    """The fixture pixel formula: gray value of pixel (r, c) is
-    ``body_seed[(r*width + c) % len(body_seed)]`` — shared with the q27
-    oracle, which computes expected pixel statistics from this formula
-    WITHOUT running the decoder."""
+def png_pixels(width: int, height: int, body_seed: bytes, channels: int = 1) -> bytes:
+    """The fixture pixel formula: sample k (row-major, channel-interleaved)
+    is ``body_seed[k % len(body_seed)]`` — shared with the q27 oracle,
+    which computes expected pixel statistics from this formula WITHOUT
+    running the decoder.  ``channels=3`` gives the RGB variant."""
     seed = body_seed or b"\x00"
-    n = width * height
+    n = width * height * channels
     reps = bytes(seed * (n // len(seed) + 1))
     return reps[:n]
 
 
-def make_png(width: int, height: int, body_seed: bytes = b"") -> bytes:
-    """Fully-valid 8-bit grayscale PNG (signature + IHDR + IDAT + IEND) for
-    fixtures — correct CRCs, REAL deterministic pixel data (``png_pixels``),
-    rows filtered with cycling PNG filter types 0-4 so the decoder's
-    unfilter dispatch is exercised."""
+def make_png(width: int, height: int, body_seed: bytes = b"", color_type: int = 0) -> bytes:
+    """Fully-valid 8-bit PNG (signature + IHDR + IDAT + IEND) for fixtures
+    — correct CRCs, REAL deterministic pixel data (``png_pixels``), rows
+    filtered with cycling PNG filter types 0-4 so the decoder's unfilter
+    dispatch is exercised.  ``color_type`` 0 = grayscale, 2 = RGB truecolor
+    (bpp=3 filter look-back, the dominant real-world flavor)."""
     from ..kernels.pdfx import png_predictor_encode
+
+    if color_type not in (0, 2):
+        raise ValueError("fixture builder supports gray (0) and RGB (2)")
+    channels = 3 if color_type == 2 else 1
 
     def chunk(ctype: bytes, data: bytes) -> bytes:
         return (
@@ -139,18 +144,22 @@ def make_png(width: int, height: int, body_seed: bytes = b"") -> bytes:
             + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
         )
 
-    ihdr = struct.pack(">IIBBBBB", width, height, 8, 0, 0, 0, 0)  # 8-bit gray
-    raw = png_pixels(width, height, body_seed)
-    idat = zlib.compress(png_predictor_encode(raw, [0, 1, 2, 3, 4], columns=width))
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, color_type, 0, 0, 0)
+    raw = png_pixels(width, height, body_seed, channels)
+    idat = zlib.compress(
+        png_predictor_encode(raw, [0, 1, 2, 3, 4], colors=channels, columns=width)
+    )
     return _PNG_SIG + chunk(b"IHDR", ihdr) + chunk(b"IDAT", idat) + chunk(b"IEND", b"")
 
 
-def png_decode_gray(payload: bytes) -> np.ndarray:
-    """REAL pixel decode for 8-bit grayscale non-interlaced PNG — pure
-    Python/zlib: chunk walk, concatenated-IDAT inflate, PNG row-filter
-    reversal (None/Sub/Up/Average/Paeth).  Returns an (h, w) uint8 array;
-    raises ValueError for other PNG flavors (palette/RGB/16-bit/interlaced,
-    which would need pillow) or malformed data."""
+def png_decode(payload: bytes) -> np.ndarray:
+    """REAL pixel decode for 8-bit grayscale (color 0) and RGB truecolor
+    (color 2) non-interlaced PNG — pure Python/zlib: chunk walk,
+    concatenated-IDAT inflate, PNG row-filter reversal (None/Sub/Up/
+    Average/Paeth with the channel-count bpp look-back).  Returns (h, w)
+    uint8 for gray, (h, w, 3) for RGB; raises ValueError for other flavors
+    (palette/16-bit/interlaced, which would need pillow) or malformed
+    data."""
     from ..kernels.pdfx import apply_png_predictor
 
     if not payload.startswith(_PNG_SIG):
@@ -161,6 +170,7 @@ def png_decode_gray(payload: bytes) -> np.ndarray:
     try:
         pos = 8
         width = height = None
+        channels = 1
         idat = bytearray()
         while pos + 8 <= len(payload):
             (length,) = struct.unpack(">I", payload[pos : pos + 4])
@@ -169,22 +179,36 @@ def png_decode_gray(payload: bytes) -> np.ndarray:
             pos += 12 + length  # length + type + data + crc
             if ctype == b"IHDR":
                 width, height, depth, color, _comp, _filt, interlace = struct.unpack(">IIBBBBB", data)
-                if depth != 8 or color != 0 or interlace != 0:
+                if depth != 8 or color not in (0, 2) or interlace != 0:
                     raise ValueError(
                         f"unsupported PNG flavor (depth={depth} color={color} interlace={interlace})"
                     )
+                channels = 3 if color == 2 else 1
             elif ctype == b"IDAT":
                 idat.extend(data)
             elif ctype == b"IEND":
                 break
         if width is None or not idat:
             raise ValueError("malformed PNG (missing IHDR/IDAT)")
-        raw = apply_png_predictor(zlib.decompress(bytes(idat)), columns=width)
+        raw = apply_png_predictor(
+            zlib.decompress(bytes(idat)), colors=channels, columns=width
+        )
     except (struct.error, zlib.error) as exc:
         raise ValueError(f"malformed PNG: {exc}") from exc
-    if len(raw) < width * height:
+    n = width * height * channels
+    if len(raw) < n:
         raise ValueError("truncated PNG pixel data")
-    return np.frombuffer(raw[: width * height], dtype=np.uint8).reshape(height, width)
+    arr = np.frombuffer(raw[:n], dtype=np.uint8)
+    return arr.reshape(height, width) if channels == 1 else arr.reshape(height, width, 3)
+
+
+def png_decode_gray(payload: bytes) -> np.ndarray:
+    """Gray-only wrapper over :func:`png_decode` (kept for callers that
+    require the (h, w) shape; RGB input raises ValueError)."""
+    arr = png_decode(payload)
+    if arr.ndim != 2:
+        raise ValueError("RGB PNG: use png_decode")
+    return arr
 
 
 def make_jpeg(width: int, height: int, body_seed: bytes = b"") -> bytes:
@@ -210,9 +234,9 @@ def _fake_features(payload: bytes, dim: int = FEATURE_DIM) -> np.ndarray:
 
 
 def real_png_features(pixels: np.ndarray, dim: int = FEATURE_DIM) -> np.ndarray:
-    """REAL pixel-derived feature vector for decoded gray images:
-    [mean, std, min, max] / 255 followed by a (dim-4)-bin normalized
-    intensity histogram."""
+    """REAL pixel-derived feature vector for decoded gray or RGB images
+    (stats pool over all channel samples): [mean, std, min, max] / 255
+    followed by a (dim-4)-bin normalized intensity histogram."""
     flat = pixels.astype(np.float64).ravel()
     hist, _ = np.histogram(flat, bins=dim - 4, range=(0, 256))
     head = np.array([flat.mean(), flat.std(), flat.min(), flat.max()]) / 255.0
@@ -251,9 +275,9 @@ def extract_features(media: DataFrame, fake_decode: bool = True) -> DataFrame:
                 pixels = None
                 if raw.startswith(_PNG_SIG):
                     try:
-                        pixels = png_decode_gray(raw)
+                        pixels = png_decode(raw)
                     except ValueError:
-                        pixels = None  # non-gray-8 flavor: stats stay null
+                        pixels = None  # unsupported flavor: stats stay null
                 if pixels is not None:
                     flat = pixels.astype(np.float64)
                     pmeans.append(float(flat.mean()))
@@ -264,8 +288,8 @@ def extract_features(media: DataFrame, fake_decode: bool = True) -> DataFrame:
                 if not fake_decode:
                     if pixels is None:
                         raise NotImplementedError(
-                            "real decode beyond gray-8 PNG requires pillow/ffmpeg; "
-                            "not available in this environment"
+                            "real decode beyond gray-8/RGB-8 PNG requires pillow/"
+                            "ffmpeg; not available in this environment"
                         )
                     feats.append(real_png_features(pixels).tolist())
                 else:
@@ -297,7 +321,12 @@ def synthetic_media(spark, n: int = 64) -> DataFrame:
         blob = hashlib.blake2b(f"media:{i}".encode(), digest_size=64).digest() * (i % 4 + 1)
         if mtype == "image":
             w, h = 16 + (i % 9) * 8, 12 + (i % 5) * 16
-            payload = make_png(w, h, blob) if i % 2 == 0 else make_jpeg(w, h, blob)
+            if i % 2 == 0:
+                # every other PNG row is RGB truecolor (color type 2), the
+                # dominant real-world flavor — bpp=3 unfilter exercised
+                payload = make_png(w, h, blob, color_type=2 if i % 12 == 6 else 0)
+            else:
+                payload = make_jpeg(w, h, blob)
             meta = (w, h, 0, "png" if i % 2 == 0 else "jpeg")
         else:
             payload = blob

@@ -125,11 +125,27 @@ class TestMultimodal:
             px = multimodal.png_decode_gray(multimodal.make_png(w, h, blob))
             assert px.shape == (h, w)
             assert px.tobytes() == multimodal.png_pixels(w, h, blob)
-        # non-gray-8 flavors refuse rather than mis-decode
+        # unsupported flavors refuse rather than mis-decode
         bad = bytearray(multimodal.make_png(8, 8, b"x"))
-        bad[25] = 2  # IHDR color type byte (sig 8 + len/type 8 + w/h 8 + depth 1) -> RGB
+        bad[25] = 3  # IHDR color type byte (sig 8 + len/type 8 + w/h 8 + depth 1) -> palette
         with pytest.raises(ValueError, match="unsupported PNG flavor"):
             multimodal.png_decode_gray(bytes(bad))
+
+    def test_png_rgb_pixel_decode_matches_generation_formula(self):
+        """RGB truecolor (color type 2, round-5): the bpp=3 row-unfilter
+        must reproduce the channel-interleaved fixture formula exactly
+        across all five cycling filters; the gray-only wrapper refuses."""
+        import hashlib
+
+        for i in (6, 18, 54):
+            blob = hashlib.blake2b(f"media:{i}".encode(), digest_size=64).digest() * (i % 4 + 1)
+            w, h = 16 + (i % 9) * 8, 12 + (i % 5) * 16
+            png = multimodal.make_png(w, h, blob, color_type=2)
+            px = multimodal.png_decode(png)
+            assert px.shape == (h, w, 3)
+            assert px.tobytes() == multimodal.png_pixels(w, h, blob, channels=3)
+            with pytest.raises(ValueError, match="RGB"):
+                multimodal.png_decode_gray(png)
         # review finding: truncated chunks / corrupt IDAT must raise the
         # documented ValueError (not struct.error / zlib.error), so the
         # damaged-download path yields null stats instead of a failed task

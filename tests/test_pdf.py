@@ -442,3 +442,43 @@ class TestSimpleFontEncodings:
         assert glyph_to_unicode("u0041") == "A"
         assert glyph_to_unicode("g123") is None
         assert glyph_to_unicode("cid42") is None
+
+
+class TestDecodeParmsAlignment:
+    """Round-4 ADVICE: nested arrays/dicts inside /DecodeParms entries must
+    not misalign the per-filter parms list."""
+
+    def test_nested_tokens_keep_alignment(self):
+        from searchgov_spider_spark.kernels.pdfx import stream_decode_parms
+
+        d = (b"/Filter [/ASCII85Decode /FlateDecode] "
+             b"/DecodeParms [null << /Predictor 12 /Columns 16 "
+             b"/Nested [1 2 3] /Sub << /X 1 >> >>]")
+        parms = stream_decode_parms(d)
+        assert len(parms) == 2
+        assert parms[0] == b""
+        assert b"/Predictor 12" in parms[1] and b"/Sub" in parms[1]
+
+    def test_count_mismatch_skips_predictors(self):
+        """A two-entry parms array against one filter: applying either entry
+        positionally could corrupt the stream — decode_stream must skip
+        predictor application and return the plain inflate."""
+        import zlib
+
+        from searchgov_spider_spark.kernels.pdfx import decode_stream
+
+        raw = b"BT (hello) Tj ET"
+        d = (b"/Filter /FlateDecode "
+             b"/DecodeParms [<< /Predictor 12 /Columns 4 >> << /Predictor 11 /Columns 2 >>]")
+        assert decode_stream(d, zlib.compress(raw)) == raw
+
+    def test_single_dict_with_nested_array_still_applies(self):
+        import zlib
+
+        from searchgov_spider_spark.kernels.pdfx import decode_stream, png_predictor_encode
+
+        raw = b"0123456789abcdef" * 8
+        enc = zlib.compress(png_predictor_encode(raw, 2, columns=16))
+        d = (b"/Filter /FlateDecode /DecodeParms << /Predictor 12 /Columns 16 "
+             b"/Nested [9 8] >>")
+        assert decode_stream(d, enc) == raw
