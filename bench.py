@@ -34,7 +34,11 @@ import sys
 import tempfile
 import time
 
-sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+_REPO_DIR = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, _REPO_DIR)
+# Python workers resolve the package through PYTHONPATH, not the driver's
+# sys.path — exporting it makes the bench runnable from any cwd
+os.environ["PYTHONPATH"] = _REPO_DIR + os.pathsep + os.environ.get("PYTHONPATH", "")
 
 from searchgov_spider_spark.session import build_session  # noqa: E402
 from searchgov_spider_spark.synth import webgen  # noqa: E402
@@ -223,6 +227,8 @@ def crawl_bench(
             "billed_wall_s": round(billed_wall, 2),
             "billed_fetched": billed_fetched,
             "billed_urls_per_sec": round(billed_fetched / billed_wall, 2) if billed_wall > 0 else 0.0,
+            "deep_wall_s": round(deep_wall, 2),
+            "deep_fetched": deep_fetched,
             "round_walls": [m["round_wall_s"] for m in measured],
             "round_selected": [m.get("selected", 0) for m in measured],
         }
@@ -354,7 +360,7 @@ def seenjoin_bench(
     cores: int,
     cand: int = 100_000,
     repeats: int = 3,
-    sizes: tuple[int, ...] = (500_000, 2_000_000, 8_000_000),
+    sizes: tuple[int, ...] | None = None,
 ) -> dict:
     """Bucketed vs plain seen-side anti-join at the 10^10 shape (VERDICT r4
     #3): a pre-compacted multi-million-row seen set against a small
@@ -378,6 +384,10 @@ def seenjoin_bench(
         master=f"local[{cores}]",
         shuffle_partitions=2 * cores,
     )
+    if sizes is None:
+        sizes = tuple(
+            int(s) for s in os.environ.get("BENCH_SEENJOIN_SIZES", "500000,2000000,8000000").split(",")
+        )
     out: dict = {"cores": cores, "cand_rows": cand, "repeats": repeats, "points": []}
     try:
         far = 10 * max(sizes)
@@ -604,38 +614,102 @@ def main() -> None:
         scale_pages = int(os.environ.get("BENCH_SCALING_PAGES", "1000000"))
         scale_hosts = 200
         seed_rounds = int(os.environ.get("BENCH_SEED_ROUNDS", "3"))
+        # UNCONDITIONAL repeated pairs in alternating order (hi,lo then
+        # lo,hi): the same deterministic work runs twice per core count and
+        # the efficiency is computed from SUMMED billed walls.  Round-4/5
+        # evidence: with a clean load gate the 2-core wall is reproducible
+        # within 1% across sessions while the 8-core wall swings ±18%
+        # (single-sample host noise concentrates on the many-core side), so
+        # doubling the sample and alternating order halves ratio noise and
+        # cancels monotonic drift.  This is pre-registered protocol — the
+        # repeat count never depends on any measured value.
+        pairs = max(1, int(os.environ.get("BENCH_SCALING_REPEATS", "2")))
         lo_cores, hi_cores = 2, 8
-        hi = _run_phase_gated(
-            ["--phase", "crawl", "--cores", str(hi_cores), "--pages", str(scale_pages),
-             "--hosts", str(scale_hosts), "--seed-rounds", str(seed_rounds)],
-            pin_cores=hi_cores,
-        )
-        lo = _run_phase_gated(
-            ["--phase", "crawl", "--cores", str(lo_cores), "--pages", str(scale_pages),
-             "--hosts", str(scale_hosts), "--seed-rounds", str(seed_rounds)],
-            pin_cores=lo_cores,
-        )
+        hi_runs: list[dict] = []
+        lo_runs: list[dict] = []
+        for p in range(pairs):
+            order = [(hi_cores, hi_runs), (lo_cores, lo_runs)]
+            if p % 2:
+                order.reverse()
+            for cores, bucket in order:
+                bucket.append(
+                    _run_phase_gated(
+                        ["--phase", "crawl", "--cores", str(cores), "--pages", str(scale_pages),
+                         "--hosts", str(scale_hosts), "--seed-rounds", str(seed_rounds)],
+                        pin_cores=cores,
+                    )
+                )
         ratio = hi_cores / lo_cores
-        raw_eff = (hi["urls_per_sec"] / lo["urls_per_sec"]) / ratio if lo["urls_per_sec"] else 0.0
-        deep_eff = (
-            (hi["deep_urls_per_sec"] / lo["deep_urls_per_sec"]) / ratio if lo["deep_urls_per_sec"] else 0.0
-        )
-        billed_eff = (
-            (hi["billed_urls_per_sec"] / lo["billed_urls_per_sec"]) / ratio
-            if lo["billed_urls_per_sec"]
-            else 0.0
-        )
-        extras["crawl"][f"scaling_local{lo_cores}"] = lo
-        extras["crawl"][f"scaling_local{hi_cores}"] = hi
+
+        def _sum_rate(runs: list[dict], wall_key: str, fetched_key: str) -> float:
+            wall = sum(r[wall_key] for r in runs)
+            return sum(r[fetched_key] for r in runs) / wall if wall > 0 else 0.0
+
+        def _eff(wall_key: str, fetched_key: str) -> float:
+            lo_rate = _sum_rate(lo_runs, wall_key, fetched_key)
+            return (_sum_rate(hi_runs, wall_key, fetched_key) / lo_rate) / ratio if lo_rate else 0.0
+
+        raw_eff = _eff("wall_s", "fetched")
+        deep_eff = _eff("deep_wall_s", "deep_fetched")
+        billed_eff = _eff("billed_wall_s", "billed_fetched")
+        hi = {  # aggregate view (per-run detail is in the *_runs lists)
+            "billed_urls_per_sec": round(_sum_rate(hi_runs, "billed_wall_s", "billed_fetched"), 2),
+            "urls_per_sec": round(_sum_rate(hi_runs, "wall_s", "fetched"), 2),
+            "deep_urls_per_sec": round(_sum_rate(hi_runs, "deep_wall_s", "deep_fetched"), 2),
+            "tail_rounds_unbilled": sum(r["tail_rounds_unbilled"] for r in hi_runs),
+        }
+        lo = {
+            "billed_urls_per_sec": round(_sum_rate(lo_runs, "billed_wall_s", "billed_fetched"), 2),
+            "urls_per_sec": round(_sum_rate(lo_runs, "wall_s", "fetched"), 2),
+            "deep_urls_per_sec": round(_sum_rate(lo_runs, "deep_wall_s", "deep_fetched"), 2),
+            "tail_rounds_unbilled": sum(r["tail_rounds_unbilled"] for r in lo_runs),
+        }
+        per_pair_eff = [
+            round(
+                (h["billed_urls_per_sec"] / l["billed_urls_per_sec"]) / ratio
+                if l["billed_urls_per_sec"]
+                else 0.0,
+                3,
+            )
+            for h, l in zip(hi_runs, lo_runs)
+        ]
+        extras["crawl"][f"scaling_local{lo_cores}_runs"] = lo_runs
+        extras["crawl"][f"scaling_local{hi_cores}_runs"] = hi_runs
         # stateful-streaming politeness operator at both core counts
-        # (VERDICT r3 item 8): rows/s through applyInPandasWithState
-        st_hi = _run_phase_gated(["--phase", "stateful", "--cores", str(hi_cores)], pin_cores=hi_cores)
-        st_lo = _run_phase_gated(["--phase", "stateful", "--cores", str(lo_cores)], pin_cores=lo_cores)
+        # (VERDICT r3 item 8): rows/s through applyInPandasWithState —
+        # same repeated alternating-pair protocol as the crawl scaling
+        st_hi_runs: list[dict] = []
+        st_lo_runs: list[dict] = []
+        for p in range(pairs):
+            st_order = [(hi_cores, st_hi_runs), (lo_cores, st_lo_runs)]
+            if p % 2:
+                st_order.reverse()
+            st_rows = os.environ.get("BENCH_STATEFUL_ROWS", "2000000")
+            for cores, bucket in st_order:
+                bucket.append(
+                    _run_phase_gated(
+                        ["--phase", "stateful", "--cores", str(cores), "--rows", st_rows],
+                        pin_cores=cores,
+                    )
+                )
         # bucketed-vs-plain seen anti-join at the 10^10 shape (VERDICT r4 #3):
         # where does the exchange-free bucketed path start to win, and by how
         # much where it matters
         sj = _run_phase_gated(["--phase", "seenjoin", "--cores", str(hi_cores)], pin_cores=hi_cores)
         extras["seenjoin"] = sj
+
+        def _st_rate(runs: list[dict], wall_key: str) -> float:
+            wall = sum(r[wall_key] for r in runs)
+            return sum(r["rows"] for r in runs) / wall if wall > 0 else 0.0
+
+        st_lo = {
+            "rows_per_sec": round(_st_rate(st_lo_runs, "data_batch_s"), 2),
+            "whole_query_rows_per_sec": round(_st_rate(st_lo_runs, "wall_s"), 2),
+        }
+        st_hi = {
+            "rows_per_sec": round(_st_rate(st_hi_runs, "data_batch_s"), 2),
+            "whole_query_rows_per_sec": round(_st_rate(st_hi_runs, "wall_s"), 2),
+        }
         st_eff = (st_hi["rows_per_sec"] / st_lo["rows_per_sec"]) / ratio if st_lo["rows_per_sec"] else 0.0
         st_wq_eff = (
             (st_hi["whole_query_rows_per_sec"] / st_lo["whole_query_rows_per_sec"]) / ratio
@@ -645,8 +719,11 @@ def main() -> None:
         extras["stateful"] = {
             "low": st_lo,
             "high": st_hi,
+            "low_runs": st_lo_runs,
+            "high_runs": st_hi_runs,
+            "pairs": pairs,
             "efficiency": round(st_eff, 3),
-            "efficiency_basis": "data micro-batch triggerExecution time",
+            "efficiency_basis": "data micro-batch triggerExecution time, summed over repeated pairs",
             "whole_query_efficiency": round(st_wq_eff, 3),
         }
         # Runs are CPU-affinity-pinned to N cores so JVM + Python workers
@@ -656,6 +733,10 @@ def main() -> None:
             "high_cores": hi_cores,
             "pages": scale_pages,
             "cpu_pinned": True,
+            "pairs": pairs,
+            "pair_order": "alternating (hi,lo / lo,hi) — cancels monotonic host drift",
+            "per_pair_efficiency": per_pair_eff,
+            "aggregation": "rates from SUMMED walls and fetched counts across all runs per core count",
             "seed_rounds_unbilled": seed_rounds,
             "protocol": (
                 "deep-frontier measured window: each run grows the frontier for "
@@ -725,6 +806,7 @@ def main() -> None:
             k: s[k]
             for k in (
                 "low_cores", "high_cores", "pages", "cpu_pinned", "seed_rounds_unbilled",
+                "pairs", "per_pair_efficiency",
                 "urls_per_sec_low", "urls_per_sec_high",
                 "billed_urls_per_sec_low", "billed_urls_per_sec_high",
                 "efficiency", "whole_crawl_efficiency", "all_rounds_efficiency",
@@ -732,18 +814,21 @@ def main() -> None:
             )
         }
         # one-glance load-gate evidence for the compact artifact: per gated
-        # phase, was the kept run load-clean and how many attempts it took
-        line["load_gate"] = {
-            name: {
+        # run, was the kept attempt load-clean and how many attempts it took
+        def _gate_summary(res: dict) -> dict:
+            return {
                 "accepted": res.get("load_gate", {}).get("accepted"),
                 "attempts": len(res.get("load_gate", {}).get("attempts", [])),
                 "load_during_mean": res.get("host_load_during", {}).get("mean"),
             }
-            for name, res in (
-                ("crawl_headline", high), ("scaling_low", lo), ("scaling_high", hi),
-                ("stateful_low", st_lo), ("stateful_high", st_hi),
-            )
-        }
+
+        line["load_gate"] = {"crawl_headline": _gate_summary(high)}
+        for i, (hr, lr) in enumerate(zip(hi_runs, lo_runs)):
+            line["load_gate"][f"scaling_high_{i}"] = _gate_summary(hr)
+            line["load_gate"][f"scaling_low_{i}"] = _gate_summary(lr)
+        for i, (hr, lr) in enumerate(zip(st_hi_runs, st_lo_runs)):
+            line["load_gate"][f"stateful_high_{i}"] = _gate_summary(hr)
+            line["load_gate"][f"stateful_low_{i}"] = _gate_summary(lr)
     full_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_full.json")
     with open(full_path, "w") as fh:
         json.dump({**line, "extras": extras}, fh, indent=1)
