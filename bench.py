@@ -231,6 +231,12 @@ def crawl_bench(
             "deep_fetched": deep_fetched,
             "round_walls": [m["round_wall_s"] for m in measured],
             "round_selected": [m.get("selected", 0) for m in measured],
+            # per-phase walls summed over the measured rounds: separates
+            # data-scaled work from core-count-independent fixed cost
+            "timing_sums": {
+                key: round(sum(m.get("timings", {}).get(key, 0.0) for m in measured), 2)
+                for key in sorted({k for m in measured for k in m.get("timings", {})})
+            },
         }
     finally:
         spark.stop()

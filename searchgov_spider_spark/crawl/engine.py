@@ -476,7 +476,11 @@ class CrawlEngine:
             metrics, seen = self._run_round(rnd, frontier, seen, bloom, next_seq, frontier_hint)
             next_seq = metrics["next_seq"]
             frontier_hint = metrics["remaining"]
+            t_commit = time.monotonic()
             self.store.commit_round(rnd, {k: v for k, v in metrics.items() if k != "timings"} | {"timings": metrics["timings"]})
+            # loop-level (core-count-independent) driver costs, visible in
+            # run.metrics for the bench's fixed-cost accounting
+            metrics["timings"]["commit"] = round(time.monotonic() - t_commit, 3)
             run.metrics.append({"round": rnd, **metrics})
             run.rounds = rnd + 1
             if metrics["stop"]:

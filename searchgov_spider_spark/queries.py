@@ -805,6 +805,112 @@ def q48_embedding_dup_clusters(spark, sf_dir):
     )
 
 
+_Q49_ROBOTS: list[tuple[str, str]] = [
+    # agent-specific group beats the wildcard's delay
+    ("h-specific.example.gov",
+     "User-agent: usasearch\nCrawl-delay: 2\n\nUser-agent: *\nCrawl-delay: 9\n"),
+    # wildcard-only delay applies
+    ("h-wildcard.example.gov", "User-agent: *\nCrawl-delay: 4\n"),
+    # no delay directive -> the default 1.0 s budget
+    ("h-nodelay.example.gov", "User-agent: *\nDisallow: /x/\n"),
+    ("h-slow.example.gov", "User-agent: *\nCrawl-delay: 10\n"),
+    # fractional delays (the kernel parses floats; stdlib robotparser
+    # ignores non-integer values, so these rows are hand-derived in the
+    # oracle and the integer rows are robotparser-cross-checked)
+    ("h-fast.example.gov", "User-agent: *\nCrawl-delay: 0.25\n"),
+    ("h-frac.example.gov", "User-agent: usasearch\nCrawl-delay: 1.5\n"),
+]
+Q49_ROUND_SECONDS = 60.0
+
+
+def q49_politeness_budgets(spark, sf_dir):
+    """P1 politeness: per-host round budgets from robots Crawl-delay
+    (politeness.static_budgets — the algebraic collapse of the token
+    bucket at capacity == round length).  Literal robots texts exercise
+    agent-specific-beats-wildcard, wildcard-only, missing (default 1.0 s),
+    and fractional delays; budget = floor(round_seconds / delay)."""
+    from .crawl import politeness
+
+    robots = spark.createDataFrame(_Q49_ROBOTS, "host string, rules_text string")
+    return politeness.static_budgets(robots, Q49_ROUND_SECONDS).select("host", "budget")
+
+
+class _VirtualClock:
+    """Deterministic injected clock for the sitemap monitor: time advances
+    only through sleep()."""
+
+    def __init__(self) -> None:
+        self.t = 0.0
+
+    def clock(self) -> float:
+        return self.t
+
+    def sleep(self, s: float) -> None:
+        self.t += max(0.0, s)
+
+
+Q50_CADENCES_H = (1.0, 2.0, 5.0)
+Q50_MAX_CHECKS = 12
+
+
+def _q50_records():
+    from .sitemap_schedule import SitemapRecord
+
+    return [
+        SitemapRecord(
+            f"https://sm{k}.example.gov/sitemap.xml",
+            check_sitemap_hours=Q50_CADENCES_H[k],
+            batch_size=2,
+        )
+        for k in range(len(Q50_CADENCES_H))
+    ]
+
+
+def _q50_fetch_factory():
+    """Deterministic evolving sitemap: at its c-th check, sitemap k holds
+    (k + 2) * c URLs (so every check discovers k + 2 new ones) — a pure
+    function of the per-sitemap CHECK COUNT, which both the monitor and
+    the oracle's independent simulation derive from the schedule itself."""
+    counts: dict[str, int] = {}
+
+    def fetch(url: str) -> set[str]:
+        k = int(url.split("sm")[1].split(".")[0])
+        c = counts.get(url, 0) + 1
+        counts[url] = c
+        return {f"{url}#u{j}" for j in range((k + 2) * c)}
+
+    return fetch
+
+
+def q50_sitemap_schedule(spark, sf_dir):
+    """O5 sitemap monitor cadence (reference sitemap_monitor.py:297-371):
+    the min-heap re-check loop run to Q50_MAX_CHECKS pops over three
+    sitemaps with different cadences on an injected virtual clock — event
+    order, arrival timestamps (incl. 3 s inter-batch sleeps feeding back
+    into the schedule), new-URL diffs and batch counts.  The oracle
+    re-simulates the scheduling contract independently (scan-min instead
+    of a heap, its own diff bookkeeping)."""
+    from .sitemap_schedule import SitemapMonitor
+
+    vc = _VirtualClock()
+    monitor = SitemapMonitor(
+        _q50_records(),
+        fetch_urls=_q50_fetch_factory(),
+        crawl=lambda _url, _batch, _depth: None,
+        clock=vc.clock,
+        sleep=vc.sleep,
+    )
+    events = monitor.run(max_checks=Q50_MAX_CHECKS)
+    rows = [
+        (idx, e.sitemap_url, float(e.ts), e.n_new, e.n_total, len(e.batches))
+        for idx, e in enumerate(events)
+    ]
+    return spark.createDataFrame(
+        rows,
+        "check_idx int, sitemap_url string, ts double, n_new int, n_total int, n_batches int",
+    )
+
+
 # ---------------------------------------------------------------------------
 # registry + oracle SQL
 # ---------------------------------------------------------------------------
@@ -858,6 +964,8 @@ QUERIES = {
     "q46_corpus_curation": q46_corpus_curation,
     "q47_unigram_surprisal": q47_unigram_surprisal,
     "q48_embedding_dup_clusters": q48_embedding_dup_clusters,
+    "q49_politeness_budgets": q49_politeness_budgets,
+    "q50_sitemap_schedule": q50_sitemap_schedule,
 }
 
 _DUP_DOCS_SQL = (
