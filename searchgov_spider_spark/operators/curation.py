@@ -185,3 +185,56 @@ def stratified_sample(
         .filter(F.col("bucket") < F.coalesce("cutoff", F.lit(default_cutoff)))
         .drop("cutoff")
     )
+
+
+def hashed_classifier_score(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_buckets: int = 4096,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Model-based quality filtering with the hashing trick — the Spark
+    plumbing of a fastText/logistic quality classifier (the GPT-3/LLaMA
+    "looks-like-Wikipedia" curation stage), with a DETERMINISTIC weight
+    table so the oracle can re-derive every score without a model file:
+
+    - feature: each token hashes into one of ``n_buckets`` buckets via the
+      first 6 hex chars of md5(token) mod n_buckets (md5 exists identically
+      in Spark and the SQL oracle; a production swap-in would use the
+      trained model's own murmur bucketing here);
+    - weight(bucket) = (bucket * 2654435761 mod 2^16) / 2^16 - 0.5, a
+      Knuth-multiplicative pseudo-weight in [-0.5, 0.5) standing in for
+      trained coefficients;
+    - score = sig(8 * mean token weight) with the ALGEBRAIC sigmoid
+      sig(x) = 0.5 * (1 + x / (1 + |x|)) — same S-shape/range as the
+      logistic, but built only from IEEE-754 correctly-rounded ops
+      (+, *, /, abs), so Spark (JVM) and any SQL oracle (C libm) produce
+      bit-identical doubles; exp() differs by 1 ulp across libms and
+      flips round(., 6) boundaries.  ``keep`` = score >= threshold.
+
+    Scale shape: this is the important part — scoring is a PURE MAP: the
+    weight "table" is an arithmetic expression, so the 100-TB corpus is
+    scored inside whole-stage codegen with ZERO shuffles, zero joins, and
+    no Python.  A real trained model changes the constants (broadcast a
+    weight array and ``element_at`` it), never the shape.  Aggregate-free
+    per-doc mean via aggregate() over the token array — no explode, so no
+    row blow-up either.
+    """
+    toks = f"regexp_extract_all(lower({text_col}), '[a-z0-9]+', 0)"
+    # casts matter: a bare `65536.0` / `0.5` literal is DECIMAL in both Spark
+    # and DuckDB, and bigint/decimal division rounds in decimal digits — the
+    # weights stop being exact dyadic rationals and the two engines drift
+    w = (
+        f"transform({toks}, t -> "
+        f"((cast(conv(substring(md5(t), 1, 6), 16, 10) as bigint) % {n_buckets})"
+        f" * 2654435761 % 65536) / cast(65536 as double) - cast(0.5 as double))"
+    )
+    mean_w = f"aggregate({w}, cast(0.0 as double), (a, x) -> a + x) / greatest(size({toks}), 1)"
+    score = f"0.5 * (1.0 + (8.0 * ({mean_w})) / (1.0 + abs(8.0 * ({mean_w}))))"
+    return docs.select(
+        F.col(id_col),
+        F.expr(f"size({toks})").alias("n_tokens"),
+        F.round(F.expr(score), 6).alias("quality_score"),
+        (F.expr(score) >= F.lit(threshold)).alias("keep"),
+    )

@@ -175,3 +175,52 @@ def repetition_stats(
         dcol,
         ((F.col(tcol) > top_frac_max) | (F.col(dcol) > dup_frac_max)).alias("repetitive"),
     )
+
+
+def bigram_surprisal(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Conditional bigram surprisal — one LM order up from
+    :func:`unigram_surprisal`, the next step toward the KenLM 5-gram that
+    CCNet (Wenzek et al. 2020) scores with:
+
+    avg_bigram_surprisal = mean over adjacent token pairs (w1, w2) of
+    -log2( count(w1 w2) / count(w1 as a bigram prefix) )
+
+    i.e. the corpus's own maximum-likelihood P(w2 | w1); every scored
+    bigram is observed by construction, so no smoothing term is needed and
+    the score is exactly reproducible by the SQL oracle.
+
+    Scale shape: bigrams are formed JVM-side inside codegen (a transform
+    over token positions — no explode until the (doc, bigram) rows are
+    needed), then ONE groupBy on bigram builds the LM counts; the prefix
+    counts reuse the same exploded rows (split on the bigram's first
+    token) rather than re-scanning the corpus.  Both joins are
+    vocabulary-sized build sides with AQE skew handling for stopword hot
+    keys ('of the'-scale), the same shape q47 proved out.  Docs with < 2
+    tokens yield no bigrams and drop out (contract: they cannot be LM-scored).
+    """
+    toks = f"regexp_extract_all(lower({text_col}), '{TOKEN_PATTERN}', 0)"
+    bigrams = (
+        f"CASE WHEN size({toks}) >= 2 THEN "
+        f"transform(sequence(1, size({toks}) - 1), "
+        f"i -> concat(element_at({toks}, i), ' ', element_at({toks}, i + 1))) "
+        f"ELSE array() END"
+    )
+    bg = docs.select(F.col(id_col), F.explode(F.expr(bigrams)).alias("bg"))
+    lm = bg.groupBy("bg").agg(F.count("*").alias("bg_cnt"))
+    prefix = (
+        bg.select(F.expr("split(bg, ' ')[0]").alias("w1"))
+        .groupBy("w1")
+        .agg(F.count("*").alias("w1_cnt"))
+    )
+    return (
+        bg.join(lm, "bg")
+        .withColumn("w1", F.expr("split(bg, ' ')[0]"))
+        .join(prefix, "w1")
+        .groupBy(id_col)
+        .agg(
+            F.round(F.avg(-F.log2(F.col("bg_cnt") / F.col("w1_cnt"))), 6).alias(
+                "avg_bigram_surprisal"
+            ),
+            F.count("*").alias("n_scored_bigrams"),
+        )
+    )

@@ -911,6 +911,84 @@ def q50_sitemap_schedule(spark, sf_dir):
     )
 
 
+def q51_bigram_surprisal(spark, sf_dir):
+    """Conditional bigram surprisal (one LM order above q47's unigram) —
+    the corpus's own max-likelihood P(w2|w1) scored per doc, the shape a
+    KenLM-style CCNet quality stage takes in Spark: one groupBy builds the
+    LM, joins consume it distributed, no collect."""
+    return textstats.bigram_surprisal(_t(spark, sf_dir, "documents"))
+
+
+def q52_quality_classifier(spark, sf_dir):
+    """fastText-style hashed linear quality classifier: md5 hashing-trick
+    token buckets -> deterministic Knuth-multiplicative weights -> sigmoid
+    of the mean token weight.  Pure map, zero shuffle — the score a
+    trained model swap-in would compute with identical plumbing."""
+    return curation.hashed_classifier_score(_t(spark, sf_dir, "documents"))
+
+
+def q53_corpus_mixture(spark, sf_dir):
+    """Data-mixture report: per (lang, source) stratum doc counts, token
+    totals (whitespace tokens = budgeting unit), corpus share, and a
+    deterministic size rank — the table a training-data build publishes to
+    decide sampling weights.  Big side aggregates once (map-side partial
+    agg), the window runs over the tiny strata table only."""
+    from pyspark.sql import Window
+
+    docs = _t(spark, sf_dir, "documents")
+    base = docs.select(
+        "lang", "source", F.expr("size(regexp_extract_all(text, '\\\\S+', 0))").alias("nt")
+    )
+    agg = base.groupBy("lang", "source").agg(
+        F.count("*").alias("n_docs"), F.sum("nt").alias("total_tokens")
+    )
+    total = agg.agg(F.sum("total_tokens").alias("corpus_tokens"))
+    w = Window.orderBy(F.desc("total_tokens"), "lang", "source")
+    return (
+        agg.crossJoin(F.broadcast(total))
+        .select(
+            "lang",
+            "source",
+            "n_docs",
+            "total_tokens",
+            F.round(F.col("total_tokens") / F.col("corpus_tokens"), 6).alias("token_share"),
+        )
+        .withColumn("size_rank", F.row_number().over(w))
+    )
+
+
+# deterministic synthetic link graph over doc ids: three arithmetic
+# out-edges per node, self-loops removed — the same formula the oracle
+# derives independently in SQL (the OPERATOR under test is the PageRank
+# power iteration, not the graph synthesis)
+_Q54_EDGE_MULTS = ((7, 1), (13, 5), (31, 11))
+Q54_ITERATIONS = 5
+Q54_DAMPING = 0.85
+
+
+def q54_pagerank(spark, sf_dir):
+    """Link-graph PageRank (fixed 5-iteration power method, lost-mass
+    dangling contract) — the frontier-prioritization / corpus-weighting
+    signal a web-scale crawler layers over BFS (Common Crawl publishes
+    exactly this ranking).  Each iteration is one co-partitioned join +
+    one map-side-combined groupBy; lineage localCheckpoint-cut per
+    iteration (operators/graph.py)."""
+    from .operators import graph
+
+    docs = _t(spark, sf_dir, "documents").select(F.col("doc_id").cast("long").alias("id"))
+    n = docs.count()
+    dsts = ", ".join(f"(id * {a} + {b}) % {n}L" for a, b in _Q54_EDGE_MULTS)
+    edges = (
+        docs.select(F.col("id").alias("src"), F.explode(F.expr(f"array({dsts})")).alias("dst"))
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+    ranks = graph.pagerank(
+        edges, docs, id_col="id", n_iter=Q54_ITERATIONS, damping=Q54_DAMPING
+    )
+    return ranks.select(F.col("id").alias("doc_id"), "pagerank")
+
+
 # ---------------------------------------------------------------------------
 # registry + oracle SQL
 # ---------------------------------------------------------------------------
@@ -966,6 +1044,10 @@ QUERIES = {
     "q48_embedding_dup_clusters": q48_embedding_dup_clusters,
     "q49_politeness_budgets": q49_politeness_budgets,
     "q50_sitemap_schedule": q50_sitemap_schedule,
+    "q51_bigram_surprisal": q51_bigram_surprisal,
+    "q52_quality_classifier": q52_quality_classifier,
+    "q53_corpus_mixture": q53_corpus_mixture,
+    "q54_pagerank": q54_pagerank,
 }
 
 _DUP_DOCS_SQL = (
@@ -1314,7 +1396,102 @@ ORACLES = {
           AND n_unique_tokens * 1.0 / greatest(n_tokens, 1) >= 0.2
         GROUP BY lang
     """,
+    "q51_bigram_surprisal": f"""
+        WITH d AS (SELECT doc_id, {_TOKS} AS t FROM documents),
+        bg AS (SELECT doc_id, t[i] || ' ' || t[i+1] AS bg
+               FROM d, UNNEST(range(1, len(t))) AS u(i)),
+        lm AS (SELECT bg, count(*) AS bg_cnt FROM bg GROUP BY bg),
+        prefix AS (SELECT split_part(bg, ' ', 1) AS w1, count(*) AS w1_cnt
+                   FROM bg GROUP BY 1)
+        SELECT doc_id,
+               round(avg(-log2(bg_cnt * 1.0 / w1_cnt)), 6) AS avg_bigram_surprisal,
+               count(*) AS n_scored_bigrams
+        FROM bg JOIN lm USING (bg)
+        JOIN prefix ON split_part(bg.bg, ' ', 1) = prefix.w1
+        GROUP BY doc_id
+    """,
+    # weights are dyadic rationals ((n - 32768) / 65536), so the per-doc sum
+    # is EXACT in doubles on both engines — no summation-order drift; the
+    # sigmoid is the ALGEBRAIC x/(1+|x|) form (only IEEE correctly-rounded
+    # ops) because JVM Math.exp and C libm exp differ by 1 ulp and flip
+    # round(., 6) boundaries
+    "q52_quality_classifier": f"""
+        WITH d AS (SELECT doc_id, {_TOKS} AS t FROM documents),
+        tw AS (SELECT doc_id,
+                      -- CAST matters: a bare 65536.0 is a DECIMAL literal in
+                      -- DuckDB and silently moves the whole chain into
+                      -- decimal arithmetic, off Spark's double path
+                      ((('0x' || substring(md5(tok), 1, 6))::BIGINT % 4096)
+                       * 2654435761 % 65536) / CAST(65536 AS DOUBLE)
+                      - CAST(0.5 AS DOUBLE) AS w
+               FROM (SELECT doc_id, unnest(t) AS tok FROM d)),
+        m AS (SELECT doc_id, sum(w) / count(*) AS mean_w FROM tw GROUP BY doc_id),
+        s AS (SELECT doc_id,
+                     0.5 * (1.0 + (8.0 * coalesce(mean_w, 0.0))
+                            / (1.0 + abs(8.0 * coalesce(mean_w, 0.0)))) AS score
+              FROM d LEFT JOIN m USING (doc_id))
+        SELECT d.doc_id,
+               len(t) AS n_tokens,
+               round(score, 6) AS quality_score,
+               score >= 0.5 AS keep
+        FROM d JOIN s USING (doc_id)
+    """,
+    "q53_corpus_mixture": """
+        WITH agg AS (
+            SELECT lang, source, count(*) AS n_docs,
+                   CAST(sum(len(regexp_extract_all(text, '\\S+'))) AS BIGINT) AS total_tokens
+            FROM documents GROUP BY lang, source),
+        total AS (SELECT sum(total_tokens) AS corpus_tokens FROM agg)
+        SELECT lang, source, n_docs, total_tokens,
+               round(total_tokens * 1.0 / corpus_tokens, 6) AS token_share,
+               CAST(row_number() OVER (ORDER BY total_tokens DESC, lang, source) AS INT)
+                   AS size_rank
+        FROM agg CROSS JOIN total
+    """,
 }
+
+
+def _q54_oracle_sql() -> str:
+    """Independent 5-iteration power-method PageRank as chained SQL CTEs —
+    no recursion, no kernel import: each r{{i}} is derived from r{{i-1}} by
+    the textbook contribution join, over the same arithmetic edge formula
+    the Spark query states."""
+    dsts = ", ".join(f"(doc_id * {a} + {b}) % nn.n" for a, b in _Q54_EDGE_MULTS)
+    d = Q54_DAMPING
+    iters = []
+    for i in range(1, Q54_ITERATIONS + 1):
+        iters.append(f"""
+        r{i} AS (
+            SELECT nodes.id,
+                   (CAST(1.0 AS DOUBLE) - {d}) / nn.n
+                     + {d} * coalesce(c.mass, CAST(0.0 AS DOUBLE)) AS rank
+            FROM nodes CROSS JOIN nn
+            LEFT JOIN (
+                SELECT e.dst AS id, sum(r{i - 1}.rank / deg.out_deg) AS mass
+                FROM edges e
+                JOIN r{i - 1} ON r{i - 1}.id = e.src
+                JOIN deg ON deg.src = e.src
+                GROUP BY e.dst) c ON c.id = nodes.id)""")
+    return f"""
+        WITH nn AS (SELECT count(*) AS n FROM documents),
+        nodes AS (SELECT CAST(doc_id AS BIGINT) AS id FROM documents),
+        lst AS (
+            SELECT CAST(doc_id AS BIGINT) AS src, [{dsts}] AS dsts
+            FROM documents CROSS JOIN nn),
+        raw_edges AS (
+            -- positional lateral unnest: a select-list unnest alias that is
+            -- filtered in a later CTE trips a DuckDB binder assertion
+            SELECT src, CAST(dsts[i] AS BIGINT) AS dst
+            FROM lst, UNNEST(range(1, 1 + len(dsts))) AS u(i)),
+        edges AS (SELECT DISTINCT src, dst FROM raw_edges WHERE dst <> src),
+        deg AS (SELECT src, count(*) AS out_deg FROM edges GROUP BY src),
+        r0 AS (SELECT id, CAST(1.0 AS DOUBLE) / nn.n AS rank FROM nodes CROSS JOIN nn),
+        {",".join(iters)}
+        SELECT id AS doc_id, round(rank, 6) AS pagerank FROM r{Q54_ITERATIONS}
+    """
+
+
+ORACLES["q54_pagerank"] = _q54_oracle_sql()
 
 
 def entry(spark: SparkSession) -> DataFrame:
