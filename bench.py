@@ -77,6 +77,10 @@ BENCH_QUERIES = [
     "q45_dedup_clusters",
     # round-4: embedding-modality cluster assembly
     "q48_embedding_dup_clusters",
+    # round-5: LM scoring, pure-map classifier, iterative graph rank
+    "q51_bigram_surprisal",
+    "q52_quality_classifier",
+    "q54_pagerank",
 ]
 
 

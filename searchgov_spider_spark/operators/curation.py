@@ -238,3 +238,49 @@ def hashed_classifier_score(
         F.round(F.expr(score), 6).alias("quality_score"),
         (F.expr(score) >= F.lit(threshold)).alias("keep"),
     )
+
+
+def c4_line_filters(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_words_per_line: int = 3,
+    min_kept_lines: int = 3,
+) -> DataFrame:
+    """C4-style line and document filters (Raffel et al. 2020, §2.2 — the
+    cleaning recipe behind the C4 corpus), deterministic subset:
+
+    - a LINE survives iff (rtrimmed) it ends in terminal punctuation
+      (``.``, ``!``, ``?``, ``"``), has >= ``min_words_per_line``
+      whitespace-delimited words, and does not mention ``javascript``
+      (case-insensitive);
+    - a DOCUMENT survives iff its lowercased text contains neither
+      ``lorem ipsum`` nor ``{`` (the code/boilerplate tell) and at least
+      ``min_kept_lines`` lines survive (surrogate for C4's >= 5 sentences).
+
+    Returns (id, n_lines, n_kept_lines, doc_keep, kept_text) where
+    ``kept_text`` is the surviving lines re-joined with ``\\n`` in original
+    order — the cleaned document a downstream stage trains on.
+
+    Scale shape: a PURE MAP — the line split, per-line predicate, and
+    re-join all run on the array inside whole-stage codegen; zero shuffles,
+    zero joins, no Python.  (C4's fourth rule, three-sentence-span dedup,
+    is the cross-corpus shuffle op — that lives in :func:`line_dedup`.)
+    """
+    lines = f"split({text_col}, '\\n')"
+    keep = (
+        f"filter({lines}, l -> rtrim(l) rlike '[.!?\"]$' "
+        f"AND size(regexp_extract_all(l, '\\\\S+', 0)) >= {min_words_per_line} "
+        f"AND NOT contains(lower(l), 'javascript'))"
+    )
+    return docs.select(
+        F.col(id_col),
+        F.expr(f"size({lines})").alias("n_lines"),
+        F.expr(f"size({keep})").alias("n_kept_lines"),
+        (
+            ~F.lower(F.col(text_col)).contains("lorem ipsum")
+            & ~F.col(text_col).contains("{")
+            & (F.expr(f"size({keep})") >= F.lit(min_kept_lines))
+        ).alias("doc_keep"),
+        F.expr(f"array_join({keep}, '\\n')").alias("kept_text"),
+    )

@@ -224,3 +224,48 @@ def bigram_surprisal(docs: DataFrame, id_col: str = "doc_id", text_col: str = "t
             F.count("*").alias("n_scored_bigrams"),
         )
     )
+
+
+def vocab_coverage(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text", top_k: int = 20
+) -> DataFrame:
+    """Tokenizer-prep vocabulary table: the corpus's ``top_k`` most frequent
+    tokens with count, frequency rank, corpus share, and cumulative
+    coverage — the table a BPE/unigram tokenizer build reads to fix its
+    base vocabulary and to report how much of the corpus a vocab prefix
+    explains (coverage@k).
+
+    Ties break lexicographically (count DESC, token ASC) so the table is
+    fully deterministic.
+
+    Scale shape: one groupBy on token (uniform keys, map-side partial agg)
+    -> TakeOrderedAndProject(top_k) — the full vocabulary is never
+    globally sorted and never collected; the window that assigns rank and
+    cumulative share runs over the ``top_k``-row result only (bounded by
+    construction), with the corpus total joined in as a 1-row broadcast.
+    """
+    from pyspark.sql import Window
+
+    toks = f"regexp_extract_all(lower({text_col}), '{TOKEN_PATTERN}', 0)"
+    counts = (
+        docs.select(F.explode(F.expr(toks)).alias("token"))
+        .groupBy("token")
+        .agg(F.count("*").alias("n"))
+    )
+    total = counts.agg(F.sum("n").alias("corpus_tokens"))
+    top = counts.orderBy(F.desc("n"), "token").limit(top_k)
+    w = Window.orderBy(F.desc("n"), "token")
+    return (
+        top.crossJoin(F.broadcast(total))
+        .select(
+            "token",
+            "n",
+            F.row_number().over(w).alias("rank"),
+            F.round(F.col("n") / F.col("corpus_tokens"), 6).alias("share"),
+            F.round(
+                F.sum("n").over(w.rowsBetween(Window.unboundedPreceding, 0))
+                / F.col("corpus_tokens"),
+                6,
+            ).alias("cum_coverage"),
+        )
+    )

@@ -989,6 +989,41 @@ def q54_pagerank(spark, sf_dir):
     return ranks.select(F.col("id").alias("doc_id"), "pagerank")
 
 
+def q55_c4_filters(spark, sf_dir):
+    """C4-style line + document filters (Raffel et al. 2020) over docs given
+    deterministic line structure: 10-token lines with arithmetic punctuation
+    / 'javascript' / short-line injections plus per-doc 'lorem ipsum' and
+    '{' tells, so every rule branch fires.  The OPERATOR under test is
+    curation.c4_line_filters (pure map, zero shuffle); the synthesis is
+    re-derived verbatim by the SQL oracle, the q54/q43 pattern."""
+    toks = f"regexp_extract_all(lower(text), '{TOKEN_PATTERN}', 0)"
+    deco = (
+        f"transform({_LINES_EXPR.format(t=toks)}, (l, i) -> "
+        "CASE WHEN (doc_id + i) % 13 = 0 THEN 'too short.' "
+        "WHEN (doc_id * 7 + i) % 11 = 0 THEN concat(l, ' javascript.') "
+        "ELSE concat(l, CASE (doc_id + i) % 4 "
+        "WHEN 0 THEN '.' WHEN 1 THEN '!' WHEN 2 THEN '?' ELSE '' END) END)"
+    )
+    lined = (
+        f"array_join(concat({deco}, "
+        "CASE WHEN doc_id % 17 = 0 THEN array('lorem ipsum is standard.') ELSE array() END, "
+        "CASE WHEN doc_id % 19 = 0 THEN array('see config { x } here.') ELSE array() END), "
+        "'\\n')"
+    )
+    d = _t(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("long").alias("doc_id"), F.expr(lined).alias("text")
+    )
+    return curation.c4_line_filters(d)
+
+
+def q56_vocab_coverage(spark, sf_dir):
+    """Tokenizer-prep vocabulary table: top-20 corpus tokens with count,
+    rank, share, cumulative coverage.  groupBy(token) with partial agg ->
+    TakeOrderedAndProject(20); the rank/cumsum window runs over the 20-row
+    result only, corpus total joined as a 1-row broadcast."""
+    return textstats.vocab_coverage(_t(spark, sf_dir, "documents"))
+
+
 # ---------------------------------------------------------------------------
 # registry + oracle SQL
 # ---------------------------------------------------------------------------
@@ -1048,6 +1083,8 @@ QUERIES = {
     "q52_quality_classifier": q52_quality_classifier,
     "q53_corpus_mixture": q53_corpus_mixture,
     "q54_pagerank": q54_pagerank,
+    "q55_c4_filters": q55_c4_filters,
+    "q56_vocab_coverage": q56_vocab_coverage,
 }
 
 _DUP_DOCS_SQL = (
@@ -1492,6 +1529,66 @@ def _q54_oracle_sql() -> str:
 
 
 ORACLES["q54_pagerank"] = _q54_oracle_sql()
+
+# q55: the line synthesis re-derived verbatim (10-token chunking, arithmetic
+# punct/javascript/short-line injections, lorem/'{' doc tells), then the C4
+# rules applied independently with DuckDB list lambdas
+ORACLES["q55_c4_filters"] = """
+    WITH t AS (
+        SELECT CAST(doc_id AS BIGINT) AS doc_id,
+               regexp_extract_all(lower(text), '[a-z0-9]+') AS tk
+        FROM documents),
+    base AS (
+        SELECT doc_id,
+               CASE WHEN len(tk) = 0 THEN []
+                    ELSE list_transform(range(CAST(ceil(len(tk) / 10.0) AS BIGINT)),
+                         i -> array_to_string(list_slice(tk, i * 10 + 1, i * 10 + 10), ' '))
+               END AS bl
+        FROM t),
+    deco AS (
+        SELECT doc_id,
+               list_transform(range(len(bl)), i ->
+                   CASE WHEN (doc_id + i) % 13 = 0 THEN 'too short.'
+                        WHEN (doc_id * 7 + i) % 11 = 0 THEN bl[i + 1] || ' javascript.'
+                        ELSE bl[i + 1] || CASE (doc_id + i) % 4
+                             WHEN 0 THEN '.' WHEN 1 THEN '!' WHEN 2 THEN '?' ELSE '' END
+                   END)
+               || CASE WHEN doc_id % 17 = 0 THEN ['lorem ipsum is standard.'] ELSE [] END
+               || CASE WHEN doc_id % 19 = 0 THEN ['see config { x } here.'] ELSE [] END
+               AS ls
+        FROM base),
+    txt AS (SELECT doc_id, ls, array_to_string(ls, chr(10)) AS text FROM deco),
+    k AS (
+        SELECT doc_id,
+               list_filter(ls, l -> regexp_matches(rtrim(l), '[.!?"]$')
+                   AND len(regexp_extract_all(l, '\\S+')) >= 3
+                   AND NOT contains(lower(l), 'javascript')) AS kept
+        FROM txt)
+    SELECT txt.doc_id,
+           len(ls) AS n_lines,
+           len(kept) AS n_kept_lines,
+           (NOT contains(lower(text), 'lorem ipsum') AND NOT contains(text, '{')
+            AND len(kept) >= 3) AS doc_keep,
+           -- array_to_string([]) is NULL in DuckDB; Spark array_join gives ''
+           coalesce(array_to_string(kept, chr(10)), '') AS kept_text
+    FROM txt JOIN k USING (doc_id)
+"""
+
+ORACLES["q56_vocab_coverage"] = """
+    WITH toks AS (
+        SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS token
+        FROM documents),
+    counts AS (SELECT token, count(*) AS n FROM toks GROUP BY token),
+    total AS (SELECT sum(n) AS corpus_tokens FROM counts),
+    top AS (SELECT token, n FROM counts ORDER BY n DESC, token LIMIT 20)
+    SELECT token, n,
+           CAST(row_number() OVER (ORDER BY n DESC, token) AS INT) AS rank,
+           round(n * 1.0 / corpus_tokens, 6) AS share,
+           round(sum(n) OVER (ORDER BY n DESC, token
+                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                 * 1.0 / corpus_tokens, 6) AS cum_coverage
+    FROM top CROSS JOIN total
+"""
 
 
 def entry(spark: SparkSession) -> DataFrame:

@@ -182,3 +182,73 @@ class TestStratifiedSample:
         plan = plan_of(curation.stratified_sample(self._docs(spark), self.CUTOFFS))
         assert "Exchange hashpartitioning" not in plan
         assert "BroadcastHashJoin" in plan
+
+
+class TestC4LineFilters:
+    def test_rules_hand_checked(self, spark):
+        from searchgov_spider_spark.operators import curation
+
+        rows = [
+            # 3 good lines -> doc kept
+            (0, "one two three.\nfour five six!\nseven eight nine?"),
+            # good lines but a '{' tell -> doc dropped ('{' also sinks its line)
+            (1, "one two three.\nfour five six.\nseven eight nine. {"),
+            # lorem ipsum tell -> dropped
+            (2, "one two three.\nfour five six.\nseven eight lorem ipsum nine."),
+            # line-level rules: no terminal punct / too few words / javascript
+            (3, "no terminal punct here\ntwo words.\nenable javascript to view.\na good line stays here.\nsecond good line is kept.\nthird good line also kept."),
+            (4, ""),
+        ]
+        docs = spark.createDataFrame(rows, "doc_id long, text string")
+        got = {r["doc_id"]: r.asDict() for r in curation.c4_line_filters(docs).collect()}
+        assert got[0]["doc_keep"] and got[0]["n_kept_lines"] == 3
+        assert not got[1]["doc_keep"] and got[1]["n_kept_lines"] == 2
+        assert not got[2]["doc_keep"]
+        assert got[3]["n_lines"] == 6 and got[3]["n_kept_lines"] == 3
+        assert got[3]["doc_keep"]
+        assert got[3]["kept_text"] == (
+            "a good line stays here.\nsecond good line is kept.\nthird good line also kept."
+        )
+        assert got[4]["n_kept_lines"] == 0 and not got[4]["doc_keep"]
+
+    def test_pure_map_plan(self, spark):
+        """100-TB contract: the whole filter is map-side codegen — no
+        exchange, no Python stage."""
+        import io
+        from contextlib import redirect_stdout
+
+        from searchgov_spider_spark.operators import curation
+
+        docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        buf = io.StringIO()
+        with redirect_stdout(buf):
+            curation.c4_line_filters(docs).explain("simple")
+        plan = buf.getvalue()
+        assert "Exchange" not in plan
+        assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+
+
+class TestVocabCoverage:
+    def test_hand_checked_and_topk_plan(self, spark):
+        import io
+        from contextlib import redirect_stdout
+
+        from searchgov_spider_spark.operators import textstats
+
+        rows = [(0, "a a a b b c"), (1, "a b d")]
+        docs = spark.createDataFrame(rows, "doc_id long, text string")
+        out = textstats.vocab_coverage(docs, top_k=3).collect()
+        assert [(r["token"], r["n"], r["rank"]) for r in out] == [
+            ("a", 4, 1), ("b", 3, 2), ("c", 1, 3)
+        ]
+        # corpus = 9 tokens; shares and cumulative coverage over the top-3
+        assert out[0]["share"] == round(4 / 9, 6)
+        assert out[1]["cum_coverage"] == round(7 / 9, 6)
+        assert out[2]["cum_coverage"] == round(8 / 9, 6)
+
+        # the full vocab is never globally sorted: top-k must be
+        # TakeOrderedAndProject, not a global Sort over the counts
+        buf = io.StringIO()
+        with redirect_stdout(buf):
+            textstats.vocab_coverage(docs, top_k=3).explain("simple")
+        assert "TakeOrderedAndProject" in buf.getvalue()
