@@ -5,14 +5,16 @@ metadata struct; decode / feature-extraction runs through ``mapInPandas`` so
 each Arrow batch is processed vectorized.
 
 Two decode depths:
-  * REAL: image dimensions are parsed from the container headers in pure
-    Python — PNG IHDR and JPEG SOFn need no pillow — so the width/height
-    path is a genuine decoder, not a stub.
-  * STUBBED: pixel/sample feature extraction (the pillow/ffmpeg step) —
-    ``fake_decode=True`` produces a deterministic hash-derived unit vector
-    so the Spark-side plumbing (schema, partitioning, batch shape, UDF
-    signature) is fully real and testable; ``fake_decode=False`` raises
-    NotImplementedError where the real library call would go.
+  * REAL: image dimensions parse from the container headers in pure Python
+    (PNG IHDR / JPEG SOFn); 8-bit gray, RGB and palette PNG pixels decode
+    for real (IDAT inflate + row-unfilter + PLTE lookup); 16-bit PCM WAV
+    samples decode for real (RIFF chunk walk) — no pillow/ffmpeg needed
+    for any of these paths.
+  * STUBBED: everything beyond (JPEG entropy decode, compressed audio,
+    video) — ``fake_decode=True`` produces a deterministic hash-derived
+    unit vector so the Spark-side plumbing (schema, partitioning, batch
+    shape, UDF signature) is fully real and testable; ``fake_decode=False``
+    raises NotImplementedError where the real library call would go.
 """
 
 from __future__ import annotations
@@ -55,10 +57,15 @@ FEATURE_SCHEMA = T.StructType(
         T.StructField("n_bytes", T.IntegerType()),
         T.StructField("width", T.IntegerType()),
         T.StructField("height", T.IntegerType()),
-        # REAL pixel statistics (8-bit gray PNG decode, pure Python);
-        # null for formats whose pixel decode still needs pillow/ffmpeg
+        # REAL pixel statistics (8-bit gray/RGB/palette PNG decode, pure
+        # Python); null for formats whose pixel decode still needs pillow
         T.StructField("pix_mean", T.DoubleType()),
         T.StructField("pix_std", T.DoubleType()),
+        # REAL audio statistics (PCM WAV decode, pure Python RIFF parse);
+        # null for non-WAV audio (mp3/aac need ffmpeg)
+        T.StructField("sample_rate", T.IntegerType()),
+        T.StructField("n_samples", T.IntegerType()),
+        T.StructField("rms", T.DoubleType()),
     ]
 )
 
@@ -124,16 +131,26 @@ def png_pixels(width: int, height: int, body_seed: bytes, channels: int = 1) -> 
     return reps[:n]
 
 
+def png_palette(body_seed: bytes) -> bytes:
+    """The fixture palette formula: entry ``p``'s RGB triplet is seed bytes
+    ``(3p, 3p+1, 3p+2) mod len(seed)`` — shared with the q27 oracle, which
+    re-derives expected palette-PNG pixel stats from this formula without
+    running the decoder."""
+    seed = body_seed or b"\x00"
+    return bytes(seed[k % len(seed)] for k in range(256 * 3))
+
+
 def make_png(width: int, height: int, body_seed: bytes = b"", color_type: int = 0) -> bytes:
-    """Fully-valid 8-bit PNG (signature + IHDR + IDAT + IEND) for fixtures
-    — correct CRCs, REAL deterministic pixel data (``png_pixels``), rows
-    filtered with cycling PNG filter types 0-4 so the decoder's unfilter
-    dispatch is exercised.  ``color_type`` 0 = grayscale, 2 = RGB truecolor
-    (bpp=3 filter look-back, the dominant real-world flavor)."""
+    """Fully-valid 8-bit PNG (signature + IHDR [+ PLTE] + IDAT + IEND) for
+    fixtures — correct CRCs, REAL deterministic pixel data (``png_pixels``),
+    rows filtered with cycling PNG filter types 0-4 so the decoder's
+    unfilter dispatch is exercised.  ``color_type`` 0 = grayscale, 2 = RGB
+    truecolor (bpp=3 filter look-back, the dominant real-world flavor),
+    3 = palette-indexed (PLTE lookup, the icon/diagram flavor)."""
     from ..kernels.pdfx import png_predictor_encode
 
-    if color_type not in (0, 2):
-        raise ValueError("fixture builder supports gray (0) and RGB (2)")
+    if color_type not in (0, 2, 3):
+        raise ValueError("fixture builder supports gray (0), RGB (2), palette (3)")
     channels = 3 if color_type == 2 else 1
 
     def chunk(ctype: bytes, data: bytes) -> bytes:
@@ -149,17 +166,18 @@ def make_png(width: int, height: int, body_seed: bytes = b"", color_type: int = 
     idat = zlib.compress(
         png_predictor_encode(raw, [0, 1, 2, 3, 4], colors=channels, columns=width)
     )
-    return _PNG_SIG + chunk(b"IHDR", ihdr) + chunk(b"IDAT", idat) + chunk(b"IEND", b"")
+    plte = chunk(b"PLTE", png_palette(body_seed)) if color_type == 3 else b""
+    return _PNG_SIG + chunk(b"IHDR", ihdr) + plte + chunk(b"IDAT", idat) + chunk(b"IEND", b"")
 
 
 def png_decode(payload: bytes) -> np.ndarray:
-    """REAL pixel decode for 8-bit grayscale (color 0) and RGB truecolor
-    (color 2) non-interlaced PNG — pure Python/zlib: chunk walk,
-    concatenated-IDAT inflate, PNG row-filter reversal (None/Sub/Up/
-    Average/Paeth with the channel-count bpp look-back).  Returns (h, w)
-    uint8 for gray, (h, w, 3) for RGB; raises ValueError for other flavors
-    (palette/16-bit/interlaced, which would need pillow) or malformed
-    data."""
+    """REAL pixel decode for 8-bit grayscale (color 0), RGB truecolor
+    (color 2) and palette-indexed (color 3) non-interlaced PNG — pure
+    Python/zlib: chunk walk, concatenated-IDAT inflate, PNG row-filter
+    reversal (None/Sub/Up/Average/Paeth with the channel-count bpp
+    look-back), PLTE index lookup for color 3.  Returns (h, w) uint8 for
+    gray, (h, w, 3) for RGB/palette; raises ValueError for other flavors
+    (alpha/16-bit/interlaced, which would need pillow) or malformed data."""
     from ..kernels.pdfx import apply_png_predictor
 
     if not payload.startswith(_PNG_SIG):
@@ -170,8 +188,10 @@ def png_decode(payload: bytes) -> np.ndarray:
     try:
         pos = 8
         width = height = None
+        color = 0
         channels = 1
         idat = bytearray()
+        plte = None
         while pos + 8 <= len(payload):
             (length,) = struct.unpack(">I", payload[pos : pos + 4])
             ctype = payload[pos + 4 : pos + 8]
@@ -179,11 +199,15 @@ def png_decode(payload: bytes) -> np.ndarray:
             pos += 12 + length  # length + type + data + crc
             if ctype == b"IHDR":
                 width, height, depth, color, _comp, _filt, interlace = struct.unpack(">IIBBBBB", data)
-                if depth != 8 or color not in (0, 2) or interlace != 0:
+                if depth != 8 or color not in (0, 2, 3) or interlace != 0:
                     raise ValueError(
                         f"unsupported PNG flavor (depth={depth} color={color} interlace={interlace})"
                     )
                 channels = 3 if color == 2 else 1
+            elif ctype == b"PLTE":
+                if length % 3:
+                    raise ValueError("malformed PLTE (length not a multiple of 3)")
+                plte = data
             elif ctype == b"IDAT":
                 idat.extend(data)
             elif ctype == b"IEND":
@@ -199,6 +223,13 @@ def png_decode(payload: bytes) -> np.ndarray:
     if len(raw) < n:
         raise ValueError("truncated PNG pixel data")
     arr = np.frombuffer(raw[:n], dtype=np.uint8)
+    if color == 3:
+        if plte is None:
+            raise ValueError("palette PNG without PLTE")
+        pal = np.frombuffer(plte, dtype=np.uint8).reshape(-1, 3)
+        if int(arr.max(initial=0)) >= len(pal):
+            raise ValueError("palette index out of range")
+        return pal[arr].reshape(height, width, 3)
     return arr.reshape(height, width) if channels == 1 else arr.reshape(height, width, 3)
 
 
@@ -224,6 +255,74 @@ def make_jpeg(width: int, height: int, body_seed: bytes = b"") -> bytes:
     )
 
 
+_RIFF = b"RIFF"
+
+
+def wav_samples(n_samples: int, body_seed: bytes) -> np.ndarray:
+    """The fixture PCM formula: sample k is the little-endian int16 built
+    from seed bytes ``(2k, 2k+1) mod len(seed)`` — shared with the q27
+    oracle, which computes expected rms from this formula WITHOUT running
+    the decoder."""
+    seed = body_seed or b"\x00"
+    raw = (seed * (2 * n_samples // len(seed) + 1))[: 2 * n_samples]
+    return np.frombuffer(raw, dtype="<i2")
+
+
+def make_wav(n_samples: int, sample_rate: int, body_seed: bytes = b"") -> bytes:
+    """Fully-valid mono 16-bit PCM WAV (RIFF + fmt + data) for fixtures with
+    REAL deterministic sample data (``wav_samples``)."""
+    pcm = wav_samples(n_samples, body_seed).tobytes()
+    fmt = struct.pack("<HHIIHH", 1, 1, sample_rate, sample_rate * 2, 2, 16)
+    body = b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt + b"data" + struct.pack("<I", len(pcm)) + pcm
+    return _RIFF + struct.pack("<I", len(body)) + body
+
+
+def wav_decode(payload: bytes) -> tuple[int, np.ndarray]:
+    """REAL PCM decode for 16-bit integer WAV — pure Python RIFF chunk walk
+    (no wave-module dependency on file paths, no ffmpeg): returns
+    (sample_rate, int16 sample array, channels interleaved).  Raises
+    ValueError for non-WAV payloads, compressed/float formats, or
+    malformed/truncated chunks."""
+    if len(payload) < 12 or payload[:4] != _RIFF or payload[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE payload")
+    try:
+        pos = 12
+        sample_rate = None
+        bits = None
+        pcm = None
+        while pos + 8 <= len(payload):
+            cid = payload[pos : pos + 4]
+            (length,) = struct.unpack("<I", payload[pos + 4 : pos + 8])
+            data = payload[pos + 8 : pos + 8 + length]
+            if len(data) < length:
+                raise ValueError("truncated WAV chunk")
+            pos += 8 + length + (length & 1)  # chunks are word-aligned
+            if cid == b"fmt ":
+                fmt_tag, _ch, sample_rate, _br, _ba, bits = struct.unpack("<HHIIHH", data[:16])
+                if fmt_tag != 1 or bits != 16:
+                    raise ValueError(f"unsupported WAV format (tag={fmt_tag} bits={bits})")
+            elif cid == b"data":
+                pcm = data
+    except struct.error as exc:
+        raise ValueError(f"malformed WAV: {exc}") from exc
+    if sample_rate is None or pcm is None:
+        raise ValueError("malformed WAV (missing fmt/data)")
+    return sample_rate, np.frombuffer(pcm[: len(pcm) // 2 * 2], dtype="<i2")
+
+
+def real_wav_features(samples: np.ndarray, dim: int = FEATURE_DIM) -> np.ndarray:
+    """REAL sample-derived feature vector for decoded PCM audio, same
+    layout discipline as :func:`real_png_features`: [mean, std, min, max]
+    of the [-1, 1)-normalized signal followed by a (dim-4)-bin normalized
+    amplitude histogram."""
+    x = samples.astype(np.float64) / 32768.0
+    if x.size == 0:
+        x = np.zeros(1)
+    hist, _ = np.histogram(x, bins=dim - 4, range=(-1.0, 1.0))
+    head = np.array([x.mean(), x.std(), x.min(), x.max()])
+    return np.concatenate([head, hist / max(1, x.size)]).astype(np.float32)
+
+
 def _fake_features(payload: bytes, dim: int = FEATURE_DIM) -> np.ndarray:
     """Deterministic stand-in for a real decoder: blake2b-seeded unit vector."""
     digest = hashlib.blake2b(payload, digest_size=dim * 4).digest()
@@ -247,18 +346,22 @@ def extract_features(media: DataFrame, fake_decode: bool = True) -> DataFrame:
     """Batch feature extraction over binary media via mapInPandas.
 
     width/height come from a REAL pure-Python container-header decode (PNG
-    IHDR / JPEG SOFn; null for other payloads), and 8-bit gray PNGs get a
-    REAL pixel decode (``png_decode_gray``: IDAT inflate + row-unfilter) —
-    pix_mean/pix_std are genuine pixel statistics.  The ``feature`` vector
+    IHDR / JPEG SOFn; null for other payloads); 8-bit gray/RGB/palette PNGs
+    get a REAL pixel decode (``png_decode``: IDAT inflate + row-unfilter
+    [+ PLTE lookup]) so pix_mean/pix_std are genuine pixel statistics; and
+    16-bit PCM WAV payloads get a REAL sample decode (``wav_decode``: RIFF
+    chunk walk) feeding sample_rate/n_samples/rms.  The ``feature`` vector
     is the documented deterministic stub when ``fake_decode=True``; with
     ``fake_decode=False`` PNGs produce REAL pixel features
-    (``real_png_features``) and other formats raise NotImplementedError
+    (``real_png_features``), WAVs REAL sample features
+    (``real_wav_features``), and other formats raise NotImplementedError
     (pillow/ffmpeg absent here)."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             feats, nbytes, widths, heights = [], [], [], []
             pmeans, pstds = [], []
+            srates, nsamps, rmss = [], [], []
             for payload in pdf["payload"]:
                 if payload is None:
                     feats.append(None)
@@ -267,6 +370,9 @@ def extract_features(media: DataFrame, fake_decode: bool = True) -> DataFrame:
                     heights.append(None)
                     pmeans.append(None)
                     pstds.append(None)
+                    srates.append(None)
+                    nsamps.append(None)
+                    rmss.append(None)
                     continue
                 raw = bytes(payload)
                 dims = image_dims(raw)
@@ -285,13 +391,32 @@ def extract_features(media: DataFrame, fake_decode: bool = True) -> DataFrame:
                 else:
                     pmeans.append(None)
                     pstds.append(None)
+                samples = None
+                if raw.startswith(_RIFF):
+                    try:
+                        rate, samples = wav_decode(raw)
+                    except ValueError:
+                        samples = None  # non-PCM / damaged: stats stay null
+                if samples is not None:
+                    srates.append(rate)
+                    nsamps.append(len(samples))
+                    x = samples.astype(np.float64) / 32768.0
+                    rmss.append(float(np.sqrt(np.mean(np.square(x)))) if len(x) else 0.0)
+                else:
+                    srates.append(None)
+                    nsamps.append(None)
+                    rmss.append(None)
                 if not fake_decode:
-                    if pixels is None:
+                    if pixels is not None:
+                        feats.append(real_png_features(pixels).tolist())
+                    elif samples is not None:
+                        feats.append(real_wav_features(samples).tolist())
+                    else:
                         raise NotImplementedError(
-                            "real decode beyond gray-8/RGB-8 PNG requires pillow/"
-                            "ffmpeg; not available in this environment"
+                            "real decode beyond gray/RGB/palette-8 PNG and PCM-16 "
+                            "WAV requires pillow/ffmpeg; not available in this "
+                            "environment"
                         )
-                    feats.append(real_png_features(pixels).tolist())
                 else:
                     feats.append(_fake_features(raw).tolist())
                 nbytes.append(len(raw))
@@ -305,6 +430,9 @@ def extract_features(media: DataFrame, fake_decode: bool = True) -> DataFrame:
                     "height": pd.Series(heights, dtype="Int32"),
                     "pix_mean": pd.Series(pmeans, dtype="float64"),
                     "pix_std": pd.Series(pstds, dtype="float64"),
+                    "sample_rate": pd.Series(srates, dtype="Int32"),
+                    "n_samples": pd.Series(nsamps, dtype="Int32"),
+                    "rms": pd.Series(rmss, dtype="float64"),
                 }
             )
 
@@ -313,8 +441,10 @@ def extract_features(media: DataFrame, fake_decode: bool = True) -> DataFrame:
 
 def synthetic_media(spark, n: int = 64) -> DataFrame:
     """Deterministic fake media table for plumbing tests: image rows carry
-    REAL PNG/JPEG containers (alternating) with deterministic dimensions;
-    audio/video stay opaque hash blobs."""
+    REAL PNG/JPEG containers (alternating) with deterministic dimensions —
+    PNG rows cycle gray / RGB (i%12==6) / palette (i%24==0) flavors; every
+    other audio row carries a REAL PCM-16 WAV; remaining audio and all
+    video stay opaque hash blobs (the ffmpeg-needing path)."""
     rows = []
     for i in range(n):
         mtype = ("image", "audio", "video")[i % 3]
@@ -322,12 +452,16 @@ def synthetic_media(spark, n: int = 64) -> DataFrame:
         if mtype == "image":
             w, h = 16 + (i % 9) * 8, 12 + (i % 5) * 16
             if i % 2 == 0:
-                # every other PNG row is RGB truecolor (color type 2), the
-                # dominant real-world flavor — bpp=3 unfilter exercised
-                payload = make_png(w, h, blob, color_type=2 if i % 12 == 6 else 0)
+                ct = 2 if i % 12 == 6 else (3 if i % 24 == 0 else 0)
+                payload = make_png(w, h, blob, color_type=ct)
             else:
                 payload = make_jpeg(w, h, blob)
             meta = (w, h, 0, "png" if i % 2 == 0 else "jpeg")
+        elif mtype == "audio" and i % 6 == 1:
+            rate = 8000 * (1 + i % 3)
+            n_samp = 400 + (i % 7) * 150
+            payload = make_wav(n_samp, rate, blob)
+            meta = (None, None, int(n_samp * 1000 / rate), "wav")
         else:
             payload = blob
             meta = (None, None, 1000 * (i % 7), "fake")

@@ -355,10 +355,12 @@ def q26_ann_lsh(spark, sf_dir):
 
 def q27_multimodal_features(spark, sf_dir):
     """Binary-media plumbing via mapInPandas: REAL PNG/JPEG header decode
-    for width/height, REAL 8-bit-gray PNG pixel decode (IDAT inflate +
-    row-unfilter) for pix_mean/pix_std, deterministic stub for the
-    pixel-feature vector (the oracle re-derives pixel stats from the
-    fixture's generation formula, so a broken unfilter cannot self-verify)."""
+    for width/height, REAL gray/RGB/palette PNG pixel decode (IDAT inflate
+    + row-unfilter + PLTE lookup) for pix_mean/pix_std, REAL PCM-16 WAV
+    decode (RIFF walk) for sample_rate/n_samples/rms, deterministic stub
+    for the pixel-feature vector (the oracle re-derives every stat from
+    the fixtures' generation formulas, so a broken decoder cannot
+    self-verify)."""
     from .operators import multimodal
 
     media = multimodal.synthetic_media(spark, n=96)
@@ -372,6 +374,8 @@ def q27_multimodal_features(spark, sf_dir):
         "width", "height",
         F.round("pix_mean", 5).alias("pix_mean"),
         F.round("pix_std", 5).alias("pix_std"),
+        "sample_rate", "n_samples",
+        F.round("rms", 5).alias("rms"),
     )
 
 

@@ -107,9 +107,9 @@ class TestMultimodal:
         again = multimodal.extract_features(multimodal.synthetic_media(spark, n=30)).collect()
         assert [r["feature"] for r in feats] == [r["feature"] for r in again]
 
-    def test_real_decode_is_stubbed_beyond_gray_png(self, spark):
-        # audio/video (and jpeg) pixel decode still needs pillow/ffmpeg
-        media = multimodal.synthetic_media(spark, n=3)  # row 1 = audio
+    def test_real_decode_is_stubbed_beyond_png_and_wav(self, spark):
+        # video (and jpeg, mp3-style audio) decode still needs pillow/ffmpeg
+        media = multimodal.synthetic_media(spark, n=3)  # row 2 = opaque video
         with pytest.raises(Exception, match="NotImplementedError|not available"):
             multimodal.extract_features(media, fake_decode=False).collect()
 
@@ -127,9 +127,13 @@ class TestMultimodal:
             assert px.tobytes() == multimodal.png_pixels(w, h, blob)
         # unsupported flavors refuse rather than mis-decode
         bad = bytearray(multimodal.make_png(8, 8, b"x"))
-        bad[25] = 3  # IHDR color type byte (sig 8 + len/type 8 + w/h 8 + depth 1) -> palette
+        bad[25] = 4  # IHDR color type byte (sig 8 + len/type 8 + w/h 8 + depth 1) -> gray+alpha
         with pytest.raises(ValueError, match="unsupported PNG flavor"):
             multimodal.png_decode_gray(bytes(bad))
+        # palette WITHOUT its PLTE chunk is malformed, not mis-decoded
+        bad[25] = 3
+        with pytest.raises(ValueError, match="without PLTE"):
+            multimodal.png_decode(bytes(bad))
 
     def test_png_rgb_pixel_decode_matches_generation_formula(self):
         """RGB truecolor (color type 2, round-5): the bpp=3 row-unfilter
@@ -157,6 +161,62 @@ class TestMultimodal:
         corrupt[idat_at + 4 : idat_at + 8] = b"\xde\xad\xbe\xef"
         with pytest.raises(ValueError):
             multimodal.png_decode_gray(bytes(corrupt))
+
+    def test_palette_png_decode_matches_formula(self):
+        """Palette-indexed (color type 3, round-5): decode must unfilter the
+        1-byte index plane then map through the PLTE triplets — equal to
+        applying the palette formula to the index formula directly."""
+        import hashlib
+
+        for i in (0, 24, 48):
+            blob = hashlib.blake2b(f"media:{i}".encode(), digest_size=64).digest() * (i % 4 + 1)
+            w, h = 16 + (i % 9) * 8, 12 + (i % 5) * 16
+            px = multimodal.png_decode(multimodal.make_png(w, h, blob, color_type=3))
+            assert px.shape == (h, w, 3)
+            idx = np.frombuffer(multimodal.png_pixels(w, h, blob), dtype=np.uint8)
+            pal = np.frombuffer(multimodal.png_palette(blob), dtype=np.uint8).reshape(-1, 3)
+            assert px.tobytes() == pal[idx].tobytes()
+
+    def test_wav_decode_matches_formula(self):
+        """PCM-16 WAV (round-5): the RIFF chunk walk must recover the exact
+        sample array and rate; non-PCM and truncated payloads refuse."""
+        wav = multimodal.make_wav(700, 16000, b"seedbytes")
+        rate, samples = multimodal.wav_decode(wav)
+        assert rate == 16000 and len(samples) == 700
+        assert samples.tobytes() == multimodal.wav_samples(700, b"seedbytes").tobytes()
+        with pytest.raises(ValueError, match="not a RIFF"):
+            multimodal.wav_decode(b"garbage")
+        with pytest.raises(ValueError, match="truncated"):
+            multimodal.wav_decode(wav[:-10])
+        # float-format WAV (fmt tag 3) refuses rather than mis-decodes
+        bad = bytearray(wav)
+        fmt_at = wav.index(b"fmt ")
+        bad[fmt_at + 8] = 3
+        with pytest.raises(ValueError, match="unsupported WAV format"):
+            multimodal.wav_decode(bytes(bad))
+
+    def test_wav_stats_distributed(self, spark):
+        """WAV audio rows populate sample_rate/n_samples/rms; opaque audio
+        rows stay null; with fake_decode=False WAV rows get REAL sample
+        features."""
+        rows = [
+            (0, "audio", bytearray(multimodal.make_wav(400, 8000, b"abc")), (None, None, 50, "wav")),
+            (1, "audio", bytearray(b"not audio at all"), (None, None, 0, "fake")),
+        ]
+        media = spark.createDataFrame(rows, schema=multimodal.MEDIA_SCHEMA)
+        got = {r["media_id"]: r for r in multimodal.extract_features(media).collect()}
+        x = multimodal.wav_samples(400, b"abc").astype(np.float64) / 32768.0
+        assert got[0]["sample_rate"] == 8000 and got[0]["n_samples"] == 400
+        assert abs(got[0]["rms"] - float(np.sqrt(np.mean(np.square(x))))) < 1e-9
+        assert got[1]["sample_rate"] is None and got[1]["rms"] is None
+        real = {
+            r["media_id"]: r
+            for r in multimodal.extract_features(
+                media.filter("media_id = 0"), fake_decode=False
+            ).collect()
+        }
+        assert abs(real[0]["feature"][0] - x.mean()) < 1e-6
+        assert abs(sum(real[0]["feature"][4:]) - 1.0) < 1e-6
 
     def test_real_png_features_distributed(self, spark):
         """fake_decode=False over a PNG-only table yields REAL pixel
