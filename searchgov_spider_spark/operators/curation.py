@@ -284,3 +284,79 @@ def c4_line_filters(
         ).alias("doc_keep"),
         F.expr(f"array_join({keep}, '\\n')").alias("kept_text"),
     )
+
+
+def dsir_log_weights(
+    docs: DataFrame,
+    target_pred: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_buckets: int = 256,
+) -> DataFrame:
+    """DSIR-style importance weights (Xie et al. 2023, "Data Selection for
+    Language Models via Importance Resampling"): score every document by
+    how much more likely its hashed-unigram features are under the TARGET
+    distribution (rows matching ``target_pred``, e.g. the high-quality
+    slice) than under the RAW corpus distribution.
+
+    weight(d) = mean over tokens t of
+        log2( p_target(bucket(t)) / p_raw(bucket(t)) )
+    with bucket(t) = first 6 md5 hex chars of t mod ``n_buckets`` (the same
+    engine-portable hashing trick as ``hashed_classifier_score``) and
+    add-one smoothing: p(b) = (count(b) + 1) / (total + n_buckets), so
+    unseen buckets are defined on both sides.  DSIR proper resamples with
+    probability ∝ exp(weight); emitting the log-weight keeps the operator
+    deterministic and lets the caller pair it with ``stratified_sample``'s
+    md5-cutoff machinery for the actual draw.
+
+    Scale shape — the reason this beats the naive join plan: the two
+    bucket LMs are ``n_buckets`` rows by construction, so they are built
+    with one partial-agg groupBy each and collected (bounded driver state,
+    like the IVF quantizer's ~4096-row sample), then burned into the
+    scoring expression as a literal lookup array.  Scoring the 100-TB
+    corpus is therefore a PURE MAP — zero shuffles, zero joins, no
+    Python — inside whole-stage codegen; ``aggregate()`` folds the token
+    array without an explode, so no row blow-up either.  Docs with zero
+    tokens get weight NULL (they carry no evidence).
+    """
+    import math
+
+    toks = f"regexp_extract_all(lower({text_col}), '[a-z0-9]+', 0)"
+    bucket = f"cast(conv(substring(md5(t), 1, 6), 16, 10) as bigint) % {n_buckets}"
+    bucketed = docs.select(
+        F.expr(f"boolean({target_pred})").alias("_is_target"),
+        F.explode(F.expr(f"transform({toks}, t -> {bucket})")).alias("b"),
+    )
+    counts = (
+        bucketed.groupBy("b")
+        .agg(
+            F.sum(F.when(F.col("_is_target"), 1).otherwise(0)).alias("ct"),
+            F.count("*").alias("cr"),
+        )
+        .collect()
+    )  # bounded: <= n_buckets rows at ANY corpus size
+    ct = {r["b"]: r["ct"] for r in counts}
+    cr = {r["b"]: r["cr"] for r in counts}
+    t_total = sum(ct.values()) + n_buckets
+    r_total = sum(cr.values()) + n_buckets
+    # per-bucket log ratio as exact double literals; both numerator and
+    # denominator products stay < 2^53 so the ratio is correctly rounded
+    ratios = [
+        math.log2(
+            ((ct.get(b, 0) + 1) * r_total) / ((cr.get(b, 0) + 1) * t_total)
+        )
+        for b in range(n_buckets)
+    ]
+    lut = "array(" + ", ".join(f"cast({w!r} as double)" for w in ratios) + ")"
+    w_sum = (
+        f"aggregate(transform({toks}, t -> element_at({lut}, cast({bucket} as int) + 1)), "
+        f"cast(0.0 as double), (a, x) -> a + x)"
+    )
+    return docs.select(
+        F.col(id_col),
+        F.expr(f"size({toks})").alias("n_tokens"),
+        F.round(
+            F.when(F.expr(f"size({toks})") > 0, F.expr(w_sum) / F.expr(f"size({toks})")),
+            6,
+        ).alias("dsir_log_weight"),
+    )

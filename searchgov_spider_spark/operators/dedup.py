@@ -315,3 +315,78 @@ def simhash_near_dup_pairs(
         .distinct()
     )
     return pairs
+
+
+def duplicated_spans(
+    docs: DataFrame,
+    k: int = 10,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Exact duplicated-substring spans at token-``k``-gram granularity —
+    the fixed-width surrogate of Lee et al. 2022's suffix-array ExactSubstr
+    dedup ("Deduplicating Training Data Makes Language Models Better"): a
+    token position is *duplicated* when the k-gram starting there occurs
+    more than once in the whole corpus (another doc or another position of
+    the same doc); runs of duplicated positions whose starts are <= k
+    apart cover contiguous text and merge into one maximal span.
+
+    Returns one row per doc: (id_col, n_tokens, n_dup_spans,
+    dup_tokens, dup_token_frac) where dup_tokens counts the tokens covered
+    by the merged spans.  Docs shorter than k tokens have no k-grams and
+    report zero spans.
+
+    Scale shape: the corpus-wide work is ONE groupBy over (gram) —
+    uniform-ish keys, map-side partial agg; boilerplate hot grams are
+    AQE-skew-join territory on the join back.  The span merge itself runs
+    inside per-doc window partitions (lag + running sum), bounded by a
+    single doc's gram count — no global sort, no driver state.  A true
+    suffix-array pass (arbitrary-length matches) needs the offline
+    multi-stage build Lee et al. describe; at fixed k this plan gets the
+    same spans with plain relational ops.
+    """
+    from pyspark.sql import Window
+
+    toks = f"regexp_extract_all(lower({text_col}), '{TOKEN_PATTERN}', 0)"
+    grams = (
+        f"CASE WHEN size({toks}) >= {k} THEN transform(sequence(1, size({toks}) - {k - 1}), "
+        f"i -> concat_ws(' ', slice({toks}, i, {k}))) ELSE array() END"
+    )
+    pos_grams = docs.select(
+        F.col(id_col), F.posexplode(F.expr(grams)).alias("pos", "gram")
+    )
+    gcnt = pos_grams.groupBy("gram").agg(F.count("*").alias("cnt"))
+    dup_pos = (
+        pos_grams.join(gcnt.filter(F.col("cnt") > 1), "gram")
+        .select(id_col, "pos")
+    )
+    w = Window.partitionBy(id_col).orderBy("pos")
+    run = w.rowsBetween(Window.unboundedPreceding, 0)
+    spans = (
+        dup_pos.withColumn("_prev", F.lag("pos").over(w))
+        .withColumn(
+            "_new",
+            F.when(F.col("_prev").isNull() | (F.col("pos") - F.col("_prev") > k), 1).otherwise(0),
+        )
+        .withColumn("span_id", F.sum("_new").over(run))
+        .groupBy(id_col, "span_id")
+        .agg((F.max("pos") - F.min("pos") + k).alias("span_tokens"))
+        .groupBy(id_col)
+        .agg(
+            F.count("*").alias("n_dup_spans"),
+            F.sum("span_tokens").alias("dup_tokens"),
+        )
+    )
+    lengths = docs.select(F.col(id_col), F.expr(f"size({toks})").alias("n_tokens"))
+    return (
+        lengths.join(spans, id_col, "left")
+        .select(
+            id_col,
+            "n_tokens",
+            F.coalesce("n_dup_spans", F.lit(0)).alias("n_dup_spans"),
+            F.coalesce("dup_tokens", F.lit(0)).alias("dup_tokens"),
+            F.round(
+                F.coalesce("dup_tokens", F.lit(0)) / F.greatest("n_tokens", F.lit(1)), 6
+            ).alias("dup_token_frac"),
+        )
+    )

@@ -269,3 +269,57 @@ def vocab_coverage(
             ).alias("cum_coverage"),
         )
     )
+
+
+def corpus_profile(
+    docs: DataFrame,
+    group_col: str = "lang",
+    text_col: str = "text",
+    exact: bool = True,
+) -> DataFrame:
+    """Per-group corpus profile: doc count, whitespace-token totals,
+    exact distinct-token cardinality, and doc-length quantiles — the
+    summary table a corpus build publishes per language/source before
+    fixing sampling weights (the measurement side of q53's mixture).
+
+    Returns (group_col, n_docs, total_tokens, distinct_tokens,
+    p50_tokens, p90_tokens, p99_tokens).  Quantiles use linear
+    interpolation (Spark ``percentile`` == DuckDB ``quantile_cont``).
+
+    Scale shape: distinct cardinality is the two-level agg
+    groupBy(group, token) -> groupBy(group) — vocabulary-sized shuffle
+    with partial agg, never a collect.  With ``exact=True`` the quantiles
+    are Spark's exact ``percentile`` (per-group sorted buffer — right for
+    oracle-checked tests and groups up to ~10^8 docs); at 100-TB scale
+    pass ``exact=False`` for ``approx_percentile`` (t-digest-style GK
+    sketch, error 1e-4, mergeable map-side) — same schema, same plan
+    shape, bounded state.
+    """
+    ws = f"size(regexp_extract_all({text_col}, '\\\\S+', 0))"
+    base = docs.select(
+        F.col(group_col),
+        F.expr(ws).alias("nt"),
+        F.expr(f"regexp_extract_all(lower({text_col}), '{TOKEN_PATTERN}', 0)").alias("_tk"),
+    )
+    pfun = "percentile" if exact else "approx_percentile"
+    per_group = base.groupBy(group_col).agg(
+        F.count("*").alias("n_docs"),
+        F.sum("nt").alias("total_tokens"),
+        F.expr(f"{pfun}(nt, array(0.5, 0.9, 0.99))").alias("_q"),
+    )
+    distinct = (
+        base.select(group_col, F.explode("_tk").alias("token"))
+        .groupBy(group_col, "token")
+        .agg(F.lit(1).alias("_one"))
+        .groupBy(group_col)
+        .agg(F.count("*").alias("distinct_tokens"))
+    )
+    return per_group.join(distinct, group_col).select(
+        group_col,
+        "n_docs",
+        "total_tokens",
+        "distinct_tokens",
+        F.round(F.expr("double(_q[0])"), 4).alias("p50_tokens"),
+        F.round(F.expr("double(_q[1])"), 4).alias("p90_tokens"),
+        F.round(F.expr("double(_q[2])"), 4).alias("p99_tokens"),
+    )

@@ -1028,6 +1028,72 @@ def q56_vocab_coverage(spark, sf_dir):
     return textstats.vocab_coverage(_t(spark, sf_dir, "documents"))
 
 
+Q57_QUERY = "spark window merge"
+Q58_CHUNK_SIZE, Q58_STRIDE = 64, 48
+Q60_TARGET_PRED = "lang = 'en'"
+Q61_SPAN_K = 10
+
+
+def q57_bm25_topk(spark, sf_dir):
+    """Offline BM25 top-10 for a fixed query — the ranking the reference
+    delegates to OpenSearch's BM25Similarity (pipelines.py i14y push),
+    run corpus-side: query-term filter BEFORE the shuffle, N/avgdl/df as
+    broadcast stats, TakeOrderedAndProject for the top-k."""
+    from .operators import retrieval
+
+    return retrieval.bm25_topk(_t(spark, sf_dir, "documents"), Q57_QUERY, k=10)
+
+
+def q58_doc_chunks(spark, sf_dir):
+    """RAG-style fixed-stride token chunking (64-token windows, stride 48)
+    over a doc_id%7==0 slice: pure map + explode, zero shuffles; chunk_hash
+    is the downstream chunk-dedup key.  The slice keeps oracle rows ~5k."""
+    from .operators import retrieval
+
+    docs = _t(spark, sf_dir, "documents").filter(F.expr("doc_id % 7 = 0"))
+    return retrieval.chunk_documents(docs, Q58_CHUNK_SIZE, Q58_STRIDE)
+
+
+def q59_event_sessions(spark, sf_dir):
+    """Gap-based sessionization (30-min inactivity) of the events log:
+    one shuffle on user_id, window lag + running-sum boundary flags, the
+    per-session rollup reuses the same partitioning.  Microsecond-exact
+    integer timestamps on both engines."""
+    from .operators import sessions
+
+    return sessions.sessionize(_t(spark, sf_dir, "events"), gap_minutes=30)
+
+
+def q60_dsir_weights(spark, sf_dir):
+    """DSIR importance log-weights (hashed-unigram 256-bucket LMs,
+    target = lang='en'): bucket LMs built with one partial-agg groupBy
+    each and burned into the scoring expression as literals, so corpus
+    scoring is a zero-shuffle pure map (operators/curation.py)."""
+    return curation.dsir_log_weights(
+        _t(spark, sf_dir, "documents"), Q60_TARGET_PRED
+    )
+
+
+def q61_dup_spans(spark, sf_dir):
+    """Exact duplicated-substring spans at 10-gram granularity (Lee et al.
+    ExactSubstr surrogate) over docs ∪ a shifted 1-in-5 copy so real
+    cross-doc duplication exists: one corpus-wide gram groupBy, span merge
+    inside per-doc windows."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    dup = docs.filter(F.expr("doc_id % 5 = 0")).select(
+        (F.col("doc_id") + 100000).alias("doc_id"), "text"
+    )
+    return dedup.duplicated_spans(docs.unionByName(dup), k=Q61_SPAN_K)
+
+
+def q62_corpus_profile(spark, sf_dir):
+    """Per-language corpus profile: doc/token totals, EXACT distinct-token
+    cardinality (two-level agg), and interpolated doc-length quantiles
+    (Spark percentile == DuckDB quantile_cont); approx_percentile is the
+    documented 100-TB switch in the operator."""
+    return textstats.corpus_profile(_t(spark, sf_dir, "documents"))
+
+
 # ---------------------------------------------------------------------------
 # registry + oracle SQL
 # ---------------------------------------------------------------------------
@@ -1089,6 +1155,12 @@ QUERIES = {
     "q54_pagerank": q54_pagerank,
     "q55_c4_filters": q55_c4_filters,
     "q56_vocab_coverage": q56_vocab_coverage,
+    "q57_bm25_topk": q57_bm25_topk,
+    "q58_doc_chunks": q58_doc_chunks,
+    "q59_event_sessions": q59_event_sessions,
+    "q60_dsir_weights": q60_dsir_weights,
+    "q61_dup_spans": q61_dup_spans,
+    "q62_corpus_profile": q62_corpus_profile,
 }
 
 _DUP_DOCS_SQL = (
@@ -1592,6 +1664,141 @@ ORACLES["q56_vocab_coverage"] = """
                               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
                  * 1.0 / corpus_tokens, 6) AS cum_coverage
     FROM top CROSS JOIN total
+"""
+
+
+# q57: BM25 re-derived with the same Lucene idf form; every fractional
+# literal is CAST AS DOUBLE so DuckDB never routes through DECIMAL (q52 note)
+_Q57_TERMS = ", ".join(f"'{t}'" for t in sorted(set(Q57_QUERY.lower().split())))
+ORACLES["q57_bm25_topk"] = f"""
+    WITH dl AS (SELECT doc_id, len({_TOKS}) AS dl FROM documents),
+    stats AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dl),
+    tf AS (SELECT doc_id, tok AS term, count(*) AS tf
+           FROM (SELECT doc_id, unnest({_TOKS}) AS tok FROM documents)
+           WHERE tok IN ({_Q57_TERMS}) GROUP BY doc_id, tok),
+    dft AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+    scored AS (
+        SELECT tf.doc_id, CAST(count(*) AS BIGINT) AS n_terms_hit,
+               round(sum(
+                   ln(CAST(1.0 AS DOUBLE)
+                      + (n_docs - df + CAST(0.5 AS DOUBLE)) / (df + CAST(0.5 AS DOUBLE)))
+                   * tf * CAST({1.2 + 1.0!r} AS DOUBLE)
+                   / (tf + CAST(1.2 AS DOUBLE)
+                      * (CAST(0.25 AS DOUBLE) + (CAST(0.75 AS DOUBLE) * dl) / avgdl))
+               ), 6) AS bm25
+        FROM tf JOIN dl USING (doc_id) JOIN dft USING (term) CROSS JOIN stats
+        GROUP BY tf.doc_id)
+    SELECT doc_id, n_terms_hit, bm25 FROM scored ORDER BY bm25 DESC, doc_id LIMIT 10
+"""
+
+# q58: chunk arithmetic re-derived with DuckDB list_slice (inclusive stop,
+# clamped — same clamp semantics as Spark slice(arr, pos, length))
+ORACLES["q58_doc_chunks"] = f"""
+    WITH t AS (SELECT doc_id, {_TOKS} AS tk FROM documents WHERE doc_id % 7 = 0),
+    nc AS (SELECT doc_id, tk,
+                  CASE WHEN len(tk) = 0 THEN 0
+                       WHEN len(tk) <= {Q58_CHUNK_SIZE} THEN 1
+                       ELSE CAST(ceil((len(tk) - {Q58_CHUNK_SIZE})
+                                      / CAST({Q58_STRIDE} AS DOUBLE)) AS INT) + 1 END AS n
+           FROM t),
+    c AS (SELECT doc_id, CAST(i AS INT) AS chunk_idx,
+                 list_slice(tk, i * {Q58_STRIDE} + 1, i * {Q58_STRIDE} + {Q58_CHUNK_SIZE}) AS ck
+          FROM nc, UNNEST(range(n)) AS u(i))
+    SELECT doc_id, chunk_idx,
+           CAST(chunk_idx * {Q58_STRIDE} AS INT) AS start_token,
+           CAST(len(ck) AS INT) AS n_chunk_tokens,
+           array_to_string(ck, ' ') AS chunk_text,
+           md5(array_to_string(ck, ' ')) AS chunk_hash
+    FROM c
+"""
+
+# q59: boundary decisions on exact integer microseconds (epoch_us ==
+# unix_micros under the UTC session q10 already relies on)
+ORACLES["q59_event_sessions"] = """
+    WITH e AS (SELECT user_id, event_id, value, epoch_us(ts) AS us FROM events),
+    m AS (SELECT user_id, event_id, value, us,
+                 CASE WHEN lag(us) OVER w IS NULL
+                           OR us - lag(us) OVER w > 1800000000 THEN 1 ELSE 0 END AS nw
+          FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)),
+    s AS (SELECT user_id, value, us,
+                 CAST(sum(nw) OVER (PARTITION BY user_id ORDER BY us, event_id
+                                    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_idx
+          FROM m)
+    SELECT user_id, session_idx,
+           count(*) AS n_events,
+           min(us) AS start_us, max(us) AS end_us,
+           max(us) - min(us) AS duration_us,
+           round(sum(value), 2) AS total_value
+    FROM s GROUP BY user_id, session_idx
+"""
+
+# q60: both bucket LMs and the add-one log-ratio re-derived in SQL; every
+# token's bucket is observed (cr >= 1 by construction) so the join covers
+ORACLES["q60_dsir_weights"] = f"""
+    WITH d AS (SELECT doc_id, lang, {_TOKS} AS t FROM documents),
+    tok AS (SELECT doc_id, lang = 'en' AS is_t,
+                   ('0x' || substring(md5(tok), 1, 6))::BIGINT % 256 AS b
+            FROM (SELECT doc_id, lang, unnest(t) AS tok FROM d)),
+    lm AS (SELECT b, sum(CASE WHEN is_t THEN 1 ELSE 0 END) AS ct, count(*) AS cr
+           FROM tok GROUP BY b),
+    tot AS (SELECT CAST(sum(ct) + 256 AS BIGINT) AS tt,
+                   CAST(sum(cr) + 256 AS BIGINT) AS rt FROM lm),
+    w AS (SELECT b, log2(((ct + 1) * rt) / ((cr + 1) * tt)) AS lw
+          FROM lm CROSS JOIN tot),
+    ds AS (SELECT doc_id, sum(lw) AS s, count(*) AS n
+           FROM tok JOIN w USING (b) GROUP BY doc_id)
+    SELECT d.doc_id, len(t) AS n_tokens,
+           round(ds.s / ds.n, 6) AS dsir_log_weight
+    FROM d LEFT JOIN ds USING (doc_id)
+"""
+
+# q61: positions/span merge re-derived with window functions over the same
+# doc ∪ shifted-copy input
+ORACLES["q61_dup_spans"] = f"""
+    WITH d AS (SELECT doc_id, text FROM documents
+               UNION ALL
+               SELECT doc_id + 100000 AS doc_id, text FROM documents WHERE doc_id % 5 = 0),
+    t AS (SELECT doc_id, {_TOKS} AS tk FROM d),
+    g AS (SELECT doc_id, CAST(i - 1 AS INT) AS pos,
+                 array_to_string(list_slice(tk, i, i + {Q61_SPAN_K - 1}), ' ') AS gram
+          FROM t, UNNEST(range(1, len(tk) - {Q61_SPAN_K - 2})) AS u(i)),
+    gc AS (SELECT gram, count(*) AS c FROM g GROUP BY gram),
+    dp AS (SELECT doc_id, pos FROM g JOIN gc USING (gram) WHERE c > 1),
+    m AS (SELECT doc_id, pos,
+                 CASE WHEN lag(pos) OVER w IS NULL
+                           OR pos - lag(pos) OVER w > {Q61_SPAN_K} THEN 1 ELSE 0 END AS nw
+          FROM dp WINDOW w AS (PARTITION BY doc_id ORDER BY pos)),
+    s AS (SELECT doc_id, pos,
+                 sum(nw) OVER (PARTITION BY doc_id ORDER BY pos
+                               ROWS UNBOUNDED PRECEDING) AS span_id
+          FROM m),
+    sp AS (SELECT doc_id, span_id, max(pos) - min(pos) + {Q61_SPAN_K} AS st
+           FROM s GROUP BY doc_id, span_id),
+    agg AS (SELECT doc_id, count(*) AS n_dup_spans, CAST(sum(st) AS BIGINT) AS dup_tokens
+            FROM sp GROUP BY doc_id)
+    SELECT t.doc_id, len(tk) AS n_tokens,
+           coalesce(n_dup_spans, 0) AS n_dup_spans,
+           coalesce(dup_tokens, 0) AS dup_tokens,
+           round(coalesce(dup_tokens, 0) / greatest(len(tk), 1), 6) AS dup_token_frac
+    FROM t LEFT JOIN agg USING (doc_id)
+"""
+
+# q62: quantile_cont is DuckDB's linear-interpolation quantile — the same
+# definition as Spark's exact percentile()
+ORACLES["q62_corpus_profile"] = f"""
+    WITH base AS (SELECT lang, len(regexp_extract_all(text, '\\S+')) AS nt,
+                         {_TOKS} AS tk
+                  FROM documents),
+    pg AS (SELECT lang, count(*) AS n_docs, CAST(sum(nt) AS BIGINT) AS total_tokens,
+                  quantile_cont(nt, 0.5) AS q50, quantile_cont(nt, 0.9) AS q90,
+                  quantile_cont(nt, 0.99) AS q99
+           FROM base GROUP BY lang),
+    dt AS (SELECT lang, count(*) AS distinct_tokens
+           FROM (SELECT DISTINCT lang, unnest(tk) AS tok FROM base) GROUP BY lang)
+    SELECT lang, n_docs, total_tokens, distinct_tokens,
+           round(q50, 4) AS p50_tokens, round(q90, 4) AS p90_tokens,
+           round(q99, 4) AS p99_tokens
+    FROM pg JOIN dt USING (lang)
 """
 
 
