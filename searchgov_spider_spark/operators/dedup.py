@@ -390,3 +390,65 @@ def duplicated_spans(
             ).alias("dup_token_frac"),
         )
     )
+
+
+def winnow_fingerprints(
+    docs: DataFrame,
+    k: int = 5,
+    w: int = 4,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer, Wilkerson & Aiken 2003,
+    "Winnowing: Local Algorithms for Document Fingerprinting" — the MOSS
+    algorithm): hash every token ``k``-gram, slide a window of ``w``
+    consecutive hashes over the document, and select each window's minimum
+    (LEFTMOST minimum on ties — any fixed tie rule preserves the winnowing
+    guarantee; leftmost keeps the expression engine-portable).  The selected
+    (position, hash) set is the fingerprint: any shared substring of length
+    >= k + w - 1 tokens between two documents is guaranteed to share at
+    least one selected fingerprint, with density ~2/(w+1).
+
+    Returns one row per selected fingerprint: (id_col, pos, fingerprint)
+    where pos is the 0-based token position of the k-gram and fingerprint a
+    60-bit integer (first 15 hex chars of md5 — exact in a signed 64-bit
+    lane on every engine).  Docs shorter than k tokens yield no rows.
+
+    Scale shape: gram hashing, window minima, and the per-doc dedup of
+    repeated selections all happen INSIDE the token array (transform /
+    slice / array_min / array_distinct), so the whole operator is a pure
+    map + explode — ZERO shuffles, whole-stage codegen, no Python.  A
+    downstream near-dup candidate join (groupBy fingerprint, like the
+    MinHash band join) is the one place a shuffle appears, and it shuffles
+    fingerprints (a ~2/(w+1) sample of grams), not documents.
+    """
+    toks = f"regexp_extract_all(lower({text_col}), '{TOKEN_PATTERN}', 0)"
+    grams = (
+        f"CASE WHEN size({toks}) >= {k} THEN transform(sequence(1, size({toks}) - {k - 1}), "
+        f"i -> concat_ws(' ', slice({toks}, i, {k}))) ELSE array() END"
+    )
+    # 60-bit k-gram hashes (15 hex chars -> conv stays exact, no uint64 wrap)
+    hashes = f"transform({grams}, g -> cast(conv(substring(md5(g), 1, 15), 16, 10) as bigint))"
+    # one struct per window start: the leftmost minimum of hashes[i .. i+w-1]
+    # (array_position is 1-based, over the w-length slice)
+    sel = (
+        f"CASE WHEN size(_h) >= {w} THEN array_distinct(transform("
+        f"sequence(1, size(_h) - {w - 1}), "
+        f"i -> named_struct("
+        f"'pos', i - 2 + cast(array_position(slice(_h, i, {w}), array_min(slice(_h, i, {w}))) as int), "
+        f"'fingerprint', array_min(slice(_h, i, {w})))))"
+        # shorter than one window (but >= k tokens): fingerprint = global min
+        f" WHEN size(_h) > 0 THEN array(named_struct("
+        f"'pos', cast(array_position(_h, array_min(_h)) as int) - 1, "
+        f"'fingerprint', array_min(_h))) "
+        f"ELSE array() END"
+    )
+    return (
+        docs.select(F.col(id_col), F.expr(hashes).alias("_h"))
+        .select(F.col(id_col), F.explode(F.expr(sel)).alias("_fp"))
+        .select(
+            F.col(id_col),
+            F.col("_fp.pos").alias("pos"),
+            F.col("_fp.fingerprint").alias("fingerprint"),
+        )
+    )

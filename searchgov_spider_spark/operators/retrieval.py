@@ -157,3 +157,112 @@ def chunk_documents(
             F.md5(F.col("chunk_text")).alias("chunk_hash"),
         )
     )
+
+
+def inverted_index(
+    docs: DataFrame,
+    block_span: int = 1 << 62,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Offline inverted-index shard build — the Spark-side counterpart of
+    the indexing the reference delegates to its search backend (documents
+    pushed to OpenSearch, ``pipelines.py:130-191``, indexed into Lucene
+    postings downstream).  Emits one row per (term, doc-id block):
+
+        (term, block, df, total_tf, postings)
+
+    where ``postings`` is the classic sorted posting list serialized as
+    ``"doc:tf,doc:tf,..."`` (doc-id ascending — delta-encodable), ``df``
+    counts the block's documents and ``total_tf`` its occurrences.
+
+    ``block_span`` bounds a single output row: documents land in block
+    ``doc_id div block_span``, so a stop-word's posting list splits into
+    fixed doc-id-range blocks instead of concentrating a 100-TB corpus's
+    hottest key into one reducer (the groupBy key (term, block) stays
+    bounded at ``block_span`` docs regardless of term frequency — the
+    skew answer, like Lucene's segment split).  Contiguous doc-id ranges
+    keep blocks mergeable by concatenation.  The default span (2^62) is
+    "one block" for small corpora; term-level df/total_tf are then exact
+    per row, and at scale a second vocabulary-sized agg over this output
+    sums them per term.
+
+    Scale shape: explode never crosses partitions, so all of a doc's
+    occurrences are co-located and the (id, term) partial agg collapses
+    them map-side — the first shuffle carries one row per (doc, distinct
+    term), not per occurrence.  The second shuffle groups (term, block),
+    skew-bounded by ``block_span``; sort_array orders each posting list
+    inside its reducer without a global sort.  No UDFs, no collect.
+    """
+    toks = f"regexp_extract_all(lower({text_col}), '{TOKEN_PATTERN}', 0)"
+    tf = (
+        docs.select(F.col(id_col), F.explode(F.expr(toks)).alias("term"))
+        .groupBy(id_col, "term")
+        .agg(F.count("*").alias("tf"))
+    )
+    return (
+        tf.withColumn("block", (F.col(id_col) / F.lit(block_span)).cast("long"))
+        .groupBy("term", "block")
+        .agg(
+            F.count("*").alias("df"),
+            F.sum("tf").alias("total_tf"),
+            F.array_join(
+                F.transform(
+                    F.sort_array(F.collect_list(F.struct(F.col(id_col), F.col("tf")))),
+                    lambda s: F.concat_ws(":", s[id_col].cast("string"), s["tf"].cast("string")),
+                ),
+                ",",
+            ).alias("postings"),
+        )
+    )
+
+
+def tfidf_top_terms(
+    docs: DataFrame,
+    top_k: int = 5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-document top-``k`` terms by smoothed tf-idf — the corpus-side
+    keyword extraction the reference performs per page with nltk
+    (``helpers/summarize.py`` top-10 keywords; cited for parity, computed
+    here corpus-relative instead of stopword-relative):
+
+        tfidf = tf * ln((N + 1) / (df + 1))   (add-one smoothed, never 0/0)
+
+    ranked per document by (tfidf desc, term asc) — a total order, so the
+    top-k cut is reproducible across engines.
+
+    Returns (id_col, term, tf, df, tfidf, rank) with rank 1..k.
+
+    Scale shape: the (doc, term, tf) table is built once (explode stays
+    partition-local, partial agg collapses occurrences map-side); df is a
+    vocabulary-sized groupBy of THAT table (second shuffle, uniform keys);
+    the join back is term-to-term on the same vocabulary — hot stop-word
+    terms are exactly the AQE skew-join case and broadcast is wrong here
+    (a 100-TB corpus's vocabulary outgrows an executor).  The final top-k
+    is a per-doc window over the (doc) partitioning, never a global sort.
+    N is a 1-row broadcast.
+    """
+    from pyspark.sql import Window
+
+    toks = f"regexp_extract_all(lower({text_col}), '{TOKEN_PATTERN}', 0)"
+    tf = (
+        docs.select(F.col(id_col), F.explode(F.expr(toks)).alias("term"))
+        .groupBy(id_col, "term")
+        .agg(F.count("*").alias("tf"))
+    )
+    df_ = tf.groupBy("term").agg(F.count("*").alias("df"))
+    n_docs = docs.select(F.count("*").alias("n_docs"))
+    w = Window.partitionBy(id_col).orderBy(F.desc("tfidf"), F.asc("term"))
+    return (
+        tf.join(df_, "term")
+        .crossJoin(F.broadcast(n_docs))
+        .withColumn(
+            "tfidf",
+            F.round(F.col("tf") * F.log((F.col("n_docs") + 1.0) / (F.col("df") + 1.0)), 6),
+        )
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= top_k)
+        .select(id_col, "term", "tf", "df", "tfidf", "rank")
+    )

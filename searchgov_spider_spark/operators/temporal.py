@@ -1,0 +1,95 @@
+"""Temporal joins over event streams: distributed as-of join.
+
+The reference's analytics pull (``helpers/analytics.py`` — DAP visit
+series per domain) and its freshness router both reason about "the latest
+state at or before T"; the general kernel behind that shape is the as-of
+join, which Spark's DataFrame API lacks as a built-in.  This implements it
+as a composition of existing operators (the union + ignore-nulls
+last_value trick), NOT a Python UDF.
+
+Scale shape: ONE shuffle total — both sides union first (a free
+concatenation, no data movement), then a single window partitioned by the
+join key orders each key's merged timeline; ``last(..., ignorenulls)``
+over the unbounded-preceding frame is an O(1)-state running value, so no
+per-key buffering beyond Spark's window spill machinery.  Compare the
+naive alternatives at 100 TB: a range join explodes to (left x right per
+key) pairs, and a per-key ``mapInPandas`` merge pays Arrow transfer for
+every row.  The union trick touches each row once, JVM-side.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    left_ts: str = "ts",
+    right_ts: str = "ts",
+    right_cols: list[str] | None = None,
+    suffix: str = "_right",
+) -> DataFrame:
+    """Backward as-of join: for every left row, attach the right row with
+    the greatest ``right_ts`` <= ``left_ts`` for the same ``on`` key
+    (inclusive at equality — the DuckDB/pandas ``merge_asof`` backward
+    default).  Left rows with no prior right row keep NULLs (left join).
+
+    ``right_cols`` are the right-side payload columns to carry (default:
+    every right column except the key and timestamp).  The right timestamp
+    arrives as ``{right_ts}{suffix}`` so staleness (left_ts - right_ts) is
+    computable.  If the right side has several rows at the same
+    (key, timestamp), the payload columns are taken from a single
+    deterministic winner per timestamp: the row with the greatest struct
+    value under Spark's struct ordering (max over payload tuple) — callers
+    wanting a different rule should pre-dedup.
+    """
+    if right_cols is None:
+        right_cols = [c for c in right.columns if c not in (on, right_ts)]
+
+    # one deterministic right row per (key, ts): max over the payload tuple
+    r = (
+        right.groupBy(F.col(on), F.col(right_ts).alias("_ts"))
+        .agg(F.max(F.struct(*[F.col(c) for c in right_cols])).alias("_payload"))
+        .select(
+            on,
+            "_ts",
+            F.lit(1).alias("_is_r"),
+            *[F.col(f"_payload.{c}").alias(f"_r_{c}") for c in right_cols],
+        )
+    )
+    l = left.select(
+        "*",
+        F.col(left_ts).alias("_ts"),
+        F.lit(0).alias("_is_r"),
+        *[F.lit(None).cast(r.schema[f"_r_{c}"].dataType).alias(f"_r_{c}") for c in right_cols],
+    )
+    # left columns absent on the right side arrive as NULLs (free concat,
+    # no shuffle)
+    merged = l.unionByName(r, allowMissingColumns=True)
+
+    # order right rows BEFORE left rows at the same timestamp (inclusive
+    # equality): _is_r descending
+    w = (
+        Window.partitionBy(on)
+        .orderBy(F.col("_ts").asc(), F.col("_is_r").desc())
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    filled = merged.select(
+        "*",
+        F.last(F.when(F.col("_is_r") == 1, F.col("_ts")), ignorenulls=True)
+        .over(w)
+        .alias(f"{right_ts}{suffix}"),
+        *[
+            F.last(F.when(F.col("_is_r") == 1, F.col(f"_r_{c}")), ignorenulls=True)
+            .over(w)
+            .alias(f"{c}{suffix}" if c in left.columns else c)
+            for c in right_cols
+        ],
+    )
+    out_cols = list(left.columns) + [f"{right_ts}{suffix}"] + [
+        (f"{c}{suffix}" if c in left.columns else c) for c in right_cols
+    ]
+    return filled.filter(F.col("_is_r") == 0).select(*out_cols)

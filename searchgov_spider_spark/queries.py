@@ -1094,6 +1094,77 @@ def q62_corpus_profile(spark, sf_dir):
     return textstats.corpus_profile(_t(spark, sf_dir, "documents"))
 
 
+Q63_K, Q63_W = 5, 4
+Q65_BLOCK_SPAN = 100
+
+
+def q63_winnow_fingerprints(spark, sf_dir):
+    """Winnowing (MOSS) document fingerprints: k=5-gram 60-bit hashes,
+    window w=4 leftmost-min selection — gram hashing, window minima, and
+    the per-doc distinct all inside the token array, so the operator is a
+    pure map + explode with ZERO shuffles (operators/dedup.py)."""
+    return dedup.winnow_fingerprints(
+        _t(spark, sf_dir, "documents"), k=Q63_K, w=Q63_W
+    )
+
+
+def q64_asof_join(spark, sf_dir):
+    """Distributed backward as-of join (union + ignore-nulls running-last,
+    ONE shuffle on the key): odd-event "trades" pick up each user's latest
+    even-event "quote" at-or-before their timestamp, with staleness.
+    Matches DuckDB's native ASOF LEFT JOIN row for row."""
+    from .operators import temporal
+
+    e = _t(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        "value",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("us"),
+    )
+    trades = e.filter(F.expr("event_id % 2 = 1"))
+    quotes = e.filter(F.expr("event_id % 2 = 0"))
+    joined = temporal.asof_join(
+        trades, quotes, on="user_id", left_ts="us", right_ts="us",
+        right_cols=["value", "event_id"],
+    )
+    # nullable numerics surfaced as double on BOTH engines (NULL-bearing
+    # int64 converts to pandas inconsistently; double+NULL is the proven
+    # q60 shape)
+    return joined.select(
+        F.col("event_id"),
+        F.col("user_id"),
+        F.col("us").alias("trade_us"),
+        F.col("value").alias("trade_value"),
+        F.col("us_right").cast("double").alias("quote_us"),
+        F.col("value_right").alias("quote_value"),
+        F.col("event_id_right").cast("double").alias("quote_event_id"),
+        (F.col("us") - F.col("us_right")).cast("double").alias("staleness_us"),
+    )
+
+
+def q65_inverted_index(spark, sf_dir):
+    """Offline inverted-index shard build (the corpus side of the
+    reference's OpenSearch push): per (term, doc-id block) rows with df,
+    total_tf, and the sorted "doc:tf" posting list; block_span bounds the
+    hottest term's reducer (operators/retrieval.py)."""
+    from .operators import retrieval
+
+    return retrieval.inverted_index(
+        _t(spark, sf_dir, "documents"), block_span=Q65_BLOCK_SPAN
+    )
+
+
+def q66_tfidf_top_terms(spark, sf_dir):
+    """Per-doc top-5 tf-idf keywords (corpus-relative analog of the
+    reference's nltk top-10 keyword extraction): tf/df from two-level
+    aggs, term-to-term join (AQE skew territory, NOT broadcast — a 100-TB
+    vocabulary outgrows an executor), per-doc window top-k with a total
+    (tfidf desc, term asc) order for cross-engine reproducibility."""
+    from .operators import retrieval
+
+    return retrieval.tfidf_top_terms(_t(spark, sf_dir, "documents"), top_k=5)
+
+
 # ---------------------------------------------------------------------------
 # registry + oracle SQL
 # ---------------------------------------------------------------------------
@@ -1161,6 +1232,10 @@ QUERIES = {
     "q60_dsir_weights": q60_dsir_weights,
     "q61_dup_spans": q61_dup_spans,
     "q62_corpus_profile": q62_corpus_profile,
+    "q63_winnow_fingerprints": q63_winnow_fingerprints,
+    "q64_asof_join": q64_asof_join,
+    "q65_inverted_index": q65_inverted_index,
+    "q66_tfidf_top_terms": q66_tfidf_top_terms,
 }
 
 _DUP_DOCS_SQL = (
@@ -1799,6 +1874,82 @@ ORACLES["q62_corpus_profile"] = f"""
            round(q50, 4) AS p50_tokens, round(q90, 4) AS p90_tokens,
            round(q99, 4) AS p99_tokens
     FROM pg JOIN dt USING (lang)
+"""
+
+
+# q63: grams, 60-bit hashes, window minima, and the leftmost-min tie rule
+# re-derived with DuckDB list lambdas (list_slice is inclusive, so the
+# w-window at start i is list_slice(h, i, i + w - 1))
+ORACLES["q63_winnow_fingerprints"] = f"""
+    WITH t AS (SELECT doc_id, {_TOKS} AS tk FROM documents),
+    h AS (SELECT doc_id,
+                 CASE WHEN len(tk) >= {Q63_K} THEN
+                     list_transform(range(1, len(tk) - {Q63_K - 2}),
+                         i -> ('0x' || substring(md5(array_to_string(list_slice(tk, i, i + {Q63_K - 1}), ' ')), 1, 15))::BIGINT)
+                 ELSE [] END AS hs
+          FROM t),
+    sel AS (SELECT doc_id,
+                   CASE WHEN len(hs) >= {Q63_W} THEN
+                       list_transform(range(1, len(hs) - {Q63_W - 2}),
+                           i -> {{'pos': CAST(i - 2 + list_position(list_slice(hs, i, i + {Q63_W - 1}), list_min(list_slice(hs, i, i + {Q63_W - 1}))) AS INT),
+                                  'fingerprint': list_min(list_slice(hs, i, i + {Q63_W - 1}))}})
+                   WHEN len(hs) > 0 THEN
+                       [{{'pos': CAST(list_position(hs, list_min(hs)) - 1 AS INT),
+                          'fingerprint': list_min(hs)}}]
+                   ELSE [] END AS fps
+            FROM h)
+    SELECT DISTINCT doc_id, f.pos AS pos, f.fingerprint AS fingerprint
+    FROM (SELECT doc_id, unnest(fps) AS f FROM sel)
+"""
+
+# q64: DuckDB's NATIVE ASOF LEFT JOIN is the oracle — a genuinely
+# independent implementation of the operator's semantics; the per-(user,ts)
+# quote dedup mirrors the operator's max-payload-struct rule
+ORACLES["q64_asof_join"] = """
+    WITH e AS (SELECT event_id, user_id, value, epoch_us(ts) AS us FROM events),
+    trades AS (SELECT * FROM e WHERE event_id % 2 = 1),
+    quotes AS (SELECT user_id, us, value, event_id FROM (
+        SELECT *, row_number() OVER (PARTITION BY user_id, us
+                                     ORDER BY value DESC, event_id DESC) AS rn
+        FROM e WHERE event_id % 2 = 0) WHERE rn = 1)
+    SELECT t.event_id, t.user_id,
+           t.us AS trade_us, t.value AS trade_value,
+           CAST(q.us AS DOUBLE) AS quote_us, q.value AS quote_value,
+           CAST(q.event_id AS DOUBLE) AS quote_event_id,
+           CAST(t.us - q.us AS DOUBLE) AS staleness_us
+    FROM trades t ASOF LEFT JOIN quotes q
+      ON t.user_id = q.user_id AND t.us >= q.us
+"""
+
+# q65: tf, blocking, and the sorted "doc:tf" posting serialization
+# re-derived relationally (string_agg ORDER BY == sort_array of structs on
+# unique doc ids)
+ORACLES["q65_inverted_index"] = f"""
+    WITH tf AS (SELECT doc_id, tok AS term, count(*) AS tf
+                FROM (SELECT doc_id, unnest({_TOKS}) AS tok FROM documents)
+                GROUP BY doc_id, tok)
+    SELECT term, CAST(doc_id // {Q65_BLOCK_SPAN} AS BIGINT) AS block,
+           count(*) AS df, CAST(sum(tf) AS BIGINT) AS total_tf,
+           string_agg(doc_id || ':' || tf, ',' ORDER BY doc_id) AS postings
+    FROM tf GROUP BY term, block
+"""
+
+# q66: both engines rank on the ROUNDED score with term as the final
+# tie-break — a total order, so the top-5 cut is engine-stable
+ORACLES["q66_tfidf_top_terms"] = f"""
+    WITH tf AS (SELECT doc_id, tok AS term, count(*) AS tf
+                FROM (SELECT doc_id, unnest({_TOKS}) AS tok FROM documents)
+                GROUP BY doc_id, tok),
+    dft AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+    n AS (SELECT count(*) AS n_docs FROM documents),
+    scored AS (SELECT doc_id, term, tf, df,
+                      round(tf * ln((n_docs + CAST(1.0 AS DOUBLE))
+                                    / (df + CAST(1.0 AS DOUBLE))), 6) AS tfidf
+               FROM tf JOIN dft USING (term) CROSS JOIN n),
+    r AS (SELECT *, CAST(row_number() OVER (PARTITION BY doc_id
+                                            ORDER BY tfidf DESC, term) AS INT) AS rank
+          FROM scored)
+    SELECT doc_id, term, tf, df, tfidf, rank FROM r WHERE rank <= 5
 """
 
 

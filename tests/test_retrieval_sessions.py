@@ -266,3 +266,205 @@ class TestCorpusProfile:
         e = {r.lang: r.p50_tokens for r in exact.collect()}
         a = {r.lang: r.p50_tokens for r in approx.collect()}
         assert set(e) == set(a)
+
+
+# ---------------------------------------------------------------------------
+# winnow_fingerprints
+# ---------------------------------------------------------------------------
+
+
+class TestWinnowing:
+    def _fp(self, text, k=5, w=4):
+        """Independent pure-Python winnowing (leftmost-min tie rule)."""
+        import re
+
+        toks = re.findall(r"[a-z0-9]+", text.lower())
+        grams = [" ".join(toks[i : i + k]) for i in range(len(toks) - k + 1)]
+        hs = [int(hashlib.md5(g.encode()).hexdigest()[:15], 16) for g in grams]
+        if not hs:
+            return set()
+        if len(hs) < w:
+            m = min(hs)
+            return {(hs.index(m), m)}
+        out = set()
+        for i in range(len(hs) - w + 1):
+            win = hs[i : i + w]
+            m = min(win)
+            out.add((i + win.index(m), m))
+        return out
+
+    def test_matches_pure_python(self, spark):
+        texts = [
+            "the quick brown fox jumps over the lazy dog and runs away fast",
+            "short doc",  # < k tokens -> no fingerprints
+            "one two three four five six",  # 2 grams, < w -> global min only
+            "a a a a a a a a a a a a",  # all-equal hashes: tie rule exercised
+        ]
+        rows = [(i, t) for i, t in enumerate(texts)]
+        got = {}
+        for r in dedup.winnow_fingerprints(_docs(spark, rows), k=5, w=4).collect():
+            got.setdefault(r.doc_id, set()).add((r.pos, r.fingerprint))
+        for i, t in enumerate(texts):
+            exp = self._fp(t)
+            assert got.get(i, set()) == exp, f"doc {i}"
+
+    def test_shared_substring_guarantee(self, spark):
+        # winnowing guarantee: a shared run of >= k+w-1 tokens shares a
+        # selected fingerprint
+        shared = " ".join(f"s{i}" for i in range(8))  # k+w-1 = 8
+        rows = [(0, "left filler words " + shared), (1, shared + " other tail stuff")]
+        got = {}
+        for r in dedup.winnow_fingerprints(_docs(spark, rows), k=5, w=4).collect():
+            got.setdefault(r.doc_id, set()).add(r.fingerprint)
+        assert got[0] & got[1]
+
+    def test_zero_shuffle(self, spark, sf_dir):
+        df = dedup.winnow_fingerprints(spark.read.parquet(f"{sf_dir}/documents.parquet"))
+        plan = plan_of(df, "simple")
+        assert "Exchange" not in plan
+        assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+
+
+# ---------------------------------------------------------------------------
+# asof_join
+# ---------------------------------------------------------------------------
+
+
+class TestAsofJoin:
+    def _df(self, spark, rows, schema):
+        return spark.createDataFrame(rows, schema)
+
+    def test_backward_inclusive_semantics(self, spark):
+        from searchgov_spider_spark.operators import temporal
+
+        left = self._df(
+            spark,
+            [(1, 10, 100), (2, 10, 205), (3, 10, 99), (4, 20, 500)],
+            "lid long, key long, us long",
+        )
+        right = self._df(
+            spark,
+            [(7, 10, 100, 1.5), (8, 10, 200, 2.5), (9, 30, 1, 9.9)],
+            "rid long, key long, us long, px double",
+        )
+        out = {
+            r.lid: r
+            for r in temporal.asof_join(
+                left, right, on="key", left_ts="us", right_ts="us",
+                right_cols=["px", "rid"],
+            ).collect()
+        }
+        assert out[1].px == 1.5 and out[1].us_right == 100  # equality is inclusive
+        assert out[2].px == 2.5 and out[2].rid == 8  # latest at-or-before 205
+        assert out[3].px is None and out[3].us_right is None  # nothing prior
+        assert out[4].px is None  # key never quoted
+        assert len(out) == 4  # left join: every left row survives
+
+    def test_same_ts_dedup_is_max_payload(self, spark):
+        from searchgov_spider_spark.operators import temporal
+
+        left = self._df(spark, [(1, 5, 50)], "lid long, key long, us long")
+        right = self._df(
+            spark,
+            [(70, 5, 50, 1.0), (71, 5, 50, 3.0), (72, 5, 50, 2.0)],
+            "rid long, key long, us long, px double",
+        )
+        out = temporal.asof_join(
+            left, right, on="key", left_ts="us", right_ts="us", right_cols=["px", "rid"]
+        ).collect()[0]
+        assert out.px == 3.0 and out.rid == 71  # max over (px, rid) struct
+
+    def test_single_exchange_on_key(self, spark, sf_dir):
+        from searchgov_spider_spark.operators import temporal
+
+        e = spark.read.parquet(f"{sf_dir}/events.parquet").selectExpr(
+            "event_id", "user_id", "value", "unix_micros(cast(ts as timestamp)) us"
+        )
+        df = temporal.asof_join(
+            e.filter("event_id % 2 = 1"), e.filter("event_id % 2 = 0"),
+            on="user_id", left_ts="us", right_ts="us", right_cols=["value", "event_id"],
+        )
+        plan = plan_of(df, "simple")
+        # right-side (key, ts) dedup agg + the merged window share the
+        # user-key partitioning; the union's left leg adds its own exchange
+        assert plan.count("Exchange hashpartitioning") <= 2
+        assert "SortMergeJoin" not in plan and "BroadcastNestedLoopJoin" not in plan
+
+
+# ---------------------------------------------------------------------------
+# inverted_index
+# ---------------------------------------------------------------------------
+
+
+class TestInvertedIndex:
+    def test_postings_and_blocks(self, spark):
+        from searchgov_spider_spark.operators import retrieval
+
+        rows = [
+            (0, "apple banana apple"),
+            (1, "banana cherry"),
+            (150, "apple apple apple"),  # block 1 at span 100
+        ]
+        out = {
+            (r.term, r.block): r
+            for r in retrieval.inverted_index(_docs(spark, rows), block_span=100).collect()
+        }
+        a0 = out[("apple", 0)]
+        assert a0.df == 1 and a0.total_tf == 2 and a0.postings == "0:2"
+        b0 = out[("banana", 0)]
+        assert b0.df == 2 and b0.total_tf == 2 and b0.postings == "0:1,1:1"
+        a1 = out[("apple", 1)]
+        assert a1.df == 1 and a1.total_tf == 3 and a1.postings == "150:3"
+        assert ("cherry", 0) in out and ("cherry", 1) not in out
+
+    def test_block_bounds_hot_term_rows(self, spark):
+        from searchgov_spider_spark.operators import retrieval
+
+        # a stop-word in every doc splits into ceil(n/span) block rows
+        rows = [(i, "the filler") for i in range(10)]
+        out = retrieval.inverted_index(_docs(spark, rows), block_span=3).collect()
+        the_blocks = sorted(r.block for r in out if r.term == "the")
+        assert the_blocks == [0, 1, 2, 3]
+        assert all(r.df <= 3 for r in out)
+
+
+# ---------------------------------------------------------------------------
+# tfidf_top_terms
+# ---------------------------------------------------------------------------
+
+
+class TestTfidf:
+    def test_matches_hand_computation(self, spark):
+        from searchgov_spider_spark.operators import retrieval
+
+        corpus = [
+            (0, "apple apple banana"),
+            (1, "banana cherry cherry"),
+            (2, "apple cherry durian"),
+        ]
+        out = {}
+        for r in retrieval.tfidf_top_terms(_docs(spark, corpus), top_k=2).collect():
+            out.setdefault(r.doc_id, []).append((r.rank, r.term, r.tf, r.df, r.tfidf))
+        df = {"apple": 2, "banana": 2, "cherry": 2, "durian": 1}
+
+        def tfidf(tf, d):
+            return round(tf * math.log(4 / (d + 1)), 6)
+
+        # doc 0: apple tf2 beats banana tf1
+        assert sorted(out[0]) == [
+            (1, "apple", 2, 2, tfidf(2, 2)),
+            (2, "banana", 1, 2, tfidf(1, 2)),
+        ]
+        # doc 2: durian (df1) outscores apple/cherry (df2) at equal tf;
+        # apple beats cherry on the term tie-break at equal tfidf
+        assert sorted(out[2]) == [
+            (1, "durian", 1, 1, tfidf(1, 1)),
+            (2, "apple", 1, 2, tfidf(1, 2)),
+        ]
+
+    def test_no_global_sort(self, spark, sf_dir):
+        from searchgov_spider_spark.operators import retrieval
+
+        df = retrieval.tfidf_top_terms(spark.read.parquet(f"{sf_dir}/documents.parquet"))
+        plan = plan_of(df, "simple")
+        assert "Exchange rangepartitioning" not in plan  # window is per-doc, no global sort
