@@ -839,7 +839,11 @@ def main() -> None:
         for i, (hr, lr) in enumerate(zip(st_hi_runs, st_lo_runs)):
             line["load_gate"][f"stateful_high_{i}"] = _gate_summary(hr)
             line["load_gate"][f"stateful_low_{i}"] = _gate_summary(lr)
-    full_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_full.json")
+    # skip-scaling iterations must not clobber the committed full artifact
+    # (its scaling evidence is the round's gate) — park them in BENCH_quick
+    full_name = "BENCH_full.json" if "scaling" in extras else "BENCH_quick.json"
+    line["full_artifact"] = full_name
+    full_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), full_name)
     with open(full_path, "w") as fh:
         json.dump({**line, "extras": extras}, fh, indent=1)
     print(json.dumps(line))
