@@ -266,3 +266,56 @@ def tfidf_top_terms(
         .filter(F.col("rank") <= top_k)
         .select(id_col, "term", "tf", "df", "tfidf", "rank")
     )
+
+
+def rrf_fuse(
+    rankings: dict[str, DataFrame],
+    id_col: str = "doc_id",
+    rank_col: str = "rank",
+    k: int = 60,
+    top_n: int = 20,
+) -> DataFrame:
+    """Reciprocal-rank fusion of named rankers (Cormack, Clarke &
+    Buettcher 2009):  rrf(d) = sum over rankers r of 1 / (k + rank_r(d)),
+    with a ranker contributing 0 for documents outside its list.  This is
+    the standard hybrid-retrieval combiner (OpenSearch/Elasticsearch ship
+    it as their hybrid query mode — the serving side of the reference's
+    i14y push); fusing an offline BM25 ranking with a dense cosine
+    ranking is how a corpus build evaluates hybrid relevance.
+
+    ``rankings`` maps ranker name -> DataFrame of (id_col, rank_col) with
+    rank 1-based; each ranker's rank is carried through as
+    ``{name}_rank`` (NULL when absent).  Output is the fused top
+    ``top_n`` by (rrf desc, id asc), rrf rounded to 6 decimals so
+    last-ulp float noise cannot reorder engines.
+
+    Scale shape: ranker outputs are top-k lists — tiny by construction —
+    so every join here is broadcastable; the heavy lifting happened
+    upstream in the rankers themselves (bm25_topk / cosine_topk each do
+    the one corpus-scale pass).  Full-outer joins on the id keep
+    documents surfaced by any ranker.
+    """
+    import functools
+
+    sides = [
+        df.select(
+            F.col(id_col), F.col(rank_col).cast("long").alias(f"{name}_rank")
+        )
+        for name, df in rankings.items()
+    ]
+    fused = functools.reduce(
+        lambda a, b: a.join(b, on=id_col, how="full_outer"), sides
+    )
+    rrf = functools.reduce(
+        lambda acc, name: acc
+        + F.coalesce(
+            F.lit(1.0) / (F.lit(float(k)) + F.col(f"{name}_rank")), F.lit(0.0)
+        ),
+        rankings.keys(),
+        F.lit(0.0),
+    )
+    return (
+        fused.withColumn("rrf", F.round(rrf, 6))
+        .orderBy(F.desc("rrf"), F.asc(id_col))
+        .limit(top_n)
+    )

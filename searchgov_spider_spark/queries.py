@@ -1165,6 +1165,90 @@ def q66_tfidf_top_terms(spark, sf_dir):
     return retrieval.tfidf_top_terms(_t(spark, sf_dir, "documents"), top_k=5)
 
 
+Q67_LIST_K, Q67_RRF_K, Q67_TOP_N = 50, 60, 20
+Q68_BIN_US = 3_600_000_000  # 1-hour bins ≈ 1-2 bins/session at 43 s median
+
+
+def q67_hybrid_rrf(spark, sf_dir):
+    """Hybrid retrieval: reciprocal-rank fusion of the offline BM25
+    ranking (q57's query) with the dense cosine ranking (q21's probe
+    vector) — the OpenSearch hybrid-query mode the reference's serving
+    side exposes, run corpus-side.  Each ranker does its one corpus-scale
+    pass; the fusion itself joins two top-50 lists (broadcast-sized by
+    construction).  Nullable ranks surface as double on both engines."""
+    from pyspark.sql.window import Window
+
+    from .operators import retrieval
+
+    bm = retrieval.bm25_topk(
+        _t(spark, sf_dir, "documents"), Q57_QUERY, k=Q67_LIST_K
+    ).withColumn(
+        "rank", F.row_number().over(Window.orderBy(F.desc("bm25"), F.asc("doc_id")))
+    )
+    emb = _t(spark, sf_dir, "embeddings")
+    qvec = [float(x) for x in emb.filter(F.col("vec_id") == 0).select("embedding").head()[0]]
+    dn = (
+        similarity.cosine_topk(emb, qvec, k=Q67_LIST_K)
+        .withColumn(
+            "rank", F.row_number().over(Window.orderBy(F.desc("cosine"), F.asc("vec_id")))
+        )
+        .withColumnRenamed("vec_id", "doc_id")
+    )
+    fused = retrieval.rrf_fuse(
+        {"bm25": bm, "dense": dn}, k=Q67_RRF_K, top_n=Q67_TOP_N
+    )
+    return fused.select(
+        "doc_id",
+        F.col("bm25_rank").cast("double").alias("bm25_rank"),
+        F.col("dense_rank").cast("double").alias("dense_rank"),
+        "rrf",
+    )
+
+
+def _q68_sessions(spark, sf_dir):
+    from .operators import sessions
+
+    return sessions.sessionize(_t(spark, sf_dir, "events"), gap_minutes=30).select(
+        F.col("user_id").alias("s_user"), "session_idx", "start_us", "end_us"
+    )
+
+
+def q68_active_sessions(spark, sf_dir):
+    """Point-in-interval join, bin-partitioned: for every event instant,
+    how many sessions (across ALL users) were open — the naive
+    `BETWEEN` theta-join is a BroadcastNestedLoopJoin non-starter at
+    100 TB; here both sides equi-join on 1-hour time bins with an exact
+    containment filter after (operators/intervals.py).  Left semantics
+    recovered by joining pair counts back onto the points."""
+    from .operators import intervals
+
+    pts = _t(spark, sf_dir, "events").select(
+        "event_id", F.unix_micros(F.col("ts").cast("timestamp")).alias("ev_us")
+    )
+    pairs = intervals.point_in_interval_join(
+        pts, _q68_sessions(spark, sf_dir),
+        point_ts="ev_us", start_col="start_us", end_col="end_us",
+        bin_width=Q68_BIN_US,
+    )
+    counts = pairs.groupBy("event_id").agg(F.count("*").alias("_n"))
+    return pts.join(counts, "event_id", "left").select(
+        "event_id",
+        "ev_us",
+        F.coalesce(F.col("_n"), F.lit(0)).cast("long").alias("n_active"),
+    )
+
+
+def q69_session_concurrency(spark, sf_dir):
+    """Sweep-line concurrency timeline over the session intervals:
+    (ts_us, open-session count) at every change point.  The global
+    running sum uses the two-pass range-partitioned prefix-sum (P-row
+    offset table, partition-local windows — crawl/seqno.py's pattern),
+    NEVER a single-partition window (operators/intervals.py)."""
+    from .operators import intervals
+
+    return intervals.concurrency_timeline(_q68_sessions(spark, sf_dir))
+
+
 # ---------------------------------------------------------------------------
 # registry + oracle SQL
 # ---------------------------------------------------------------------------
@@ -1236,6 +1320,9 @@ QUERIES = {
     "q64_asof_join": q64_asof_join,
     "q65_inverted_index": q65_inverted_index,
     "q66_tfidf_top_terms": q66_tfidf_top_terms,
+    "q67_hybrid_rrf": q67_hybrid_rrf,
+    "q68_active_sessions": q68_active_sessions,
+    "q69_session_concurrency": q69_session_concurrency,
 }
 
 _DUP_DOCS_SQL = (
@@ -1950,6 +2037,85 @@ ORACLES["q66_tfidf_top_terms"] = f"""
                                             ORDER BY tfidf DESC, term) AS INT) AS rank
           FROM scored)
     SELECT doc_id, term, tf, df, tfidf, rank FROM r WHERE rank <= 5
+"""
+
+# q67: both rankers re-derived independently (q57's BM25 CTEs, q21's
+# native list_cosine_similarity), fused with the RRF formula in SQL; both
+# engines rank on ROUNDED bm25 and fuse on the exact 1/(60+rank) doubles
+ORACLES["q67_hybrid_rrf"] = f"""
+    WITH dl AS (SELECT doc_id, len({_TOKS}) AS dl FROM documents),
+    stats AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dl),
+    tf AS (SELECT doc_id, tok AS term, count(*) AS tf
+           FROM (SELECT doc_id, unnest({_TOKS}) AS tok FROM documents)
+           WHERE tok IN ({_Q57_TERMS}) GROUP BY doc_id, tok),
+    dft AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+    scored AS (
+        SELECT tf.doc_id,
+               round(sum(
+                   ln(CAST(1.0 AS DOUBLE)
+                      + (n_docs - df + CAST(0.5 AS DOUBLE)) / (df + CAST(0.5 AS DOUBLE)))
+                   * tf * CAST({1.2 + 1.0!r} AS DOUBLE)
+                   / (tf + CAST(1.2 AS DOUBLE)
+                      * (CAST(0.25 AS DOUBLE) + (CAST(0.75 AS DOUBLE) * dl) / avgdl))
+               ), 6) AS bm25
+        FROM tf JOIN dl USING (doc_id) JOIN dft USING (term) CROSS JOIN stats
+        GROUP BY tf.doc_id),
+    bm AS (SELECT doc_id, row_number() OVER (ORDER BY bm25 DESC, doc_id) AS bm25_rank
+           FROM scored ORDER BY bm25 DESC, doc_id LIMIT {Q67_LIST_K}),
+    dn AS (SELECT vec_id AS doc_id, rank AS dense_rank FROM (
+               SELECT vec_id, row_number() OVER (
+                   ORDER BY list_cosine_similarity(embedding,
+                       (SELECT embedding FROM embeddings WHERE vec_id = 0)) DESC,
+                   vec_id ASC) AS rank
+               FROM embeddings)
+           WHERE rank <= {Q67_LIST_K}),
+    fused AS (SELECT coalesce(bm.doc_id, dn.doc_id) AS doc_id,
+                     CAST(bm25_rank AS DOUBLE) AS bm25_rank,
+                     CAST(dense_rank AS DOUBLE) AS dense_rank,
+                     round(coalesce(CAST(1.0 AS DOUBLE) / ({Q67_RRF_K} + bm25_rank), 0)
+                           + coalesce(CAST(1.0 AS DOUBLE) / ({Q67_RRF_K} + dense_rank), 0),
+                           6) AS rrf
+              FROM bm FULL OUTER JOIN dn ON bm.doc_id = dn.doc_id)
+    SELECT doc_id, bm25_rank, dense_rank, rrf
+    FROM fused ORDER BY rrf DESC, doc_id LIMIT {Q67_TOP_N}
+"""
+
+_Q68_SESS_CTE = """
+    e AS (SELECT user_id, event_id, epoch_us(ts) AS us FROM events),
+    m AS (SELECT user_id, event_id, us,
+                 CASE WHEN lag(us) OVER w IS NULL
+                           OR us - lag(us) OVER w > 1800000000 THEN 1 ELSE 0 END AS nw
+          FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)),
+    s AS (SELECT user_id, us,
+                 CAST(sum(nw) OVER (PARTITION BY user_id ORDER BY us, event_id
+                                    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_idx
+          FROM m),
+    sess AS (SELECT user_id, session_idx, min(us) AS start_us, max(us) AS end_us
+             FROM s GROUP BY user_id, session_idx)
+"""
+
+# q68: DuckDB's native inequality (IE) join is the oracle for the binned
+# containment join — a genuinely independent physical strategy
+ORACLES["q68_active_sessions"] = f"""
+    WITH {_Q68_SESS_CTE},
+    pts AS (SELECT event_id, epoch_us(ts) AS ev_us FROM events)
+    SELECT p.event_id, p.ev_us, CAST(count(x.user_id) AS BIGINT) AS n_active
+    FROM pts p LEFT JOIN sess x
+        ON x.start_us <= p.ev_us AND p.ev_us <= x.end_us
+    GROUP BY p.event_id, p.ev_us
+"""
+
+# q69: the oracle's running sum is DuckDB's single-node window — the
+# Spark side must produce the identical timeline from the distributed
+# two-pass prefix sum
+ORACLES["q69_session_concurrency"] = f"""
+    WITH {_Q68_SESS_CTE},
+    d AS (SELECT start_us AS ts_us, 1 AS dl FROM sess
+          UNION ALL SELECT end_us + 1, -1 FROM sess),
+    g AS (SELECT ts_us, sum(dl) AS dl FROM d GROUP BY ts_us)
+    SELECT ts_us, CAST(sum(dl) OVER (ORDER BY ts_us ROWS UNBOUNDED PRECEDING)
+                       AS BIGINT) AS active
+    FROM g
 """
 
 
