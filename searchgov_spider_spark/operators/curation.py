@@ -360,3 +360,64 @@ def dsir_log_weights(
             6,
         ).alias("dsir_log_weight"),
     )
+
+
+def source_reputation(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    source_col: str = "source",
+    short_tokens: int = 50,
+    min_docs: int = 3,
+    keep_threshold: float = 0.5,
+) -> DataFrame:
+    """Source-level (per-domain) curation rollup — the RefinedWeb/Dolma
+    pattern of filtering whole sources rather than documents: a domain
+    whose pages are mostly duplicated or mostly near-empty is dropped
+    wholesale (public precedent: Penedo et al. 2023 §3.1 URL/domain
+    filtering; Dolma's per-domain quality gates).  Reference tie-in: the
+    reference curates at the domain list level too — its seeds file admits
+    or rejects whole domains (``utility_files/crawl-sites-sample.json``),
+    and DAP-driven analytics rank domains by visits; this is the corpus-
+    side generalization with measured signals.
+
+    Per-source signals (all pure-JVM, codegen'd):
+      - ``n_docs``, ``avg_tokens`` (regexp token count per doc),
+      - ``dup_rate``  = 1 − distinct(md5(text)) / n_docs   (exact-dup mass),
+      - ``short_rate`` = share of docs under ``short_tokens`` tokens,
+      - ``score`` = (1 − dup_rate) × (1 − short_rate), rounded to 6 dp,
+      - ``keep``  = score ≥ keep_threshold AND n_docs ≥ min_docs.
+
+    Scale shape: ONE groupBy on the source key with fully partial-aggable
+    terms (count, sum, approx-free distinct via count_distinct on the
+    128-bit digest — still a partial-agg'd HashAggregate pair); output is
+    source-cardinality-sized (millions of domains, not billions of docs).
+    A pathological mega-domain is one hot key: AQE skew handling applies,
+    and every term here tolerates two-level aggregation.  The keep column
+    joins back to the corpus as a broadcast (domains ≪ docs).
+    """
+    from .dedup import TOKEN_PATTERN
+
+    toks = f"size(regexp_extract_all(lower({text_col}), '{TOKEN_PATTERN}', 0))"
+    per_doc = docs.select(
+        F.col(source_col).alias("source"),
+        F.md5(F.col(text_col)).alias("_h"),
+        F.expr(toks).alias("_nt"),
+    )
+    agg = per_doc.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.round(F.avg("_nt"), 6).alias("avg_tokens"),
+        F.round(
+            F.lit(1.0) - F.countDistinct("_h") / F.count("*"), 6
+        ).alias("dup_rate"),
+        F.round(
+            F.avg(F.when(F.col("_nt") < short_tokens, 1.0).otherwise(0.0)), 6
+        ).alias("short_rate"),
+    )
+    score = F.round(
+        (F.lit(1.0) - F.col("dup_rate")) * (F.lit(1.0) - F.col("short_rate")), 6
+    )
+    return agg.withColumn("score", score).withColumn(
+        "keep",
+        (F.col("score") >= keep_threshold) & (F.col("n_docs") >= min_docs),
+    )

@@ -452,3 +452,38 @@ def winnow_fingerprints(
             F.col("_fp.fingerprint").alias("fingerprint"),
         )
     )
+
+
+def ngram_containment_pairs(
+    docs: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Asymmetric n-gram containment for an explicit candidate pair set:
+    containment(A in B) = |shingles(A) ∩ shingles(B)| / |shingles(A)|.
+
+    Jaccard under-scores size-mismatched overlaps — a 50-token quote
+    inside a 5,000-token page has Jaccard ≈ 0.01 but containment ≈ 1.0 —
+    so quote/excerpt/subset detection (the Broder 1997 "containment"
+    companion to resemblance) keys on this, not on Jaccard.  Returns both
+    directions plus Jaccard for calibration.
+
+    Scale shape: identical to :func:`ngram_jaccard_pairs` — shingle sets
+    are computed map-side inside the token array, and only the explicit
+    candidate pairs (from LSH/bucketing upstream) ever join; never
+    all-pairs.
+    """
+    sh = docs.select(F.col(id_col), F.array_distinct(shingles_col(text_col)).alias("sh"))
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    return (
+        pairs.join(sh.select(F.col(id_col).alias("id_a"), F.col("sh").alias("sh_a")), "id_a")
+        .join(sh.select(F.col(id_col).alias("id_b"), F.col("sh").alias("sh_b")), "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.round(inter / F.size("sh_a"), 6).alias("containment_a_in_b"),
+            F.round(inter / F.size("sh_b"), 6).alias("containment_b_in_a"),
+            F.round(inter / F.size(F.array_union("sh_a", "sh_b")), 6).alias("jaccard"),
+        )
+    )

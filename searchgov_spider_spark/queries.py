@@ -1249,6 +1249,87 @@ def q69_session_concurrency(spark, sf_dir):
     return intervals.concurrency_timeline(_q68_sessions(spark, sf_dir))
 
 
+Q72_EXCERPT_CHARS = 200
+
+
+def q72_containment_pairs(spark, sf_dir):
+    """Asymmetric n-gram containment (Broder 1997) over (excerpt,
+    original) pairs: every doc_id%9==0 document gets a 200-char excerpt
+    doc (id +200000); the excerpt's shingles are ~fully contained in the
+    original while Jaccard stays tiny — the quote/subset-detection case
+    Jaccard misses (operators/dedup.py)."""
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    excerpts = d.filter(F.col("doc_id") % 9 == 0).select(
+        (F.col("doc_id") + 200000).alias("doc_id"),
+        F.substring(F.col("text"), 1, Q72_EXCERPT_CHARS).alias("text"),
+    )
+    corpus = d.unionAll(excerpts)
+    pairs = excerpts.select(
+        F.col("doc_id").alias("id_a"), (F.col("doc_id") - 200000).alias("id_b")
+    )
+    return dedup.ngram_containment_pairs(corpus, pairs)
+
+
+def q73_session_window_builtin(spark, sf_dir):
+    """Gap sessionization via Spark's BUILT-IN session_window (the same
+    operator Structured Streaming uses for watermark-merged live
+    sessions) — the declarative counterpart of q59's window/lag
+    formulation, pinning that the built-in and the composed plan agree
+    with the single-node oracle.  Spark's rule: an event at exactly
+    start+gap since the previous event MERGES (windows [s, last+gap)
+    overlap on the boundary); end_us = last event + gap."""
+    gap_us = 30 * 60 * 1_000_000
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            "user_id",
+            F.session_window(F.col("ts").cast("timestamp"), "30 minutes").alias("w"),
+        )
+        .agg(F.count("*").alias("n_events"), F.round(F.sum("value"), 2).alias("total_value"))
+        .select(
+            "user_id",
+            F.unix_micros(F.col("w.start")).alias("start_us"),
+            F.unix_micros(F.col("w.end")).alias("end_us"),
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+def q70_source_reputation(spark, sf_dir):
+    """Source-level curation rollup (RefinedWeb/Dolma domain filtering):
+    per-source exact-dup mass, short-doc share, composite score and keep
+    flag — ONE partial-agg'd groupBy on the source key, output sized by
+    domain count, keep flag broadcast-joinable back to the corpus
+    (operators/curation.py)."""
+    return curation.source_reputation(_t(spark, sf_dir, "documents"))
+
+
+def q71_crawl_delta(spark, sf_dir):
+    """Snapshot diff between two crawls (the content-level generalization
+    of the reference's sitemap delta + freshness re-index): new snapshot
+    synthesized deterministically from documents (drop %7 ids, append a
+    suffix to %5 texts, add %11 ids shifted +100000), then one full-outer
+    join on 128-bit digests — the wide text never rides the shuffle
+    (operators/snapshots.py)."""
+    from .operators import snapshots
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    surviving = d.filter(~(F.col("doc_id") % 7 == 0)).select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 5 == 0, F.concat(F.col("text"), F.lit(" [updated]"))
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    added = d.filter(F.col("doc_id") % 11 == 0).select(
+        (F.col("doc_id") + 100000).alias("doc_id"),
+        F.concat(F.lit("new: "), F.col("text")).alias("text"),
+    )
+    return snapshots.snapshot_delta(d, surviving.unionAll(added))
+
+
 # ---------------------------------------------------------------------------
 # registry + oracle SQL
 # ---------------------------------------------------------------------------
@@ -1323,6 +1404,10 @@ QUERIES = {
     "q67_hybrid_rrf": q67_hybrid_rrf,
     "q68_active_sessions": q68_active_sessions,
     "q69_session_concurrency": q69_session_concurrency,
+    "q70_source_reputation": q70_source_reputation,
+    "q71_crawl_delta": q71_crawl_delta,
+    "q72_containment_pairs": q72_containment_pairs,
+    "q73_session_window_builtin": q73_session_window_builtin,
 }
 
 _DUP_DOCS_SQL = (
@@ -2116,6 +2201,86 @@ ORACLES["q69_session_concurrency"] = f"""
     SELECT ts_us, CAST(sum(dl) OVER (ORDER BY ts_us ROWS UNBOUNDED PRECEDING)
                        AS BIGINT) AS active
     FROM g
+"""
+
+# q70: both engines compute score from the ROUNDED rates, so the keep
+# cut cannot flip on last-ulp noise
+ORACLES["q70_source_reputation"] = f"""
+    WITH per AS (SELECT source, md5(text) AS h, len({_TOKS}) AS nt FROM documents),
+    agg AS (SELECT source, count(*) AS n_docs,
+                   round(avg(nt), 6) AS avg_tokens,
+                   round(CAST(1.0 AS DOUBLE)
+                         - count(DISTINCT h) * CAST(1.0 AS DOUBLE) / count(*), 6)
+                       AS dup_rate,
+                   round(avg(CASE WHEN nt < 50 THEN CAST(1.0 AS DOUBLE)
+                                  ELSE CAST(0.0 AS DOUBLE) END), 6) AS short_rate
+            FROM per GROUP BY source)
+    SELECT source, n_docs, avg_tokens, dup_rate, short_rate,
+           round((CAST(1.0 AS DOUBLE) - dup_rate)
+                 * (CAST(1.0 AS DOUBLE) - short_rate), 6) AS score,
+           (round((CAST(1.0 AS DOUBLE) - dup_rate)
+                  * (CAST(1.0 AS DOUBLE) - short_rate), 6) >= CAST(0.5 AS DOUBLE)
+            AND n_docs >= 3) AS keep
+    FROM agg
+"""
+
+# q71: the synthetic new snapshot (drop %7, suffix %5, add %11 shifted)
+# is re-derived in SQL; DuckDB diffs with its own full-outer join
+ORACLES["q71_crawl_delta"] = """
+    WITH oldd AS (SELECT doc_id, md5(text) AS old_hash FROM documents),
+    newd AS (
+        SELECT doc_id,
+               md5(CASE WHEN doc_id % 5 = 0 THEN text || ' [updated]'
+                        ELSE text END) AS new_hash
+        FROM documents WHERE doc_id % 7 <> 0
+        UNION ALL
+        SELECT doc_id + 100000, md5('new: ' || text)
+        FROM documents WHERE doc_id % 11 = 0),
+    j AS (SELECT coalesce(o.doc_id, n.doc_id) AS doc_id, old_hash, new_hash,
+                 CASE WHEN old_hash IS NULL THEN 'added'
+                      WHEN new_hash IS NULL THEN 'removed'
+                      WHEN old_hash <> new_hash THEN 'changed' END AS status
+          FROM oldd o FULL OUTER JOIN newd n ON o.doc_id = n.doc_id)
+    SELECT doc_id, status, old_hash, new_hash FROM j WHERE status IS NOT NULL
+"""
+
+# q72: shingle sets, the synthetic excerpt corpus, and both containment
+# directions re-derived with DuckDB list lambdas
+ORACLES["q72_containment_pairs"] = f"""
+    WITH corpus AS (
+        SELECT doc_id, text FROM documents
+        UNION ALL
+        SELECT doc_id + 200000, substr(text, 1, {Q72_EXCERPT_CHARS})
+        FROM documents WHERE doc_id % 9 = 0),
+    sh AS (SELECT doc_id, list_distinct({_SHINGLES}) AS s FROM corpus),
+    pairs AS (SELECT doc_id + 200000 AS id_a, doc_id AS id_b
+              FROM documents WHERE doc_id % 9 = 0)
+    SELECT id_a, id_b,
+           round(len(list_intersect(a.s, b.s)) * 1.0 / len(a.s), 6)
+               AS containment_a_in_b,
+           round(len(list_intersect(a.s, b.s)) * 1.0 / len(b.s), 6)
+               AS containment_b_in_a,
+           round(len(list_intersect(a.s, b.s)) * 1.0
+                 / len(list_distinct(list_concat(a.s, b.s))), 6) AS jaccard
+    FROM pairs JOIN sh a ON a.doc_id = id_a JOIN sh b ON b.doc_id = id_b
+"""
+
+# q73: Spark's built-in session_window vs the window/lag single-node
+# derivation; merge-at-exact-gap (>=) is Spark's documented rule, and
+# end = last event + gap
+ORACLES["q73_session_window_builtin"] = """
+    WITH e AS (SELECT user_id, event_id, value, epoch_us(ts) AS us FROM events),
+    m AS (SELECT user_id, event_id, value, us,
+                 CASE WHEN lag(us) OVER w IS NULL
+                           OR us - lag(us) OVER w > 1800000000 THEN 1 ELSE 0 END AS nw
+          FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)),
+    s AS (SELECT user_id, value, us,
+                 CAST(sum(nw) OVER (PARTITION BY user_id ORDER BY us, event_id
+                                    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_idx
+          FROM m)
+    SELECT user_id, min(us) AS start_us, max(us) + 1800000000 AS end_us,
+           count(*) AS n_events, round(sum(value), 2) AS total_value
+    FROM s GROUP BY user_id, session_idx
 """
 
 
