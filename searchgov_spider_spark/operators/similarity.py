@@ -368,3 +368,106 @@ def ann_topk_lsh(
     bucketed = with_lsh_bucket(embeddings, dim, bits, seed, vec_col)
     candidates = bucketed.filter(F.col("bucket").isin([int(p) for p in probes]))
     return cosine_topk(candidates, query_vec, k, id_col, vec_col)
+
+
+def ivf_cell_expr(centroids: np.ndarray, vec_col: str) -> F.Column:
+    """Nearest-centroid cell id as a PURE-JVM expression (no Python stage):
+    per-centroid squared distance via the expansion formula
+    ``x·x − 2·x·c + c·c`` with left-fold accumulation (bit-replicable by a
+    single-node left-fold oracle), then first-argmin via
+    ``array_position(d2s, array_min(d2s))``.
+
+    The pandas-UDF variant (:func:`with_ivf_cell`) is one matmul per Arrow
+    batch — better when ``n_cells`` is large; this expression variant wins
+    when the column feeds joins (Catalyst duplicates Python-UDF evaluation
+    under inferred join-key not-null filters, and Arrow transfer is paid
+    per reference), and keeps the whole consumer plan inside whole-stage
+    codegen."""
+    xx = F.expr(
+        f"aggregate({vec_col}, cast(0.0 as double),"
+        " (acc, v) -> acc + cast(v as double) * cast(v as double))"
+    )
+    d2s = []
+    for c in np.asarray(centroids, dtype=np.float64):
+        carr = "array(" + ", ".join(f"cast({float(v)!r} as double)" for v in c) + ")"
+        dot = F.expr(_dot_expr(vec_col, carr))
+        cc = 0.0
+        for v in c:  # driver-side left fold, same order as the oracle's
+            cc += float(v) * float(v)
+        d2s.append(xx - F.lit(2.0) * dot + F.lit(cc))
+    arr = F.array(*d2s)
+    return (F.array_position(arr, F.array_min(arr)) - F.lit(1)).cast("int")
+
+
+def semantic_dedup(
+    embeddings: DataFrame,
+    dim: int,
+    n_cells: int = 16,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    sample_mod: int | None = None,
+    centroids: np.ndarray | None = None,
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic
+    deduplication by k-means clustering + within-cluster cosine pruning.
+    A document is dropped iff a LOWER-id member of its own cell scores
+    cosine >= ``threshold`` against it — the deterministic stand-in for the
+    paper's keep-one-per-duplicate-set rule.  Returns every input row as
+    (id_col, cell, keep).
+
+    Reference tie-in: the reference dedups crawled URLs and exact item
+    bodies (SURVEY §2 F7/F8); this is the embedding-space generalization a
+    training-corpus build layers on top — near-identical *meaning*, not
+    near-identical bytes (MinHash/SimHash catch those upstream).
+
+    Scale shape — the published SemDeDup recipe, re-expressed for Spark:
+      - The coarse quantizer reuses :func:`ivf_build`: a size-derived
+        ``id % sample_mod == 0`` sample (~4096 rows collected at ANY corpus
+        size) + deterministic Lloyd on the driver; centroids broadcast.
+      - Cell assignment is a pure-JVM codegen'd expression
+        (:func:`ivf_cell_expr`) — map-side, no shuffle, and NO Python stage
+        anywhere in the operator (the pandas-UDF assignment would be
+        re-evaluated per join side under Catalyst's inferred not-null
+        join-key filters and pay Arrow transfer twice).
+      - The pairwise stage self-joins ON THE CELL KEY only: one shuffle
+        co-partitioned by cell, cost Σ|cell|² instead of n² — the paper's
+        own trick for making pairwise cosine tractable at corpus scale
+        (their k grows with n so E[|cell|] stays bounded; pass ``n_cells``
+        accordingly).  A hot cell is one skewed join key — AQE skew-split
+        applies; the dot product stays a codegen'd JVM aggregate fold, no
+        Python in the pairwise hot path.
+      - Verdict join back is an equi-join of ids-only pairs (48 bytes/row),
+        never vectors.
+    """
+    if centroids is None:
+        centroids = ivf_build(embeddings, dim, n_cells, sample_mod, id_col, vec_col)
+    celled = embeddings.select(
+        id_col, ivf_cell_expr(centroids, vec_col).alias("cell"), vec_col
+    )
+    a = celled.select(
+        F.col(id_col).alias("id_a"), "cell", F.col(vec_col).alias("_va")
+    )
+    b = celled.select(
+        F.col(id_col).alias("id_b"), "cell", F.col(vec_col).alias("_vb")
+    )
+    cos = F.expr(_dot_expr("_va", "_vb")) / (
+        F.expr(_norm_expr("_va")) * F.expr(_norm_expr("_vb"))
+    )
+    dup_ids = (
+        a.join(b, "cell")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_b", cos.alias("cosine"))
+        .filter(F.col("cosine") >= threshold)
+        .select(F.col("id_b").alias(id_col))
+        .distinct()
+    )
+    return (
+        celled.select(id_col, "cell")
+        .join(dup_ids.withColumn("_dup", F.lit(True)), id_col, "left")
+        .select(
+            id_col,
+            "cell",
+            F.coalesce(~F.col("_dup"), F.lit(True)).alias("keep"),
+        )
+    )

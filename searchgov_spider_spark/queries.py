@@ -1330,6 +1330,19 @@ def q71_crawl_delta(spark, sf_dir):
     return snapshots.snapshot_delta(d, surviving.unionAll(added))
 
 
+def q74_semantic_dedup(spark, sf_dir):
+    """SemDeDup (Abbas et al. 2023) over the dup-injected embedding corpus:
+    k-means cells via the IVF coarse quantizer, within-cell pairwise cosine,
+    drop iff a lower-id cell-mate scores >= 0.95.  Injected exact copies
+    land in their original's cell at cosine 1.0 (recall 1.0 by
+    construction); random 64-d pairs never reach the threshold
+    (operators/similarity.py)."""
+    from .operators import similarity
+
+    emb = _embeddings_with_dups(spark, sf_dir)
+    return similarity.semantic_dedup(emb, dim=64, n_cells=16, threshold=0.95)
+
+
 # ---------------------------------------------------------------------------
 # registry + oracle SQL
 # ---------------------------------------------------------------------------
@@ -1408,6 +1421,7 @@ QUERIES = {
     "q71_crawl_delta": q71_crawl_delta,
     "q72_containment_pairs": q72_containment_pairs,
     "q73_session_window_builtin": q73_session_window_builtin,
+    "q74_semantic_dedup": q74_semantic_dedup,
 }
 
 _DUP_DOCS_SQL = (
