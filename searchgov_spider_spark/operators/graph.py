@@ -88,3 +88,84 @@ def pagerank(
     return ranks.select(
         F.col(src_col).alias(id_col), F.round("rank", 6).alias("pagerank")
     )
+
+
+def hits(
+    edges: DataFrame,
+    nodes: DataFrame,
+    id_col: str = "id",
+    src_col: str = "src",
+    dst_col: str = "dst",
+    n_iter: int = 5,
+) -> DataFrame:
+    """Fixed-iteration HITS (Kleinberg 1999): mutually-reinforcing hub and
+    authority scores over the crawl link graph — the classic companion
+    signal to PageRank for seed selection (good HUBS are the pages a
+    crawler should re-visit for fresh links; good AUTHORITIES are the
+    pages worth indexing/keeping).
+
+    Contract (chosen for exact single-node SQL reproducibility):
+    hub₀ = 1 for every node; each iteration computes
+    auth(v) = Σ_{u→v} hub(u) then L1-normalizes over all nodes, then
+    hub(u) = Σ_{u→v} auth(v) then L1-normalizes — the standard power
+    iteration with sum-normalization instead of L2 (no sqrt, so every
+    score stays a rational function of edge counts; ordering is
+    unaffected).  Nodes without in-edges get authority 0, without
+    out-edges hub 0.  Returns (id, authority, hub) rounded to 6 dp.
+
+    Scale shape: like :func:`pagerank`, each iteration is one
+    co-partitioned join (scores ⋈ edges) + one map-side-combined groupBy
+    per direction; the L1 norm is a 1-row global agg joined back by
+    broadcast (never a driver collect); per-iteration localCheckpoint
+    keeps the plan O(1) deep.  Hub-node skew (a page linked by millions)
+    is one hot groupBy key — partial aggregation absorbs it map-side.
+    """
+    adj = edges.select(src_col, dst_col).localCheckpoint(eager=True)
+    hubs = nodes.select(
+        F.col(id_col).alias(src_col), F.lit(1.0).alias("hub")
+    ).localCheckpoint(eager=True)
+    auths = None
+
+    for _ in range(n_iter):
+        araw = (
+            adj.join(hubs, src_col)
+            .groupBy(dst_col)
+            .agg(F.sum("hub").alias("a_raw"))
+        )
+        asum = araw.agg(F.sum("a_raw").alias("a_sum"))
+        auths = (
+            nodes.select(F.col(id_col).alias(dst_col))
+            .join(araw, dst_col, "left")
+            .crossJoin(F.broadcast(asum))
+            .select(
+                dst_col,
+                (F.coalesce("a_raw", F.lit(0.0)) / F.col("a_sum")).alias("auth"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        hraw = (
+            adj.join(auths, dst_col)
+            .groupBy(src_col)
+            .agg(F.sum("auth").alias("h_raw"))
+        )
+        hsum = hraw.agg(F.sum("h_raw").alias("h_sum"))
+        hubs = (
+            nodes.select(F.col(id_col).alias(src_col))
+            .join(hraw, src_col, "left")
+            .crossJoin(F.broadcast(hsum))
+            .select(
+                src_col,
+                (F.coalesce("h_raw", F.lit(0.0)) / F.col("h_sum")).alias("hub"),
+            )
+            .localCheckpoint(eager=True)
+        )
+
+    return (
+        auths.select(F.col(dst_col).alias(id_col), "auth")
+        .join(hubs.select(F.col(src_col).alias(id_col), "hub"), id_col)
+        .select(
+            id_col,
+            F.round("auth", 6).alias("authority"),
+            F.round("hub", 6).alias("hub"),
+        )
+    )

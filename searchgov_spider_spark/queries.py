@@ -1330,6 +1330,28 @@ def q71_crawl_delta(spark, sf_dir):
     return snapshots.snapshot_delta(d, surviving.unionAll(added))
 
 
+_Q75_EDGE_MULTS = ((5, 3), (17, 7), (23, 2))
+Q75_ITERATIONS = 5
+
+
+def q75_hits(spark, sf_dir):
+    """HITS hub/authority scores (fixed 5-iteration L1-normalized power
+    method) over a deterministic arithmetic link graph — the crawl
+    seed-selection companion to q54's PageRank (operators/graph.py)."""
+    from .operators import graph
+
+    docs = _t(spark, sf_dir, "documents").select(F.col("doc_id").cast("long").alias("id"))
+    n = docs.count()
+    dsts = ", ".join(f"(id * {a} + {b}) % {n}L" for a, b in _Q75_EDGE_MULTS)
+    edges = (
+        docs.select(F.col("id").alias("src"), F.explode(F.expr(f"array({dsts})")).alias("dst"))
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+    scores = graph.hits(edges, docs, n_iter=Q75_ITERATIONS)
+    return scores.select(F.col("id").alias("doc_id"), "authority", "hub")
+
+
 def q74_semantic_dedup(spark, sf_dir):
     """SemDeDup (Abbas et al. 2023) over the dup-injected embedding corpus:
     k-means cells via the IVF coarse quantizer, within-cell pairwise cosine,
@@ -1422,6 +1444,7 @@ QUERIES = {
     "q72_containment_pairs": q72_containment_pairs,
     "q73_session_window_builtin": q73_session_window_builtin,
     "q74_semantic_dedup": q74_semantic_dedup,
+    "q75_hits": q75_hits,
 }
 
 _DUP_DOCS_SQL = (
@@ -1866,6 +1889,53 @@ def _q54_oracle_sql() -> str:
 
 
 ORACLES["q54_pagerank"] = _q54_oracle_sql()
+
+
+def _q75_oracle_sql() -> str:
+    """Independent 5-iteration HITS as chained SQL CTEs — hub₀ = 1, each
+    iteration one contribution join + an L1 normalization via a 1-row sum
+    CTE, over the same arithmetic edge formula the Spark query states."""
+    dsts = ", ".join(f"(doc_id * {a} + {b}) % nn.n" for a, b in _Q75_EDGE_MULTS)
+    iters = []
+    for i in range(1, Q75_ITERATIONS + 1):
+        prev_h = f"h{i - 1}"
+        iters.append(f"""
+        a{i}r AS MATERIALIZED (
+            SELECT e.dst AS id, sum({prev_h}.hub) AS raw
+            FROM edges e JOIN {prev_h} ON {prev_h}.id = e.src GROUP BY e.dst),
+        a{i}s AS MATERIALIZED (SELECT sum(raw) AS s FROM a{i}r),
+        a{i} AS MATERIALIZED (
+            SELECT nodes.id,
+                   coalesce(r.raw, CAST(0.0 AS DOUBLE)) / a{i}s.s AS auth
+            FROM nodes CROSS JOIN a{i}s LEFT JOIN a{i}r r ON r.id = nodes.id),
+        h{i}r AS MATERIALIZED (
+            SELECT e.src AS id, sum(a{i}.auth) AS raw
+            FROM edges e JOIN a{i} ON a{i}.id = e.dst GROUP BY e.src),
+        h{i}s AS MATERIALIZED (SELECT sum(raw) AS s FROM h{i}r),
+        h{i} AS MATERIALIZED (
+            SELECT nodes.id,
+                   coalesce(r.raw, CAST(0.0 AS DOUBLE)) / h{i}s.s AS hub
+            FROM nodes CROSS JOIN h{i}s LEFT JOIN h{i}r r ON r.id = nodes.id)""")
+    k = Q75_ITERATIONS
+    return f"""
+        WITH nn AS (SELECT count(*) AS n FROM documents),
+        nodes AS (SELECT CAST(doc_id AS BIGINT) AS id FROM documents),
+        lst AS (
+            SELECT CAST(doc_id AS BIGINT) AS src, [{dsts}] AS dsts
+            FROM documents CROSS JOIN nn),
+        raw_edges AS (
+            SELECT src, CAST(dsts[i] AS BIGINT) AS dst
+            FROM lst, UNNEST(range(1, 1 + len(dsts))) AS u(i)),
+        edges AS MATERIALIZED (SELECT DISTINCT src, dst FROM raw_edges WHERE dst <> src),
+        h0 AS MATERIALIZED (SELECT id, CAST(1.0 AS DOUBLE) AS hub FROM nodes),
+        {",".join(iters)}
+        SELECT a{k}.id AS doc_id, round(a{k}.auth, 6) AS authority,
+               round(h{k}.hub, 6) AS hub
+        FROM a{k} JOIN h{k} ON h{k}.id = a{k}.id
+    """
+
+
+ORACLES["q75_hits"] = _q75_oracle_sql()
 
 # q55: the line synthesis re-derived verbatim (10-token chunking, arithmetic
 # punct/javascript/short-line injections, lorem/'{' doc tells), then the C4
