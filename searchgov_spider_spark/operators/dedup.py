@@ -487,3 +487,82 @@ def ngram_containment_pairs(
             F.round(inter / F.size(F.array_union("sh_a", "sh_b")), 6).alias("jaccard"),
         )
     )
+
+
+def lsh_novelty(
+    new_docs: DataFrame,
+    corpus: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 16,
+    bands: int = 8,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """Incremental cross-corpus near-dedup: flag each NEW document as
+    novel iff no document of the EXISTING corpus is a banded-LSH candidate
+    with exact shingle Jaccard >= ``threshold``.  The daily-ingest shape of
+    minhash_lsh_pairs — a continuously-crawling pipeline dedups today's
+    batch against the accumulated corpus, not against itself (CCNet/Dolma
+    run exactly this between crawl dumps; the reference's URL-seen frontier
+    is the URL-level analogue, SURVEY §2 F7).
+
+    Returns one row per new document: (id_col, is_novel, matched_id,
+    jaccard) — matched_id/jaccard from the LOWEST-id verified corpus match
+    (deterministic), NULL when novel.
+
+    Scale shape: band keys for both sides map-side; ONE shuffle joins new
+    bands against corpus bands on (band, bh) — the new batch is tiny next
+    to the corpus, so the candidate join broadcasts the batch side under
+    AQE and the corpus NEVER self-joins (candidate count scales with batch
+    size, not corpus size).  In a persisted deployment the corpus band
+    table is precomputed once and bucketed by (band, bh), making the daily
+    join exchange-free on the big side — same discipline as the bucketed
+    URL-seen set (storage/tables.py).
+    """
+    rows = k // bands
+
+    def banded(docs: DataFrame, out_id: str) -> DataFrame:
+        sig = minhash_signature(docs, id_col, text_col, k)
+        band_cols = []
+        for b in range(bands):
+            parts = [F.col(f"minhash_{i}") for i in range(b * rows, (b + 1) * rows)]
+            band_cols.append(
+                F.struct(F.lit(b).alias("band"), F.md5(F.concat_ws("|", *parts)).alias("bh"))
+            )
+        return sig.select(F.col(id_col), F.explode(F.array(*band_cols)).alias("bk")).select(
+            F.col(id_col).alias(out_id),
+            F.col("bk.band").alias("band"),
+            F.col("bk.bh").alias("bh"),
+        )
+
+    cand = (
+        banded(new_docs, "new_id")
+        .join(banded(corpus, "corpus_id"), ["band", "bh"])
+        .select("new_id", "corpus_id")
+        .distinct()
+    )
+    sh_new = new_docs.select(F.col(id_col).alias("new_id"), shingles_col(text_col).alias("sh_n"))
+    sh_corp = corpus.select(F.col(id_col).alias("corpus_id"), shingles_col(text_col).alias("sh_c"))
+    matched = (
+        cand.join(sh_new, "new_id")
+        .join(sh_corp, "corpus_id")
+        .withColumn(
+            "jaccard",
+            F.size(F.array_intersect("sh_n", "sh_c"))
+            / F.size(F.array_union("sh_n", "sh_c")),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .groupBy("new_id")
+        .agg(F.min(F.struct("corpus_id", "jaccard")).alias("m"))
+        .select("new_id", F.col("m.corpus_id").alias("matched_id"), F.col("m.jaccard").alias("_j"))
+    )
+    return (
+        new_docs.select(F.col(id_col))
+        .join(matched.withColumnRenamed("new_id", id_col), id_col, "left")
+        .select(
+            id_col,
+            F.col("matched_id").isNull().alias("is_novel"),
+            "matched_id",
+            F.round("_j", 6).alias("jaccard"),
+        )
+    )

@@ -1330,6 +1330,23 @@ def q71_crawl_delta(spark, sf_dir):
     return snapshots.snapshot_delta(d, surviving.unionAll(added))
 
 
+def q76_incremental_novelty(spark, sf_dir):
+    """Incremental cross-corpus near-dedup (the daily-ingest run): a
+    synthetic 'today's batch' — exact copies (%3==0), suffix-modified
+    near-copies (%3==1), genuinely novel docs (%3==2), ids shifted
+    +500000 — LSH-deduped AGAINST the existing corpus, never against
+    itself (operators/dedup.lsh_novelty)."""
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    batch = d.select(
+        (F.col("doc_id") + 500000).alias("doc_id"),
+        F.when(F.col("doc_id") % 3 == 0, F.col("text"))
+        .when(F.col("doc_id") % 3 == 1, F.concat(F.col("text"), F.lit(" appended update note")))
+        .otherwise(F.concat(F.lit("novel document "), F.md5("text")))
+        .alias("text"),
+    )
+    return dedup.lsh_novelty(batch, d, k=16, bands=8, threshold=0.8)
+
+
 _Q75_EDGE_MULTS = ((5, 3), (17, 7), (23, 2))
 Q75_ITERATIONS = 5
 
@@ -1445,6 +1462,7 @@ QUERIES = {
     "q73_session_window_builtin": q73_session_window_builtin,
     "q74_semantic_dedup": q74_semantic_dedup,
     "q75_hits": q75_hits,
+    "q76_incremental_novelty": q76_incremental_novelty,
 }
 
 _DUP_DOCS_SQL = (
@@ -1936,6 +1954,53 @@ def _q75_oracle_sql() -> str:
 
 
 ORACLES["q75_hits"] = _q75_oracle_sql()
+
+
+def _q76_oracle_sql(k: int = 16, bands: int = 8, threshold: float = 0.8) -> str:
+    """Independent DuckDB replication of the incremental novelty check:
+    the synthetic batch re-derived in SQL, MinHash + banding for BOTH
+    sides, cross-side candidate join, exact-Jaccard verify, lowest-id
+    match via arg_min."""
+    rows = k // bands
+
+    def _bands(sig_cte: str, out_id: str) -> str:
+        selects = []
+        for b in range(bands):
+            parts = " || '|' || ".join(f"minhash_{i}" for i in range(b * rows, (b + 1) * rows))
+            selects.append(f"SELECT doc_id AS {out_id}, {b} AS band, md5({parts}) AS bh FROM {sig_cte}")
+        return " UNION ALL ".join(selects)
+
+    return f"""
+        WITH newdocs AS MATERIALIZED (
+            SELECT doc_id + 500000 AS doc_id,
+                   CASE WHEN doc_id % 3 = 0 THEN text
+                        WHEN doc_id % 3 = 1 THEN text || ' appended update note'
+                        ELSE 'novel document ' || md5(text) END AS text
+            FROM documents),
+        nsig AS MATERIALIZED ({_minhash_sql("newdocs", k)}),
+        csig AS MATERIALIZED ({_minhash_sql("documents", k)}),
+        nband AS ({_bands("nsig", "new_id")}),
+        cband AS ({_bands("csig", "corpus_id")}),
+        cand AS (
+            SELECT DISTINCT new_id, corpus_id
+            FROM nband JOIN cband USING (band, bh)),
+        shn AS (SELECT doc_id AS new_id, {_SHINGLES} AS s FROM newdocs),
+        shc AS (SELECT doc_id AS corpus_id, {_SHINGLES} AS s FROM documents),
+        ver AS (
+            SELECT new_id, corpus_id,
+                   len(list_distinct(list_intersect(a.s, b.s))) * 1.0
+                       / len(list_distinct(list_concat(a.s, b.s))) AS j
+            FROM cand JOIN shn a USING (new_id) JOIN shc b USING (corpus_id)),
+        m AS (
+            SELECT new_id, min(corpus_id) AS matched_id, arg_min(j, corpus_id) AS j
+            FROM ver WHERE j >= {threshold} GROUP BY new_id)
+        SELECT n.doc_id, m.matched_id IS NULL AS is_novel, m.matched_id,
+               round(m.j, 6) AS jaccard
+        FROM newdocs n LEFT JOIN m ON m.new_id = n.doc_id
+    """
+
+
+ORACLES["q76_incremental_novelty"] = _q76_oracle_sql()
 
 # q55: the line synthesis re-derived verbatim (10-token chunking, arithmetic
 # punct/javascript/short-line injections, lorem/'{' doc tells), then the C4
