@@ -323,3 +323,49 @@ def corpus_profile(
         F.round(F.expr("double(_q[1])"), 4).alias("p90_tokens"),
         F.round(F.expr("double(_q[2])"), 4).alias("p99_tokens"),
     )
+
+
+def bpe_pair_counts(
+    docs: DataFrame,
+    top_n: int = 100,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """First-iteration BPE merge statistics (Sennrich et al. 2016): the
+    corpus-wide frequency of every adjacent character pair inside words —
+    the candidate table the first tokenizer merge is chosen from.
+    Training a corpus-specific tokenizer starts exactly here, and the
+    full BPE loop is this operator re-run on the re-segmented vocabulary.
+
+    Returns the ``top_n`` pairs as (pair, n) — pair is the two symbols
+    space-joined, n the occurrence-weighted count (a word contributes
+    count(word) × occurrences-within-word) — ordered by n desc, pair asc.
+
+    Scale shape (the published word-level BPE trick): the corpus first
+    collapses to its VOCABULARY via one token-explode + groupBy (uniform
+    keys, partial agg), so the char-pair explode runs over distinct words
+    — vocabulary-sized (millions), not corpus-sized (trillions of tokens).
+    Second groupBy on pair keys is tiny (|alphabet|²-bounded).  The final
+    top-n compiles to TakeOrderedAndProject — no global sort shuffle.
+    """
+    words = (
+        docs.select(F.explode(tokens_col(text_col)).alias("word"))
+        .groupBy("word")
+        .agg(F.count("*").alias("wc"))
+        .filter(F.length("word") >= 2)
+    )
+    pairs = words.select(
+        F.explode(
+            F.expr(
+                "transform(sequence(1, length(word) - 1),"
+                " i -> concat(substring(word, i, 1), ' ', substring(word, i + 1, 1)))"
+            )
+        ).alias("pair"),
+        F.col("wc"),
+    )
+    return (
+        pairs.groupBy("pair")
+        .agg(F.sum("wc").alias("n"))
+        .orderBy(F.desc("n"), F.asc("pair"))
+        .limit(top_n)
+    )

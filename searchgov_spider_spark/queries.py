@@ -1330,6 +1330,15 @@ def q71_crawl_delta(spark, sf_dir):
     return snapshots.snapshot_delta(d, surviving.unionAll(added))
 
 
+def q77_bpe_pair_counts(spark, sf_dir):
+    """First-iteration BPE merge candidates: occurrence-weighted adjacent
+    char-pair counts over the corpus vocabulary, top-100
+    (operators/textstats.bpe_pair_counts)."""
+    from .operators import textstats
+
+    return textstats.bpe_pair_counts(_t(spark, sf_dir, "documents"), top_n=100)
+
+
 def q76_incremental_novelty(spark, sf_dir):
     """Incremental cross-corpus near-dedup (the daily-ingest run): a
     synthetic 'today's batch' — exact copies (%3==0), suffix-modified
@@ -1463,6 +1472,7 @@ QUERIES = {
     "q74_semantic_dedup": q74_semantic_dedup,
     "q75_hits": q75_hits,
     "q76_incremental_novelty": q76_incremental_novelty,
+    "q77_bpe_pair_counts": q77_bpe_pair_counts,
 }
 
 _DUP_DOCS_SQL = (
@@ -2001,6 +2011,22 @@ def _q76_oracle_sql(k: int = 16, bands: int = 8, threshold: float = 0.8) -> str:
 
 
 ORACLES["q76_incremental_novelty"] = _q76_oracle_sql()
+
+# q77: vocabulary collapse + char-pair explode re-derived with DuckDB list
+# lambdas; same (n desc, pair asc) tie-break and top-100 cut
+ORACLES["q77_bpe_pair_counts"] = f"""
+    WITH words AS (
+        SELECT word, count(*) AS wc
+        FROM (SELECT unnest({_TOKS}) AS word FROM documents)
+        GROUP BY word),
+    pairs AS (
+        SELECT unnest(list_transform(range(1, len(word)),
+                      i -> word[i] || ' ' || word[i + 1])) AS pair, wc
+        FROM words WHERE len(word) >= 2)
+    SELECT pair, CAST(sum(wc) AS BIGINT) AS n
+    FROM pairs GROUP BY pair
+    ORDER BY n DESC, pair ASC LIMIT 100
+"""
 
 # q55: the line synthesis re-derived verbatim (10-token chunking, arithmetic
 # punct/javascript/short-line injections, lorem/'{' doc tells), then the C4
