@@ -169,3 +169,43 @@ def hits(
             F.round("hub", 6).alias("hub"),
         )
     )
+
+
+def anchor_topk_terms(
+    edges: DataFrame,
+    k: int = 3,
+    dst_col: str = "dst",
+    anchor_col: str = "anchor",
+) -> DataFrame:
+    """Per-target anchor-text term aggregation: the classic external
+    relevance signal a web index attaches to each PAGE from the text of
+    the links POINTING AT it (how search.gov-class engines rank a page
+    for words that never appear on it).  The reference extracts links and
+    indexes documents (SURVEY §2 F1/S11); this is the join of the two —
+    link-source text aggregated per link target.
+
+    Input: (dst, anchor) rows — one per extracted link.  Output: the top
+    ``k`` terms per target by (count desc, term asc) as
+    (dst, term, n, rank).
+
+    Scale shape: tokenize + explode map-side, ONE groupBy on (dst, term)
+    with partial agg (the 10^10-edge shuffle; uniform unless one page is
+    linked by everything — AQE skew applies), then the per-target top-k
+    as a rank window PARTITIONED BY dst — distributed across targets, no
+    global sort, no single-partition window.
+    """
+    from pyspark.sql import Window
+
+    from .dedup import tokens_col
+
+    counts = (
+        edges.select(F.col(dst_col), F.explode(tokens_col(anchor_col)).alias("term"))
+        .groupBy(dst_col, "term")
+        .agg(F.count("*").alias("n"))
+    )
+    w = Window.partitionBy(dst_col).orderBy(F.desc("n"), F.asc("term"))
+    return (
+        counts.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(dst_col, "term", "n", "rank")
+    )

@@ -1330,6 +1330,35 @@ def q71_crawl_delta(spark, sf_dir):
     return snapshots.snapshot_delta(d, surviving.unionAll(added))
 
 
+def q78_anchor_terms(spark, sf_dir):
+    """Per-target anchor-text term aggregation: the arithmetic link graph
+    (q54's formula) with each link carrying the source doc's first 4
+    tokens as anchor text; top-3 terms per target
+    (operators/graph.anchor_topk_terms)."""
+    from .operators import graph
+
+    d = _t(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("long").alias("id"), "text"
+    )
+    n = d.count()
+    dsts = ", ".join(f"(id * {a} + {b}) % {n}L" for a, b in _Q54_EDGE_MULTS)
+    edges = (
+        d.select(F.col("id").alias("src"), F.explode(F.expr(f"array({dsts})")).alias("dst"))
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+    anchors = d.select(
+        F.col("id").alias("src"),
+        F.expr(
+            f"concat_ws(' ', slice(regexp_extract_all(lower(text), '{dedup.TOKEN_PATTERN}', 0), 1, 4))"
+        ).alias("anchor"),
+    )
+    return (
+        graph.anchor_topk_terms(edges.join(anchors, "src"), k=3)
+        .withColumnRenamed("dst", "doc_id")
+    )
+
+
 def q77_bpe_pair_counts(spark, sf_dir):
     """First-iteration BPE merge candidates: occurrence-weighted adjacent
     char-pair counts over the corpus vocabulary, top-100
@@ -1473,6 +1502,7 @@ QUERIES = {
     "q75_hits": q75_hits,
     "q76_incremental_novelty": q76_incremental_novelty,
     "q77_bpe_pair_counts": q77_bpe_pair_counts,
+    "q78_anchor_terms": q78_anchor_terms,
 }
 
 _DUP_DOCS_SQL = (
@@ -2011,6 +2041,38 @@ def _q76_oracle_sql(k: int = 16, bands: int = 8, threshold: float = 0.8) -> str:
 
 
 ORACLES["q76_incremental_novelty"] = _q76_oracle_sql()
+
+def _q78_oracle_sql() -> str:
+    """Edges, anchor slices, term counts and the per-target rank window
+    re-derived independently in DuckDB."""
+    dsts = ", ".join(f"(doc_id * {a} + {b}) % nn.n" for a, b in _Q54_EDGE_MULTS)
+    return f"""
+        WITH nn AS (SELECT count(*) AS n FROM documents),
+        lst AS (
+            SELECT CAST(doc_id AS BIGINT) AS src, [{dsts}] AS dsts
+            FROM documents CROSS JOIN nn),
+        raw_edges AS (
+            SELECT src, CAST(dsts[i] AS BIGINT) AS dst
+            FROM lst, UNNEST(range(1, 1 + len(dsts))) AS u(i)),
+        edges AS (SELECT DISTINCT src, dst FROM raw_edges WHERE dst <> src),
+        anchors AS (
+            SELECT CAST(doc_id AS BIGINT) AS src, {_TOKS}[1:4] AS terms
+            FROM documents),
+        counts AS (
+            SELECT dst, term, count(*) AS n
+            FROM (SELECT e.dst, unnest(a.terms) AS term
+                  FROM edges e JOIN anchors a ON a.src = e.src)
+            GROUP BY dst, term),
+        ranked AS (
+            SELECT dst, term, n,
+                   CAST(row_number() OVER (PARTITION BY dst ORDER BY n DESC, term ASC)
+                        AS INTEGER) AS rank
+            FROM counts)
+        SELECT dst AS doc_id, term, n, rank FROM ranked WHERE rank <= 3
+    """
+
+
+ORACLES["q78_anchor_terms"] = _q78_oracle_sql()
 
 # q77: vocabulary collapse + char-pair explode re-derived with DuckDB list
 # lambdas; same (n desc, pair asc) tie-break and top-100 cut
