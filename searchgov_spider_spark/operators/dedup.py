@@ -566,3 +566,63 @@ def lsh_novelty(
             F.round("_j", 6).alias("jaccard"),
         )
     )
+
+
+def corpus_overlap_sketch(
+    a: DataFrame, b: DataFrame, text_col: str = "text", k: int = 64
+) -> DataFrame:
+    """Corpus-level resemblance between two snapshots from k-per-seed
+    min-hash signatures (Broder's sketch lifted from documents to whole
+    corpora) — "how much of yesterday's crawl is today's crawl?" answered
+    WITHOUT shipping either corpus anywhere.
+
+    Per corpus, one aggregation computes k seeded min-hashes (min over
+    md5(text || '#' || seed)); the estimated Jaccard is the fraction of
+    matching components.  All k mins combine map-side, so the shuffle per
+    corpus is k values per partition regardless of corpus size — the sketch
+    path is what survives at 100 TB.  The exact |A∩B| / |A∪B| (for the
+    estimate's error) is a distinct-hash union-count: one groupBy on the
+    16-byte digest, never on the text.
+
+    Output: ONE row — k, matches, est_jaccard, n_a, n_b, n_inter, n_union,
+    exact_jaccard (rounded 6dp).
+    """
+    from functools import reduce
+    from operator import add
+
+    def signature(df: DataFrame, prefix: str) -> DataFrame:
+        return df.agg(
+            *[
+                F.min(F.md5(F.concat(F.col(text_col), F.lit(f"#{i}")))).alias(f"{prefix}{i}")
+                for i in range(k)
+            ]
+        )
+
+    sig = signature(a, "a").crossJoin(signature(b, "b"))
+    matches = reduce(
+        add, [F.when(F.col(f"a{i}") == F.col(f"b{i}"), 1).otherwise(0) for i in range(k)]
+    )
+    sketch = sig.select(
+        F.lit(k).alias("k"),
+        matches.cast("long").alias("matches"),
+        F.round(matches / F.lit(float(k)), 6).alias("est_jaccard"),
+    )
+
+    ha = a.select(F.md5(F.col(text_col)).alias("h")).distinct().withColumn("_a", F.lit(1))
+    hb = b.select(F.md5(F.col(text_col)).alias("h")).distinct().withColumn("_b", F.lit(1))
+    merged = ha.join(hb, "h", "full_outer")
+    exact = merged.agg(
+        F.sum(F.coalesce(F.col("_a"), F.lit(0))).alias("n_a"),
+        F.sum(F.coalesce(F.col("_b"), F.lit(0))).alias("n_b"),
+        F.sum(
+            F.when(F.col("_a").isNotNull() & F.col("_b").isNotNull(), 1).otherwise(0)
+        ).alias("n_inter"),
+        F.count("*").alias("n_union"),
+    ).select(
+        "n_a",
+        "n_b",
+        "n_inter",
+        "n_union",
+        F.round(F.col("n_inter") / F.col("n_union"), 6).alias("exact_jaccard"),
+    )
+    return sketch.crossJoin(F.broadcast(exact))

@@ -369,3 +369,99 @@ def bpe_pair_counts(
         .orderBy(F.desc("n"), F.asc("pair"))
         .limit(top_n)
     )
+
+
+def pmi_pairs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    vocab_size: int = 100,
+    min_support: int = 5,
+    top_n: int = 50,
+) -> DataFrame:
+    """Top term-pair PMI (pointwise mutual information) by document
+    co-occurrence — the collocation/topic signal a corpus analyst runs
+    before choosing tokenizer merges or stop lists.
+
+    pmi(a, b) = ln(c_ab * N / (c_a * c_b)) over document-distinct terms,
+    restricted to the top ``vocab_size`` terms by document frequency
+    (ties broken by term) so the per-document pair space is bounded at
+    vocab_size^2 REGARDLESS of corpus size — that bound, plus broadcasting
+    the tiny vocab to both the filter and the count lookups, is what makes
+    the self-join safe at 100 TB: the only full shuffle is the
+    (term_a, term_b) count groupBy, whose key space is <= vocab_size^2.
+
+    Deterministic: counts are exact, pmi is rounded to 6dp BEFORE the
+    top-n cut, and the ordering tie-breaks on (term_a, term_b).
+    """
+    terms = docs.select(
+        F.col(id_col).alias("_doc"),
+        F.explode(F.array_distinct(tokens_col(text_col))).alias("term"),
+    )
+    df_counts = terms.groupBy("term").agg(F.count("*").alias("df"))
+    vocab = df_counts.orderBy(F.desc("df"), F.asc("term")).limit(vocab_size)
+    in_vocab = terms.join(F.broadcast(vocab), "term")
+
+    a = in_vocab.select("_doc", F.col("term").alias("term_a"), F.col("df").alias("df_a"))
+    b = in_vocab.select("_doc", F.col("term").alias("term_b"), F.col("df").alias("df_b"))
+    pairs = (
+        a.join(b, "_doc")
+        .filter(F.col("term_a") < F.col("term_b"))
+        .groupBy("term_a", "term_b", "df_a", "df_b")
+        .agg(F.count("*").alias("n_co"))
+        .filter(F.col("n_co") >= min_support)
+    )
+    n_docs = docs.select(F.count("*").alias("_n"))
+    scored = pairs.join(F.broadcast(n_docs)).select(
+        "term_a",
+        "term_b",
+        "n_co",
+        F.round(
+            F.log(F.col("n_co") * F.col("_n") / (F.col("df_a") * F.col("df_b"))), 6
+        ).alias("pmi"),
+    )
+    return scored.orderBy(F.desc("pmi"), F.asc("term_a"), F.asc("term_b")).limit(top_n)
+
+
+def token_quartiles(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Exact quartile bucketing of per-document token counts via a
+    distributed HISTOGRAM — the scalable form of exact quantiles over a
+    discrete domain (CCNet buckets corpora into head/middle/tail by
+    per-document perplexity exactly this way).
+
+    Scale shape: percentile() over 10^10 rows buffers values per group and
+    percentile_approx changes the answer; instead ONE partial-agg'd groupBy
+    collapses the corpus to its token-count histogram (cardinality = number
+    of DISTINCT counts, tiny), the cumulative walk + quantile_disc cut
+    (smallest value whose cumulative count reaches ceil(q*n)) runs as a
+    window over that tiny histogram, and the three boundaries broadcast
+    back for a map-side bucket assignment.  Exact at any scale, no
+    driver-side collect.
+    """
+    from pyspark.sql import Window
+
+    with_n = docs.select(
+        F.col(id_col), F.size(tokens_col(text_col)).alias("n_tokens")
+    )
+    hist = with_n.groupBy("n_tokens").agg(F.count("*").alias("_c"))
+    # the histogram is tiny; a single-partition window over it is the point
+    w = Window.orderBy("n_tokens").rowsBetween(Window.unboundedPreceding, 0)
+    cum = hist.select(
+        "n_tokens", F.sum("_c").over(w).alias("_cum"), F.sum("_c").over(Window.partitionBy()).alias("_n")
+    )
+    boundaries = cum.agg(
+        F.min(F.when(F.col("_cum") >= F.ceil(F.col("_n") * 0.25), F.col("n_tokens"))).alias("_b25"),
+        F.min(F.when(F.col("_cum") >= F.ceil(F.col("_n") * 0.50), F.col("n_tokens"))).alias("_b50"),
+        F.min(F.when(F.col("_cum") >= F.ceil(F.col("_n") * 0.75), F.col("n_tokens"))).alias("_b75"),
+    )
+    return with_n.join(F.broadcast(boundaries)).select(
+        id_col,
+        "n_tokens",
+        F.when(F.col("n_tokens") <= F.col("_b25"), 1)
+        .when(F.col("n_tokens") <= F.col("_b50"), 2)
+        .when(F.col("n_tokens") <= F.col("_b75"), 3)
+        .otherwise(4)
+        .alias("quartile"),
+    )

@@ -1,0 +1,60 @@
+"""URL template mining + crawl-trap detection over a frontier/URL corpus.
+
+The reference's offsite/query-string middlewares
+(``search_gov_spiders/middlewares.py``) filter individual URLs; at
+web scale the complementary problem is *structural*: a host whose URL
+space is generated (calendars, session ids, faceted search) produces
+unbounded frontiers that per-URL filters never stop.  Template mining
+collapses each URL to its generator pattern — digit runs become ``{n}``
+— and aggregates per (host, template), so a crawler can cap or deny
+templates whose instance count explodes.
+
+Scale shape: the templating is a per-row JVM ``regexp_replace`` (one
+whole-stage-codegen pass, no UDF); the rollup is ONE partial-agg'd
+groupBy on (host, template) — template cardinality is tiny relative to
+URL count by construction, so the shuffle carries only the combined
+per-template partials.  The per-host total rides the same aggregate via
+a second tiny groupBy + broadcast-size join on host.  Holds at 10^10
+URLs / 10^6 hosts.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+# digit runs are the generator variables (ids, dates, pages, sessions)
+TEMPLATE_PATTERN = "[0-9]+"
+TEMPLATE_TOKEN = "{n}"
+
+
+def url_templates(
+    urls: DataFrame,
+    host_col: str = "host",
+    path_col: str = "path",
+    trap_threshold: int = 30,
+) -> DataFrame:
+    """Per (host, template): instance count, share of the host's URLs,
+    lexicographically-first sample URL, and a trap flag when the instance
+    count reaches ``trap_threshold``."""
+    templated = urls.select(
+        F.col(host_col).alias("host"),
+        F.regexp_replace(F.col(path_col), TEMPLATE_PATTERN, TEMPLATE_TOKEN).alias("template"),
+        F.concat(F.col(host_col), F.col(path_col)).alias("_url"),
+    )
+    per_template = templated.groupBy("host", "template").agg(
+        F.count("*").alias("n_urls"),
+        F.min("_url").alias("sample_url"),
+    )
+    per_host = per_template.groupBy("host").agg(F.sum("n_urls").alias("_host_total"))
+    return (
+        per_template.join(F.broadcast(per_host), "host")
+        .select(
+            "host",
+            "template",
+            "n_urls",
+            F.round(F.col("n_urls") / F.col("_host_total"), 6).alias("host_share"),
+            "sample_url",
+            (F.col("n_urls") >= trap_threshold).alias("trap"),
+        )
+    )

@@ -1420,6 +1420,98 @@ def q74_semantic_dedup(spark, sf_dir):
     return similarity.semantic_dedup(emb, dim=64, n_cells=16, threshold=0.95)
 
 
+def q79_revisit_schedule(spark, sf_dir):
+    """Cho & Garcia-Molina change-rate revisit scheduling (the incremental
+    crawler's freshness policy, generalizing the reference's freshness
+    router): events replayed as a fetch history (user_id = url, value > 50
+    = content changed), ONE partial-agg'd groupBy per URL
+    (operators/temporal.revisit_schedule)."""
+    from .operators import temporal
+
+    fetches = _t(spark, sf_dir, "events").select(
+        F.col("user_id").alias("url_id"),
+        F.col("ts"),
+        (F.col("value") > 50.0).alias("changed"),
+    )
+    return temporal.revisit_schedule(fetches)
+
+
+def q80_url_templates(spark, sf_dir):
+    """URL template mining + crawl-trap detection: deterministic URL corpus
+    synthesized from documents (host from source, path from lang/id/page,
+    session param on %3==0), digit runs collapsed to {n}, per-(host,
+    template) rollup with host share and trap flag
+    (operators/urlmine.url_templates)."""
+    from .operators import urlmine
+
+    d = _t(spark, sf_dir, "documents")
+    urls = d.select(
+        F.concat(F.col("source"), F.lit(".example.gov")).alias("host"),
+        F.concat(
+            F.lit("/"),
+            F.col("lang"),
+            F.lit("/"),
+            F.col("doc_id").cast("string"),
+            F.lit("/item-"),
+            (F.col("doc_id") % 13).cast("string"),
+            F.when(
+                F.col("doc_id") % 3 == 0,
+                F.concat(F.lit("?sid="), (F.col("doc_id") * 7).cast("string")),
+            ).otherwise(F.lit("")),
+        ).alias("path"),
+    )
+    return urlmine.url_templates(urls, trap_threshold=30)
+
+
+def q81_pmi_pairs(spark, sf_dir):
+    """Top term-pair PMI by document co-occurrence, vocab-bounded so the
+    per-doc self-join never exceeds vocab_size^2 pairs
+    (operators/textstats.pmi_pairs)."""
+    return textstats.pmi_pairs(
+        _t(spark, sf_dir, "documents"), vocab_size=100, min_support=5, top_n=50
+    )
+
+
+def q82_sequence_packing(spark, sf_dir):
+    """Concatenate-and-chunk context-window packing with a DISTRIBUTED
+    prefix sum (range partition -> per-slice totals -> broadcast offsets),
+    never the single-task global window (operators/packing.pack_documents)."""
+    from .operators import packing
+
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.size(F.expr(f"regexp_extract_all(lower(text), '{TOKEN_PATTERN}', 0)")).cast("long").alias("n_tokens")
+    )
+    return packing.pack_documents(d, ctx=2048)
+
+
+def q83_token_quartiles(spark, sf_dir):
+    """Exact quartile bucketing by per-doc token count via the distributed
+    histogram (CCNet's head/middle/tail split, exact at any scale —
+    percentile_approx would change the answer, percentile() would buffer
+    the corpus) (operators/textstats.token_quartiles)."""
+    d = textstats.token_quartiles(_t(spark, sf_dir, "documents"))
+    return d.select("doc_id", F.col("n_tokens").cast("long").alias("n_tokens"), "quartile")
+
+
+def q84_corpus_overlap(spark, sf_dir):
+    """Corpus-level resemblance sketch between two crawl snapshots: k=64
+    seeded min-hash components per corpus (map-side combine only) plus the
+    exact distinct-digest Jaccard for reference
+    (operators/dedup.corpus_overlap_sketch)."""
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    surviving = d.filter(~(F.col("doc_id") % 7 == 0)).select(
+        F.when(F.col("doc_id") % 5 == 0, F.concat(F.col("text"), F.lit(" [updated]")))
+        .otherwise(F.col("text"))
+        .alias("text")
+    )
+    added = d.filter(F.col("doc_id") % 11 == 0).select(
+        F.concat(F.lit("new: "), F.col("text")).alias("text")
+    )
+    return dedup.corpus_overlap_sketch(
+        d.select("text"), surviving.unionAll(added), k=64
+    )
+
+
 # ---------------------------------------------------------------------------
 # registry + oracle SQL
 # ---------------------------------------------------------------------------
@@ -1503,6 +1595,12 @@ QUERIES = {
     "q76_incremental_novelty": q76_incremental_novelty,
     "q77_bpe_pair_counts": q77_bpe_pair_counts,
     "q78_anchor_terms": q78_anchor_terms,
+    "q79_revisit_schedule": q79_revisit_schedule,
+    "q80_url_templates": q80_url_templates,
+    "q81_pmi_pairs": q81_pmi_pairs,
+    "q82_sequence_packing": q82_sequence_packing,
+    "q83_token_quartiles": q83_token_quartiles,
+    "q84_corpus_overlap": q84_corpus_overlap,
 }
 
 _DUP_DOCS_SQL = (
@@ -2518,6 +2616,153 @@ ORACLES["q73_session_window_builtin"] = """
     SELECT user_id, min(us) AS start_us, max(us) + 1800000000 AS end_us,
            count(*) AS n_events, round(sum(value), 2) AS total_value
     FROM s GROUP BY user_id, session_idx
+"""
+
+
+# q79: Cho & Garcia-Molina estimator re-derived in SQL over the same
+# replayed fetch history; sums cast to BIGINT to match Spark's long
+ORACLES["q79_revisit_schedule"] = """
+    WITH f AS (SELECT user_id AS url_id, epoch_us(ts) AS us,
+                      (value > 50.0) AS changed FROM events),
+    a AS (SELECT url_id, count(*) AS n_visits,
+                 CAST(sum(CASE WHEN changed THEN 1 ELSE 0 END) AS BIGINT) AS n_changes,
+                 max(us) - min(us) AS span_us
+          FROM f GROUP BY url_id),
+    e AS (SELECT url_id, n_visits, n_changes,
+                 span_us / 86400000000.0 / (n_visits - 1) AS iv,
+                 -ln((n_visits - n_changes + 0.5) / (n_visits + 0.5)) AS r_hat
+          FROM a WHERE n_visits >= 2 AND span_us > 0)
+    SELECT url_id, n_visits, n_changes,
+           round(iv, 6) AS interval_days,
+           round(r_hat / iv, 6) AS lambda_per_day,
+           round(CASE WHEN r_hat > 0
+                      THEN least(greatest(1.0 / (r_hat / iv), 1.0), 365.0)
+                      ELSE 365.0 END, 6) AS next_fetch_days
+    FROM e
+"""
+
+# q80: same deterministic URL synthesis + digit-run templating; DuckDB's
+# regexp_replace needs the explicit 'g' flag to match Spark's replace-all
+ORACLES["q80_url_templates"] = """
+    WITH u AS (
+        SELECT source || '.example.gov' AS host,
+               '/' || lang || '/' || CAST(doc_id AS VARCHAR) || '/item-'
+                   || CAST(doc_id % 13 AS VARCHAR)
+                   || CASE WHEN doc_id % 3 = 0
+                           THEN '?sid=' || CAST(doc_id * 7 AS VARCHAR)
+                           ELSE '' END AS path
+        FROM documents),
+    t AS (SELECT host, regexp_replace(path, '[0-9]+', '{n}', 'g') AS template,
+                 host || path AS url FROM u),
+    per AS (SELECT host, template, count(*) AS n_urls, min(url) AS sample_url
+            FROM t GROUP BY host, template),
+    ph AS (SELECT host, CAST(sum(n_urls) AS BIGINT) AS host_total
+           FROM per GROUP BY host)
+    SELECT per.host, template, n_urls,
+           round(n_urls * 1.0 / host_total, 6) AS host_share,
+           sample_url, (n_urls >= 30) AS trap
+    FROM per JOIN ph ON per.host = ph.host
+"""
+
+
+# q81: vocab cut (df desc, term) and the rounded-pmi top-50 re-derived in
+# DuckDB; same TOKEN_PATTERN, document-distinct terms
+ORACLES["q81_pmi_pairs"] = f"""
+    WITH terms AS (
+        SELECT doc_id AS _doc,
+               unnest(list_distinct({_TOKS})) AS term
+        FROM documents),
+    dfc AS (SELECT term, count(*) AS df FROM terms GROUP BY term),
+    vocab AS (SELECT term, df FROM dfc ORDER BY df DESC, term LIMIT 100),
+    iv AS (SELECT _doc, t.term, v.df FROM terms t JOIN vocab v USING (term)),
+    n AS (SELECT count(*) AS n_docs FROM documents),
+    pairs AS (
+        SELECT a.term AS term_a, b.term AS term_b,
+               a.df AS df_a, b.df AS df_b, count(*) AS n_co
+        FROM iv a JOIN iv b ON a._doc = b._doc AND a.term < b.term
+        GROUP BY 1, 2, 3, 4
+        HAVING count(*) >= 5)
+    SELECT term_a, term_b, n_co,
+           round(ln(n_co * n_docs * 1.0 / (df_a * df_b)), 6) AS pmi
+    FROM pairs, n
+    ORDER BY pmi DESC, term_a, term_b LIMIT 50
+"""
+
+# q82: the single-node window cumsum IS the spec the distributed prefix
+# sum must reproduce; integer division both sides
+ORACLES["q82_sequence_packing"] = f"""
+    WITH t AS (SELECT doc_id,
+                      CAST(len({_TOKS}) AS BIGINT) AS n_tokens
+               FROM documents),
+    c AS (SELECT doc_id, n_tokens,
+                 CAST(sum(n_tokens) OVER (ORDER BY doc_id
+                      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS end_off
+          FROM t)
+    SELECT doc_id, n_tokens,
+           end_off - n_tokens AS start_off, end_off,
+           (end_off - n_tokens) // 2048 AS bin_first,
+           greatest(end_off - 1, end_off - n_tokens) // 2048 AS bin_last,
+           ((end_off - n_tokens) // 2048)
+               <> (greatest(end_off - 1, end_off - n_tokens) // 2048)
+               AS spans_boundary
+    FROM c
+"""
+
+# q83: quantile_disc cut = smallest value whose cumulative count reaches
+# ceil(q*n), re-derived over the same histogram
+ORACLES["q83_token_quartiles"] = f"""
+    WITH t AS (SELECT doc_id,
+                      CAST(len({_TOKS}) AS BIGINT) AS n_tokens
+               FROM documents),
+    h AS (SELECT n_tokens, count(*) AS c FROM t GROUP BY n_tokens),
+    cum AS (SELECT n_tokens,
+                   sum(c) OVER (ORDER BY n_tokens ROWS UNBOUNDED PRECEDING) AS cumc,
+                   sum(c) OVER () AS n
+            FROM h),
+    b AS (SELECT min(CASE WHEN cumc >= ceil(n * 0.25) THEN n_tokens END) AS b25,
+                 min(CASE WHEN cumc >= ceil(n * 0.50) THEN n_tokens END) AS b50,
+                 min(CASE WHEN cumc >= ceil(n * 0.75) THEN n_tokens END) AS b75
+          FROM cum)
+    SELECT doc_id, n_tokens,
+           CASE WHEN n_tokens <= b25 THEN 1
+                WHEN n_tokens <= b50 THEN 2
+                WHEN n_tokens <= b75 THEN 3
+                ELSE 4 END AS quartile
+    FROM t, b
+"""
+
+# q84: all 64 seeded corpus min-hashes + the exact distinct-digest Jaccard
+# re-derived; the new snapshot reuses q71's derivation
+_Q84_K = 64
+_Q84_B_SRC = """
+        SELECT CASE WHEN doc_id % 5 = 0 THEN text || ' [updated]'
+                    ELSE text END AS text
+        FROM documents WHERE doc_id % 7 <> 0
+        UNION ALL
+        SELECT 'new: ' || text FROM documents WHERE doc_id % 11 = 0
+"""
+_q84_mins_a = ", ".join(f"min(md5(text || '#{i}')) AS a{i}" for i in range(_Q84_K))
+_q84_mins_b = ", ".join(f"min(md5(text || '#{i}')) AS b{i}" for i in range(_Q84_K))
+_q84_matches = " + ".join(
+    f"(CASE WHEN a{i} = b{i} THEN 1 ELSE 0 END)" for i in range(_Q84_K)
+)
+ORACLES["q84_corpus_overlap"] = f"""
+    WITH b_src AS ({_Q84_B_SRC}),
+    sa AS (SELECT {_q84_mins_a} FROM documents),
+    sb AS (SELECT {_q84_mins_b} FROM b_src),
+    ha AS (SELECT DISTINCT md5(text) AS h FROM documents),
+    hb AS (SELECT DISTINCT md5(text) AS h FROM b_src),
+    ex AS (SELECT (SELECT count(*) FROM ha) AS n_a,
+                  (SELECT count(*) FROM hb) AS n_b,
+                  (SELECT count(*) FROM ha JOIN hb USING (h)) AS n_inter,
+                  (SELECT count(*) FROM
+                      (SELECT h FROM ha UNION SELECT h FROM hb)) AS n_union),
+    m AS (SELECT CAST({_q84_matches} AS BIGINT) AS matches FROM sa, sb)
+    SELECT {_Q84_K} AS k, matches,
+           round(matches * 1.0 / {_Q84_K}, 6) AS est_jaccard,
+           n_a, n_b, n_inter, n_union,
+           round(n_inter * 1.0 / n_union, 6) AS exact_jaccard
+    FROM m, ex
 """
 
 
