@@ -421,3 +421,50 @@ def source_reputation(
         "keep",
         (F.col("score") >= keep_threshold) & (F.col("n_docs") >= min_docs),
     )
+
+
+def host_boilerplate(
+    docs: DataFrame,
+    host_col: str = "host",
+    id_col: str = "doc_id",
+    lines_col: str = "lines",
+    min_docs: int = 10,
+    min_share: float = 0.3,
+) -> DataFrame:
+    """Host-level boilerplate line detection (the RefinedWeb / CCNet
+    line-wise filter's discovery pass): a line is boilerplate for a host
+    when it occurs in >= ``min_share`` of the host's documents and the host
+    has >= ``min_docs`` documents — nav bars, cookie banners, footers.
+
+    Scale shape: explode -> per-(host, line, doc) distinct -> ONE
+    partial-agg'd groupBy on (host, line); host doc totals are a tiny
+    per-host aggregate broadcast back.  Output is bounded to lines seen in
+    more than one document, so the result is the host's repeated-line
+    vocabulary, not the corpus.
+    """
+    per_doc_lines = docs.select(
+        F.col(host_col).alias("host"),
+        F.col(id_col).alias("_doc"),
+        F.explode(F.array_distinct(F.col(lines_col))).alias("line"),
+    ).distinct()
+    line_counts = per_doc_lines.groupBy("host", "line").agg(
+        F.count("*").alias("n_docs_with_line")
+    )
+    host_totals = docs.groupBy(F.col(host_col).alias("host")).agg(
+        F.countDistinct(F.col(id_col)).alias("host_docs")
+    )
+    return (
+        line_counts.filter(F.col("n_docs_with_line") >= 2)
+        .join(F.broadcast(host_totals), "host")
+        .select(
+            "host",
+            "line",
+            "n_docs_with_line",
+            "host_docs",
+            F.round(F.col("n_docs_with_line") / F.col("host_docs"), 6).alias("share"),
+            (
+                (F.col("n_docs_with_line") >= F.col("host_docs") * min_share)
+                & (F.col("host_docs") >= min_docs)
+            ).alias("boilerplate"),
+        )
+    )

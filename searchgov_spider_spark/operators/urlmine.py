@@ -58,3 +58,52 @@ def url_templates(
             (F.col("n_urls") >= trap_threshold).alias("trap"),
         )
     )
+
+
+def allocate_budget(
+    hosts: DataFrame,
+    host_col: str = "host",
+    score_col: str = "score",
+    budget: int = 1000,
+) -> DataFrame:
+    """Largest-remainder (Hamilton) apportionment of a global crawl budget
+    across hosts proportional to score — the downloader-fairness planning
+    step ahead of the per-host politeness caps (crawl/politeness.py
+    enforces the per-host serial+delay at fetch time; this decides how many
+    fetch slots each host gets per cycle).  Exact: allocations are integers
+    and sum to ``budget``.
+
+    quota = budget * score / total; every host gets floor(quota); the
+    leftover slots go to the largest fractional remainders (ties broken by
+    host name).  The window runs over the HOST table — bounded by host
+    count, orders of magnitude smaller than the URL corpus — so the
+    single-partition rank is the correct tool, not a scale concern.
+    """
+    from pyspark.sql import Window
+
+    total = hosts.agg(F.sum(score_col).alias("_total"))
+    quotas = hosts.join(F.broadcast(total)).select(
+        F.col(host_col).alias("host"),
+        F.col(score_col).alias("score"),
+        (F.lit(budget) * F.col(score_col) / F.col("_total")).alias("_q"),
+    )
+    with_base = quotas.select(
+        "host",
+        "score",
+        F.round("_q", 6).alias("quota"),
+        F.floor("_q").alias("_base"),
+        F.round(F.col("_q") - F.floor("_q"), 6).alias("_frac"),
+    )
+    w_rank = Window.orderBy(F.desc("_frac"), F.asc("host"))
+    w_all = Window.partitionBy()
+    return with_base.select(
+        "host",
+        "score",
+        "quota",
+        (
+            F.col("_base")
+            + F.when(
+                F.row_number().over(w_rank) <= F.lit(budget) - F.sum("_base").over(w_all), 1
+            ).otherwise(0)
+        ).alias("alloc"),
+    )

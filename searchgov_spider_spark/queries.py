@@ -1512,6 +1512,65 @@ def q84_corpus_overlap(spark, sf_dir):
     )
 
 
+_Q86_BANNER_TAIL = " official portal navigation menu privacy policy contact search help"
+
+
+def q85_redirect_resolution(spark, sf_dir):
+    """Redirect-chain resolution by pointer jumping (O(log L) shuffles):
+    deterministic functional graph from documents — 3-hop chains for
+    doc_id%10<3, a 2-cycle pair at doc_id%50==37 — resolved to terminal
+    URL + hop count, loops flagged (operators/graph.resolve_redirects)."""
+    from .operators import graph
+
+    d = _t(spark, sf_dir, "documents").select(F.col("doc_id").cast("long").alias("id"))
+    chain = d.filter(F.col("id") % 10 < 3).select(
+        F.col("id").alias("src"), (F.col("id") + 1).alias("dst")
+    )
+    cyc_fwd = d.filter(F.col("id") % 50 == 37).select(
+        F.col("id").alias("src"), (F.col("id") + 1).alias("dst")
+    )
+    cyc_back = d.filter(F.col("id") % 50 == 37).select(
+        (F.col("id") + 1).alias("src"), F.col("id").alias("dst")
+    )
+    return graph.resolve_redirects(chain.unionAll(cyc_fwd).unionAll(cyc_back))
+
+
+def q86_host_boilerplate(spark, sf_dir):
+    """Host-level boilerplate line discovery (RefinedWeb/CCNet line-wise
+    filter): a 10-token banner injected on half of each source's docs must
+    surface as boilerplate (share >= 0.3, host_docs >= 10)
+    (operators/curation.host_boilerplate)."""
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.col("source").alias("host"),
+        F.when(
+            F.col("doc_id") % 2 == 0,
+            F.concat(F.col("source"), F.lit(_Q86_BANNER_TAIL + " "), F.col("text")),
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    toks = f"regexp_extract_all(lower(text), '{TOKEN_PATTERN}', 0)"
+    with_lines = d.select(
+        "doc_id", "host", F.expr(_LINES_EXPR.format(t=toks)).alias("lines")
+    )
+    return curation.host_boilerplate(with_lines, min_docs=10, min_share=0.3)
+
+
+def q87_crawl_budget(spark, sf_dir):
+    """Largest-remainder apportionment of a 1000-slot crawl budget across
+    hosts proportional to document count — integer allocations summing
+    exactly to the budget (operators/urlmine.allocate_budget)."""
+    from .operators import urlmine
+
+    hosts = (
+        _t(spark, sf_dir, "documents")
+        .groupBy(F.col("source").alias("host"))
+        .agg(F.count("*").alias("score"))
+    )
+    return urlmine.allocate_budget(hosts, budget=1000)
+
+
 # ---------------------------------------------------------------------------
 # registry + oracle SQL
 # ---------------------------------------------------------------------------
@@ -1601,6 +1660,9 @@ QUERIES = {
     "q82_sequence_packing": q82_sequence_packing,
     "q83_token_quartiles": q83_token_quartiles,
     "q84_corpus_overlap": q84_corpus_overlap,
+    "q85_redirect_resolution": q85_redirect_resolution,
+    "q86_host_boilerplate": q86_host_boilerplate,
+    "q87_crawl_budget": q87_crawl_budget,
 }
 
 _DUP_DOCS_SQL = (
@@ -2763,6 +2825,74 @@ ORACLES["q84_corpus_overlap"] = f"""
            n_a, n_b, n_inter, n_union,
            round(n_inter * 1.0 / n_union, 6) AS exact_jaccard
     FROM m, ex
+"""
+
+
+# q85: the hop-by-hop recursive walk IS the spec pointer jumping must
+# reproduce; terminal row = first cur that is not itself a source
+ORACLES["q85_redirect_resolution"] = """
+    WITH RECURSIVE e AS (
+        SELECT doc_id AS src, doc_id + 1 AS dst FROM documents WHERE doc_id % 10 < 3
+        UNION ALL
+        SELECT doc_id AS src, doc_id + 1 AS dst FROM documents WHERE doc_id % 50 = 37
+        UNION ALL
+        SELECT doc_id + 1 AS src, doc_id AS dst FROM documents WHERE doc_id % 50 = 37
+    ),
+    walk AS (
+        SELECT src AS origin, dst AS cur, 1 AS hops FROM e
+        UNION ALL
+        SELECT w.origin, e2.dst, w.hops + 1
+        FROM walk w JOIN e e2 ON w.cur = e2.src
+        WHERE w.hops < 64
+    ),
+    term AS (SELECT origin, cur AS final_url, hops FROM walk
+             WHERE cur NOT IN (SELECT src FROM e))
+    SELECT e.src, t.final_url, CAST(t.hops AS INT) AS hops,
+           CASE WHEN t.origin IS NULL THEN 'cycle' ELSE 'resolved' END AS status
+    FROM e LEFT JOIN term t ON e.src = t.origin
+"""
+
+# q86: same banner injection, 10-token line chunking (q44's convention)
+# and threshold rule re-derived in DuckDB
+ORACLES["q86_host_boilerplate"] = f"""
+    WITH injected AS (
+        SELECT doc_id, source AS host,
+               CASE WHEN doc_id % 2 = 0
+                    THEN source || '{_Q86_BANNER_TAIL} ' || text
+                    ELSE text END AS text
+        FROM documents),
+    dl AS (
+        SELECT doc_id, host, CASE WHEN len(toks) = 0 THEN [] ELSE
+               list_transform(range(0, cast(ceil(len(toks) / 10.0) AS INT)),
+                              i -> array_to_string(toks[i*10+1 : i*10+10], ' ')) END AS lines
+        FROM (SELECT doc_id, host,
+                     regexp_extract_all(lower(text), '{TOKEN_PATTERN}') AS toks
+              FROM injected)),
+    pl AS (SELECT DISTINCT host, doc_id, unnest(list_distinct(lines)) AS line FROM dl),
+    lc AS (SELECT host, line, count(*) AS n_docs_with_line FROM pl GROUP BY host, line),
+    ht AS (SELECT host, count(DISTINCT doc_id) AS host_docs FROM injected GROUP BY host)
+    SELECT lc.host, line, n_docs_with_line, host_docs,
+           round(n_docs_with_line * 1.0 / host_docs, 6) AS share,
+           (n_docs_with_line >= host_docs * 0.3 AND host_docs >= 10) AS boilerplate
+    FROM lc JOIN ht ON lc.host = ht.host
+    WHERE n_docs_with_line >= 2
+"""
+
+# q87: Hamilton apportionment re-derived — floor quotas, leftovers by
+# largest (6dp-rounded) fractional remainder, host tie-break
+ORACLES["q87_crawl_budget"] = """
+    WITH h AS (SELECT source AS host, count(*) AS score FROM documents GROUP BY source),
+    t AS (SELECT sum(score) AS total FROM h),
+    q AS (SELECT host, score, 1000 * score * 1.0 / total AS qd FROM h, t),
+    b AS (SELECT host, score, round(qd, 6) AS quota,
+                 CAST(floor(qd) AS BIGINT) AS base,
+                 round(qd - floor(qd), 6) AS frac FROM q),
+    r AS (SELECT host, score, quota, base,
+                 row_number() OVER (ORDER BY frac DESC, host) AS rn,
+                 CAST(sum(base) OVER () AS BIGINT) AS base_sum FROM b)
+    SELECT host, score, quota,
+           base + CASE WHEN rn <= 1000 - base_sum THEN 1 ELSE 0 END AS alloc
+    FROM r
 """
 
 
