@@ -190,13 +190,18 @@ def bigram_surprisal(docs: DataFrame, id_col: str = "doc_id", text_col: str = "t
     the score is exactly reproducible by the SQL oracle.
 
     Scale shape: bigrams are formed JVM-side inside codegen (a transform
-    over token positions — no explode until the (doc, bigram) rows are
-    needed), then ONE groupBy on bigram builds the LM counts; the prefix
-    counts reuse the same exploded rows (split on the bigram's first
-    token) rather than re-scanning the corpus.  Both joins are
-    vocabulary-sized build sides with AQE skew handling for stopword hot
-    keys ('of the'-scale), the same shape q47 proved out.  Docs with < 2
-    tokens yield no bigrams and drop out (contract: they cannot be LM-scored).
+    over token positions), the corpus is tokenized ONCE and collapsed to
+    weighted (doc, bigram) rows (one map-side-combined shuffle), then
+    materialized (localCheckpoint) so the LM build, the prefix counts, and
+    the probe all reuse it instead of re-scanning the corpus.  The LM
+    derives from those collapsed rows and the prefix counts derive from
+    the LM itself (vocabulary-sized input, not the corpus).  The scoring
+    join probes one row per (doc, DISTINCT bigram) with an occurrence
+    weight — 'of the' hits a document once, not once per occurrence — so
+    stopword skew multiplies nothing; residual hot keys are AQE skew-join
+    fodder.  The weighted mean equals the per-occurrence mean exactly.
+    Docs with < 2 tokens yield no bigrams and drop out (contract: they
+    cannot be LM-scored).
     """
     toks = f"regexp_extract_all(lower({text_col}), '{TOKEN_PATTERN}', 0)"
     bigrams = (
@@ -205,23 +210,29 @@ def bigram_surprisal(docs: DataFrame, id_col: str = "doc_id", text_col: str = "t
         f"i -> concat(element_at({toks}, i), ' ', element_at({toks}, i + 1))) "
         f"ELSE array() END"
     )
-    bg = docs.select(F.col(id_col), F.explode(F.expr(bigrams)).alias("bg"))
-    lm = bg.groupBy("bg").agg(F.count("*").alias("bg_cnt"))
-    prefix = (
-        bg.select(F.expr("split(bg, ' ')[0]").alias("w1"))
-        .groupBy("w1")
-        .agg(F.count("*").alias("w1_cnt"))
+    db = (
+        docs.select(F.col(id_col), F.explode(F.expr(bigrams)).alias("bg"))
+        .groupBy(id_col, "bg")
+        .agg(F.count("*").alias("n_db"))
+        .localCheckpoint()
     )
+    lm = db.groupBy("bg").agg(F.sum("n_db").alias("bg_cnt"))
+    prefix = (
+        lm.select(F.expr("split(bg, ' ')[0]").alias("w1"), "bg_cnt")
+        .groupBy("w1")
+        .agg(F.sum("bg_cnt").alias("w1_cnt"))
+    )
+    surprisal = -F.log2(F.col("bg_cnt") / F.col("w1_cnt"))
     return (
-        bg.join(lm, "bg")
+        db.join(lm, "bg")
         .withColumn("w1", F.expr("split(bg, ' ')[0]"))
         .join(prefix, "w1")
         .groupBy(id_col)
         .agg(
-            F.round(F.avg(-F.log2(F.col("bg_cnt") / F.col("w1_cnt"))), 6).alias(
-                "avg_bigram_surprisal"
-            ),
-            F.count("*").alias("n_scored_bigrams"),
+            F.round(
+                F.sum(F.col("n_db") * surprisal) / F.sum("n_db"), 6
+            ).alias("avg_bigram_surprisal"),
+            F.sum("n_db").alias("n_scored_bigrams"),
         )
     )
 
