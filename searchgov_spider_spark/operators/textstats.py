@@ -476,3 +476,93 @@ def token_quartiles(
         .otherwise(4)
         .alias("quartile"),
     )
+
+
+def zipf_fit(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    top_n: int = 1000,
+) -> DataFrame:
+    """Zipf's-law fit over the corpus term-frequency distribution — the
+    one-row corpus-health diagnostic (natural text tracks slope ≈ −1;
+    machine-generated or boilerplate-heavy corpora bend away from it).
+
+    OLS of ln(freq) on ln(rank) over the top ``top_n`` terms:
+    slope = (E[xy] − E[x]E[y]) / (E[x²] − E[x]²), intercept = E[y] − m·E[x].
+
+    Scale shape: ONE partial-agg'd groupBy collapses the corpus to its
+    vocabulary; the top-n cut compiles to TakeOrderedAndProject (no global
+    sort); ranking and the four OLS moments run over the top_n-row table.
+    Rank ties broken by term so the regression input is a total order.
+    """
+    from pyspark.sql import Window
+
+    tf = (
+        docs.select(F.explode(tokens_col(text_col)).alias("term"))
+        .groupBy("term")
+        .agg(F.count("*").alias("freq"))
+        .orderBy(F.desc("freq"), F.asc("term"))
+        .limit(top_n)
+    )
+    # top_n rows: the single-partition rank window is over the cut, not the corpus
+    ranked = tf.select(
+        F.row_number().over(Window.orderBy(F.desc("freq"), F.asc("term"))).alias("rank"),
+        "freq",
+    ).select(
+        F.log(F.col("rank").cast("double")).alias("x"),
+        F.log(F.col("freq").cast("double")).alias("y"),
+    )
+    m = ranked.agg(
+        F.count("*").alias("n_terms"),
+        F.avg("x").alias("_mx"),
+        F.avg("y").alias("_my"),
+        F.avg(F.col("x") * F.col("y")).alias("_mxy"),
+        F.avg(F.col("x") * F.col("x")).alias("_mxx"),
+    )
+    slope = (F.col("_mxy") - F.col("_mx") * F.col("_my")) / (
+        F.col("_mxx") - F.col("_mx") * F.col("_mx")
+    )
+    return m.select(
+        "n_terms",
+        F.round(slope, 6).alias("zipf_slope"),
+        F.round(F.col("_my") - slope * F.col("_mx"), 6).alias("zipf_intercept"),
+    )
+
+
+def length_outliers(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    lang_col: str = "lang",
+    text_col: str = "text",
+    z_cut: float = 3.0,
+) -> DataFrame:
+    """Per-language token-length z-scores + outlier flag — the cheap
+    first-pass truncation/concatenation detector a curation pipeline runs
+    before expensive quality models (a 50k-token 'document' is a crawler
+    artifact, not prose).
+
+    Scale shape: ONE partial-agg'd groupBy per language (count/avg/
+    stddev_pop all combine map-side; language cardinality is tiny) and the
+    per-language moments broadcast back for a map-side z-score — two
+    passes over the corpus, zero wide shuffles.
+    """
+    with_n = docs.select(
+        F.col(id_col), F.col(lang_col).alias("lang"), F.size(tokens_col(text_col)).alias("n_tokens")
+    )
+    stats = with_n.groupBy("lang").agg(
+        F.avg("n_tokens").alias("_mean"),
+        F.stddev_pop("n_tokens").alias("_std"),
+    )
+    # a language whose docs are all the same length (or a single doc) has
+    # stddev 0: z is 0 by definition, never a division
+    z = F.when(
+        F.col("_std") > 0, (F.col("n_tokens") - F.col("_mean")) / F.col("_std")
+    ).otherwise(F.lit(0.0))
+    return with_n.join(F.broadcast(stats), "lang").select(
+        id_col,
+        "lang",
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        F.round(z, 6).alias("z"),
+        (F.abs(z) >= z_cut).alias("outlier"),
+    )

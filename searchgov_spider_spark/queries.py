@@ -1571,6 +1571,59 @@ def q87_crawl_budget(spark, sf_dir):
     return urlmine.allocate_budget(hosts, budget=1000)
 
 
+def q88_zipf_fit(spark, sf_dir):
+    """One-row Zipf's-law OLS fit (slope/intercept of ln freq vs ln rank,
+    top-1000 terms) — the corpus-health diagnostic
+    (operators/textstats.zipf_fit)."""
+    return textstats.zipf_fit(_t(spark, sf_dir, "documents"), top_n=1000)
+
+
+def q89_length_outliers(spark, sf_dir):
+    """Per-language token-length z-scores + |z| >= 3 outlier flag — the
+    truncation/concatenation artifact detector
+    (operators/textstats.length_outliers)."""
+    return textstats.length_outliers(_t(spark, sf_dir, "documents"))
+
+
+def q90_recrawl_plan(spark, sf_dir):
+    """Composed recrawl planning: the q79 revisit schedule (URLs due within
+    30 days, mapped to hosts by url_id % 20) reconciled against the q87
+    politeness budget allocation — per host, due count, allocated slots,
+    coverage ratio and deficit.  The composition is a broadcast-sized
+    host-level join; both inputs are the proven q79/q87 operators."""
+    from .operators import temporal, urlmine
+
+    fetches = _t(spark, sf_dir, "events").select(
+        F.col("user_id").alias("url_id"),
+        F.col("ts"),
+        (F.col("value") > 50.0).alias("changed"),
+    )
+    due = (
+        temporal.revisit_schedule(fetches)
+        .filter(F.col("next_fetch_days") <= 30.0)
+        .select(F.concat(F.lit("src"), (F.col("url_id") % 20).cast("string")).alias("host"))
+        .groupBy("host")
+        .agg(F.count("*").alias("n_due"))
+    )
+    hosts = (
+        _t(spark, sf_dir, "documents")
+        .groupBy(F.col("source").alias("host"))
+        .agg(F.count("*").alias("score"))
+    )
+    alloc = urlmine.allocate_budget(hosts, budget=1000)
+    return alloc.join(due, "host", "left").select(
+        "host",
+        "alloc",
+        F.coalesce(F.col("n_due"), F.lit(0)).cast("long").alias("n_due"),
+        F.when(F.coalesce(F.col("n_due"), F.lit(0)) == 0, F.lit(1.0))
+        .otherwise(F.round(F.least(F.lit(1.0), F.col("alloc") / F.col("n_due")), 6))
+        .alias("coverage"),
+        F.greatest(F.coalesce(F.col("n_due"), F.lit(0)) - F.col("alloc"), F.lit(0))
+        .cast("long")
+        .alias("deficit"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # registry + oracle SQL
 # ---------------------------------------------------------------------------
@@ -1663,6 +1716,9 @@ QUERIES = {
     "q85_redirect_resolution": q85_redirect_resolution,
     "q86_host_boilerplate": q86_host_boilerplate,
     "q87_crawl_budget": q87_crawl_budget,
+    "q88_zipf_fit": q88_zipf_fit,
+    "q89_length_outliers": q89_length_outliers,
+    "q90_recrawl_plan": q90_recrawl_plan,
 }
 
 _DUP_DOCS_SQL = (
@@ -2893,6 +2949,76 @@ ORACLES["q87_crawl_budget"] = """
     SELECT host, score, quota,
            base + CASE WHEN rn <= 1000 - base_sum THEN 1 ELSE 0 END AS alloc
     FROM r
+"""
+
+
+# q88: OLS moments over the same (freq desc, term) top-1000 cut
+ORACLES["q88_zipf_fit"] = f"""
+    WITH tf AS (
+        SELECT term, count(*) AS freq
+        FROM (SELECT unnest({_TOKS}) AS term FROM documents)
+        GROUP BY term ORDER BY freq DESC, term LIMIT 1000),
+    rk AS (SELECT row_number() OVER (ORDER BY freq DESC, term) AS rank, freq FROM tf),
+    xy AS (SELECT ln(rank * 1.0) AS x, ln(freq * 1.0) AS y FROM rk),
+    m AS (SELECT count(*) AS n_terms, avg(x) AS mx, avg(y) AS my,
+                 avg(x * y) AS mxy, avg(x * x) AS mxx FROM xy)
+    SELECT n_terms,
+           round((mxy - mx * my) / (mxx - mx * mx), 6) AS zipf_slope,
+           round(my - (mxy - mx * my) / (mxx - mx * mx) * mx, 6) AS zipf_intercept
+    FROM m
+"""
+
+# q89: per-language population moments + z re-derived; stddev_pop both sides
+ORACLES["q89_length_outliers"] = f"""
+    WITH t AS (SELECT doc_id, lang,
+                      CAST(len({_TOKS}) AS BIGINT) AS n_tokens FROM documents),
+    s AS (SELECT lang, avg(n_tokens) AS m, stddev_pop(n_tokens) AS sd
+          FROM t GROUP BY lang)
+    SELECT doc_id, t.lang, n_tokens,
+           round(CASE WHEN sd > 0 THEN (n_tokens - m) / sd ELSE 0.0 END, 6) AS z,
+           (abs(CASE WHEN sd > 0 THEN (n_tokens - m) / sd ELSE 0.0 END) >= 3.0)
+               AS outlier
+    FROM t JOIN s ON t.lang = s.lang
+"""
+
+# q90: q79's schedule (due <= 30 days, host = 'src' || url_id % 20)
+# reconciled against q87's apportionment, both re-derived
+ORACLES["q90_recrawl_plan"] = """
+    WITH f AS (SELECT user_id AS url_id, epoch_us(ts) AS us,
+                      (value > 50.0) AS changed FROM events),
+    a AS (SELECT url_id, count(*) AS n_visits,
+                 CAST(sum(CASE WHEN changed THEN 1 ELSE 0 END) AS BIGINT) AS n_changes,
+                 max(us) - min(us) AS span_us
+          FROM f GROUP BY url_id),
+    e AS (SELECT url_id,
+                 span_us / 86400000000.0 / (n_visits - 1) AS iv,
+                 -ln((n_visits - n_changes + 0.5) / (n_visits + 0.5)) AS r_hat
+          FROM a WHERE n_visits >= 2 AND span_us > 0),
+    nf AS (SELECT url_id,
+                  round(CASE WHEN r_hat > 0
+                             THEN least(greatest(1.0 / (r_hat / iv), 1.0), 365.0)
+                             ELSE 365.0 END, 6) AS next_fetch_days
+           FROM e),
+    due AS (SELECT 'src' || CAST(url_id % 20 AS VARCHAR) AS host,
+                   count(*) AS n_due
+            FROM nf WHERE next_fetch_days <= 30.0 GROUP BY 1),
+    h AS (SELECT source AS host, count(*) AS score FROM documents GROUP BY source),
+    t AS (SELECT sum(score) AS total FROM h),
+    q AS (SELECT host, score, 1000 * score * 1.0 / total AS qd FROM h, t),
+    b AS (SELECT host, CAST(floor(qd) AS BIGINT) AS base,
+                 round(qd - floor(qd), 6) AS frac FROM q),
+    r AS (SELECT host, base,
+                 row_number() OVER (ORDER BY frac DESC, host) AS rn,
+                 CAST(sum(base) OVER () AS BIGINT) AS base_sum FROM b),
+    al AS (SELECT host,
+                  base + CASE WHEN rn <= 1000 - base_sum THEN 1 ELSE 0 END AS alloc
+           FROM r)
+    SELECT al.host, alloc,
+           CAST(coalesce(n_due, 0) AS BIGINT) AS n_due,
+           CASE WHEN coalesce(n_due, 0) = 0 THEN 1.0
+                ELSE round(least(1.0, alloc * 1.0 / n_due), 6) END AS coverage,
+           CAST(greatest(coalesce(n_due, 0) - alloc, 0) AS BIGINT) AS deficit
+    FROM al LEFT JOIN due ON al.host = due.host
 """
 
 
