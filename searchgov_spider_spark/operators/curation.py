@@ -468,3 +468,105 @@ def host_boilerplate(
             ).alias("boilerplate"),
         )
     )
+
+
+def weighted_sample(
+    docs: DataFrame,
+    k: int,
+    id_col: str = "doc_id",
+    weight_col: str = "weight",
+    salt: str = "ws",
+) -> DataFrame:
+    """Deterministic weighted sampling WITHOUT replacement (Efraimidis &
+    Spirakis 2006, A-ES): each row gets key = ln(u) / w with u a
+    hash-uniform in (0,1); the k largest keys are an exact weighted sample
+    — the standard way a corpus build draws a quality-weighted subset
+    (w = quality score, length, dedup multiplicity ...) reproducibly.
+
+    u comes from the first 8 hex chars of md5(id || '#salt') as
+    (v + 0.5) / 2^32 — dyadic, never 0 or 1, no RNG, identical in any
+    engine.  The key is computed map-side (codegen ln + divide), rounded to
+    6dp BEFORE ranking with an id tie-break so the selection order is total
+    and engine-portable; the global top-k compiles to TakeOrderedAndProject
+    (k rows per partition cross the wire, never the corpus).
+
+    Output: id, weight, sample_key (round 6), rank 1..k.
+    """
+    from pyspark.sql import Window
+
+    v = F.conv(
+        F.substring(F.md5(F.concat(F.col(id_col).cast("string"), F.lit(f"#{salt}"))), 1, 8),
+        16,
+        10,
+    ).cast("double")
+    u = (v + F.lit(0.5)) / F.lit(float(1 << 32))
+    key = F.round(F.log(u) / F.col(weight_col), 6)
+    top = (
+        docs.select(
+            F.col(id_col).alias("id"),
+            F.col(weight_col).alias("weight"),
+            key.alias("sample_key"),
+        )
+        .orderBy(F.desc("sample_key"), F.asc("id"))
+        .limit(k)
+    )
+    # rank window runs over the k-row result only, never the corpus
+    w = Window.orderBy(F.desc("sample_key"), F.asc("id"))
+    return top.withColumn("rank", F.row_number().over(w))
+
+
+def weighted_sample_u_sql(id_expr: str, salt: str = "ws") -> str:
+    """DuckDB expression for the same hash-uniform u (no conv in DuckDB:
+    8 hex digits decoded positionally with strpos)."""
+    h = f"md5(CAST({id_expr} AS VARCHAR) || '#{salt}')"
+    digits = " + ".join(
+        f"(strpos('0123456789abcdef', substring({h}, {i + 1}, 1)) - 1) * {16 ** (7 - i)}.0"
+        for i in range(8)
+    )
+    return f"(({digits}) + 0.5) / {float(1 << 32)!r}"
+
+
+def temperature_allocation(
+    strata: DataFrame,
+    budget: int,
+    alpha: float = 0.3,
+    strata_col: str = "lang",
+    count_col: str = "n_docs",
+) -> DataFrame:
+    """Temperature-resampled mixture allocation (the multilingual-LM
+    sampling rule of Lample & Conneau 2019 / XLM-R): stratum probability
+    proportional to (share)^alpha, flattened toward uniform as alpha -> 0,
+    then an EXACT integer split of ``budget`` via the same largest-remainder
+    apportionment the crawl budget uses (urlmine.allocate_budget).
+
+    The only cross-engine float risk is pow(); the weight is immediately
+    quantized to integer parts-per-million (a 1-ulp pow difference cannot
+    move the rounded ppm off a boundary in practice), so the Hamilton stage
+    runs on exact BIGINTs.  The strata table is tiny by construction — the
+    corpus itself is never touched here.
+
+    Output: stratum, n_docs, share (round 6), temp_weight_ppm, quota
+    (round 6), alloc; sum(alloc) == budget.
+    """
+    from . import urlmine
+
+    total = strata.agg(F.sum(count_col).alias("_total"))
+    weighted = strata.join(F.broadcast(total)).select(
+        F.col(strata_col).alias("stratum"),
+        F.col(count_col).alias("n_docs"),
+        F.round(F.col(count_col) / F.col("_total"), 6).alias("share"),
+        F.round(F.pow(F.col(count_col) / F.col("_total"), F.lit(alpha)) * 1_000_000)
+        .cast("bigint")
+        .alias("temp_weight_ppm"),
+    )
+    alloc = urlmine.allocate_budget(
+        weighted.select(F.col("stratum").alias("host"), F.col("temp_weight_ppm").alias("score")),
+        budget=budget,
+    ).select(
+        F.col("host").alias("stratum"),
+        F.col("quota"),
+        F.col("alloc"),
+    )
+    return weighted.join(F.broadcast(alloc), "stratum").select(
+        "stratum", "n_docs", "share", "temp_weight_ppm", "quota", "alloc"
+    )

@@ -1624,6 +1624,64 @@ def q90_recrawl_plan(spark, sf_dir):
     )
 
 
+def q91_hll_distinct(spark, sf_dir):
+    """HyperLogLog distinct-URL cardinality per group (operators/
+    sketches.hll_distinct) — the mergeable per-host distinct counter that
+    replaces the reference's Redis URL sets at 100-TB scale.  Deterministic
+    URL corpus: each doc explodes into 40 draws 'u' || (doc_id*40+i) % K;
+    the per-lang grouping (K=3000, ~2.4k distinct) exercises the raw
+    harmonic-mean branch, the per-source grouping (K=150, <=150 distinct)
+    the linear-counting small-range correction.  Registers combine
+    map-side; exact distinct rides along for the error column (eval only —
+    the sketch exists so production never pays it)."""
+    from .operators import sketches
+
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "source", F.explode(F.expr("sequence(0, 39)")).alias("i")
+    )
+    by_lang = d.select(
+        F.col("lang").alias("grp"),
+        F.concat(F.lit("u"), ((F.col("doc_id") * 40 + F.col("i")) % 3000).cast("string")).alias(
+            "url"
+        ),
+    )
+    by_source = d.select(
+        F.col("source").alias("grp"),
+        F.concat(F.lit("u"), ((F.col("doc_id") * 40 + F.col("i")) % 150).cast("string")).alias(
+            "url"
+        ),
+    )
+    lang_est = sketches.hll_distinct(by_lang, "url", ["grp"], include_exact=True)
+    src_est = sketches.hll_distinct(by_source, "url", ["grp"], include_exact=True)
+    return lang_est.select(F.lit("lang").alias("grp_type"), "*").unionAll(
+        src_est.select(F.lit("source").alias("grp_type"), "*")
+    )
+
+
+def q92_weighted_sample(spark, sf_dir):
+    """Deterministic weighted sampling without replacement (Efraimidis-
+    Spirakis A-ES, operators/curation.weighted_sample): top-25 documents by
+    ln(u)/weight with hash-uniform u, weight = n_chars — the reproducible
+    quality-weighted subset draw of a corpus build.  Key is map-side
+    codegen, the global top-k compiles to TakeOrderedAndProject."""
+    d = _t(spark, sf_dir, "documents").select("doc_id", F.col("n_chars").alias("weight"))
+    return curation.weighted_sample(d, k=25, id_col="doc_id", weight_col="weight")
+
+
+def q93_temperature_mixture(spark, sf_dir):
+    """Temperature-resampled language mixture (XLM-R sampling rule,
+    alpha=0.3) with an EXACT integer budget split via Hamilton largest
+    remainder (operators/curation.temperature_allocation composing
+    urlmine.allocate_budget): low-resource languages up-weighted toward
+    uniform, allocations summing exactly to the 100k-doc budget."""
+    langs = (
+        _t(spark, sf_dir, "documents")
+        .groupBy("lang")
+        .agg(F.count("*").alias("n_docs"))
+    )
+    return curation.temperature_allocation(langs, budget=100_000, alpha=0.3)
+
+
 # ---------------------------------------------------------------------------
 # registry + oracle SQL
 # ---------------------------------------------------------------------------
@@ -1719,6 +1777,9 @@ QUERIES = {
     "q88_zipf_fit": q88_zipf_fit,
     "q89_length_outliers": q89_length_outliers,
     "q90_recrawl_plan": q90_recrawl_plan,
+    "q91_hll_distinct": q91_hll_distinct,
+    "q92_weighted_sample": q92_weighted_sample,
+    "q93_temperature_mixture": q93_temperature_mixture,
 }
 
 _DUP_DOCS_SQL = (
@@ -3019,6 +3080,76 @@ ORACLES["q90_recrawl_plan"] = """
                 ELSE round(least(1.0, alloc * 1.0 / n_due), 6) END AS coverage,
            CAST(greatest(coalesce(n_due, 0) - alloc, 0) AS BIGINT) AS deficit
     FROM al LEFT JOIN due ON al.host = due.host
+"""
+
+
+def _q91_oracle_sql() -> str:
+    """Independent HLL re-derivation: hex registers decoded with strpos
+    (no conv in DuckDB), same rho CASE / integer harmonic sum / correction
+    constants, over the same deterministic exploded URL corpus."""
+    from .operators.sketches import hll_oracle_sql
+
+    lang_src = (
+        "SELECT lang AS grp, 'u' || CAST((doc_id * 40 + i) % 3000 AS VARCHAR) AS url "
+        "FROM documents, range(40) t(i)"
+    )
+    src_src = (
+        "SELECT source AS grp, 'u' || CAST((doc_id * 40 + i) % 150 AS VARCHAR) AS url "
+        "FROM documents, range(40) t(i)"
+    )
+    lang_q = hll_oracle_sql(lang_src, "url", ["grp"], include_exact=True)
+    src_q = hll_oracle_sql(src_src, "url", ["grp"], include_exact=True)
+    return f"""
+        SELECT 'lang' AS grp_type, * FROM ({lang_q})
+        UNION ALL
+        SELECT 'source' AS grp_type, * FROM ({src_q})
+    """
+
+
+ORACLES["q91_hll_distinct"] = _q91_oracle_sql()
+
+
+def _q92_oracle_sql() -> str:
+    """A-ES re-derived: same hash-uniform (8 hex digits decoded with
+    strpos), same ln(u)/w key rounded 6dp before ranking, same tie-break."""
+    from .operators.curation import weighted_sample_u_sql
+
+    u = weighted_sample_u_sql("doc_id", salt="ws")
+    return f"""
+        WITH s AS (
+            SELECT doc_id AS id, n_chars AS weight,
+                   round(ln({u}) / n_chars, 6) AS sample_key
+            FROM documents),
+        r AS (SELECT id, weight, sample_key,
+                     CAST(row_number() OVER (ORDER BY sample_key DESC, id) AS INT) AS rank
+              FROM s)
+        SELECT id, weight, sample_key, rank FROM r WHERE rank <= 25
+    """
+
+
+ORACLES["q92_weighted_sample"] = _q92_oracle_sql()
+
+ORACLES["q93_temperature_mixture"] = """
+    WITH h AS (SELECT lang AS stratum, count(*) AS n_docs FROM documents GROUP BY lang),
+    t AS (SELECT sum(n_docs) AS total FROM h),
+    w AS (SELECT stratum, n_docs,
+                 round(n_docs * 1.0 / total, 6) AS share,
+                 CAST(round(power(n_docs * 1.0 / total, 0.3) * 1000000) AS BIGINT)
+                     AS temp_weight_ppm
+          FROM h, t),
+    tw AS (SELECT sum(temp_weight_ppm) AS wtotal FROM w),
+    q AS (SELECT stratum, n_docs, share, temp_weight_ppm,
+                 100000 * temp_weight_ppm * 1.0 / wtotal AS qd FROM w, tw),
+    b AS (SELECT stratum, n_docs, share, temp_weight_ppm,
+                 round(qd, 6) AS quota,
+                 CAST(floor(qd) AS BIGINT) AS base,
+                 round(qd - floor(qd), 6) AS frac FROM q),
+    r AS (SELECT stratum, n_docs, share, temp_weight_ppm, quota, base,
+                 row_number() OVER (ORDER BY frac DESC, stratum) AS rn,
+                 CAST(sum(base) OVER () AS BIGINT) AS base_sum FROM b)
+    SELECT stratum, n_docs, share, temp_weight_ppm, quota,
+           base + CASE WHEN rn <= 100000 - base_sum THEN 1 ELSE 0 END AS alloc
+    FROM r
 """
 
 

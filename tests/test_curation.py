@@ -252,3 +252,91 @@ class TestVocabCoverage:
         with redirect_stdout(buf):
             textstats.vocab_coverage(docs, top_k=3).explain("simple")
         assert "TakeOrderedAndProject" in buf.getvalue()
+
+
+class TestWeightedSample:
+    def _docs(self, spark, n=200):
+        return spark.range(n).select(
+            F.col("id").alias("doc_id"), (F.col("id") % 7 + 1).cast("long").alias("weight")
+        )
+
+    def test_matches_pure_python_aes(self, spark):
+        # re-derive Efraimidis-Spirakis keys independently with hashlib/math
+        import math
+
+        rows = curation.weighted_sample(self._docs(spark), k=10).collect()
+        expected = []
+        for i in range(200):
+            w = i % 7 + 1
+            v = int(hashlib.md5(f"{i}#ws".encode()).hexdigest()[:8], 16)
+            u = (v + 0.5) / 2**32
+            expected.append((round(math.log(u) / w, 6), i))
+        expected.sort(key=lambda t: (-t[0], t[1]))
+        assert [(r.sample_key, r.id) for r in rows] == [
+            (k, i) for k, i in expected[:10]
+        ]
+        assert [r.rank for r in rows] == list(range(1, 11))
+
+    def test_higher_weight_wins_more_slots(self, spark):
+        # weight 1000 vs 1: the heavy half must dominate the sample
+        docs = spark.range(400).select(
+            F.col("id").alias("doc_id"),
+            F.when(F.col("id") < 200, F.lit(1000.0)).otherwise(F.lit(1.0)).alias("weight"),
+        )
+        rows = curation.weighted_sample(docs, k=50).collect()
+        heavy = sum(1 for r in rows if r.id < 200)
+        assert heavy >= 45
+
+    def test_partition_invariance(self, spark):
+        a = curation.weighted_sample(self._docs(spark), k=15).collect()
+        b = curation.weighted_sample(self._docs(spark).repartition(11), k=15).collect()
+        assert [tuple(r) for r in a] == [tuple(r) for r in b]
+
+    def test_topk_compiles_to_take_ordered(self, spark):
+        plan = plan_of(
+            curation.weighted_sample(self._docs(spark), k=10).select(
+                "id", "weight", "sample_key"
+            )
+        )
+        assert "TakeOrderedAndProject" in plan
+
+
+class TestTemperatureAllocation:
+    def _strata(self, spark):
+        return spark.createDataFrame(
+            [("en", 800), ("de", 120), ("fr", 60), ("zh", 15), ("yo", 5)],
+            "lang string, n_docs long",
+        )
+
+    def test_allocations_sum_exactly_to_budget(self, spark):
+        rows = curation.temperature_allocation(self._strata(spark), budget=1000).collect()
+        assert sum(r.alloc for r in rows) == 1000
+
+    def test_alpha_flattens_toward_uniform(self, spark):
+        # alpha=1 is proportional; alpha->0 approaches uniform: the rare
+        # stratum's share must rise monotonically as alpha drops
+        shares = {}
+        for alpha in (1.0, 0.3, 0.01):
+            rows = curation.temperature_allocation(
+                self._strata(spark), budget=10_000, alpha=alpha
+            ).collect()
+            shares[alpha] = {r.stratum: r.alloc for r in rows}
+        assert shares[1.0]["yo"] < shares[0.3]["yo"] < shares[0.01]["yo"]
+        assert shares[1.0]["en"] > shares[0.3]["en"] > shares[0.01]["en"]
+        # proportional sanity at alpha=1: en gets ~800/1000 of the budget
+        assert abs(shares[1.0]["en"] - 8000) <= 10
+
+    def test_matches_pure_python_hamilton(self, spark):
+        rows = curation.temperature_allocation(
+            self._strata(spark), budget=777, alpha=0.3
+        ).collect()
+        counts = {"en": 800, "de": 120, "fr": 60, "zh": 15, "yo": 5}
+        total = sum(counts.values())
+        ppm = {k: round((v / total) ** 0.3 * 1_000_000) for k, v in counts.items()}
+        wtotal = sum(ppm.values())
+        quotas = {k: 777 * v / wtotal for k, v in ppm.items()}
+        base = {k: int(quotas[k]) for k in quotas}
+        left = 777 - sum(base.values())
+        order = sorted(quotas, key=lambda k: (-round(quotas[k] - base[k], 6), k))
+        expect = {k: base[k] + (1 if order.index(k) < left else 0) for k in quotas}
+        assert {r.stratum: r.alloc for r in rows} == expect
