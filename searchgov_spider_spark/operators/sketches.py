@@ -208,3 +208,304 @@ def hll_oracle_sql(
         SELECT {g}, m, v_zero, est_distinct{exact_cols}
         FROM est {exact_join}
     """
+
+
+# ---------------------------------------------------------------------------
+# Count-Min frequency sketch (Cormode & Muthukrishnan 2005)
+# ---------------------------------------------------------------------------
+# The reference tallies per-URL / per-token frequencies in Redis hashes; at
+# web scale the vocabulary (tokens, n-grams, URL templates) has billions of
+# distinct keys and an exact per-key groupBy shuffles all of them.  A
+# Count-Min sketch answers point frequency queries with d*w counters TOTAL:
+# the (hrow, bucket) aggregation partial-combines map-side, so the shuffle
+# carries at most d*w rows per partition at ANY corpus size, and sketches of
+# different segments merge by counter-wise SUM (again: exactly what a
+# partial aggregate already does).  Estimates are BIASED HIGH, never low —
+# cm_est >= true count always (each counter only gains from collisions).
+
+CM_D = 4
+CM_W = 1024
+
+
+def _cm_pairs(key_col: str, d: int, w: int):
+    """Array of (hrow, bucket) structs for one key: bucket_i = first 32 bits
+    of md5(key || '#cm' || i) mod w.  md5-hex via conv — deterministic, no
+    RNG, re-derivable in any engine."""
+    return F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("hrow"),
+                (
+                    F.conv(
+                        F.substring(
+                            F.md5(F.concat(F.col(key_col).cast("string"), F.lit(f"#cm{i}"))),
+                            1,
+                            8,
+                        ),
+                        16,
+                        10,
+                    ).cast("bigint")
+                    % w
+                )
+                .cast("int")
+                .alias("bucket"),
+            )
+            for i in range(d)
+        ]
+    )
+
+
+def cm_sketch(df: DataFrame, key_col: str, d: int = CM_D, w: int = CM_W) -> DataFrame:
+    """Build the d x w counter table over a key stream (one row per
+    occurrence).  Output: hrow, bucket, cnt — at most d*w rows regardless of
+    input size; sketches merge by groupBy(hrow, bucket).sum(cnt)."""
+    return (
+        df.select(F.explode(_cm_pairs(key_col, d, w)).alias("p"))
+        .select("p.hrow", "p.bucket")
+        .groupBy("hrow", "bucket")
+        .agg(F.count("*").alias("cnt"))
+    )
+
+
+def cm_estimate(
+    sketch: DataFrame, probes: DataFrame, key_col: str, d: int = CM_D, w: int = CM_W
+) -> DataFrame:
+    """Point-query the sketch for each probe key: min over the d counters
+    (absent counter = 0).  The sketch is at most d*w rows, so it BROADCASTS
+    and the probe side never shuffles — probing 10^9 keys is a map-side
+    join plus one bounded groupBy on the probe key."""
+    expl = probes.select(
+        F.col(key_col), F.explode(_cm_pairs(key_col, d, w)).alias("p")
+    ).select(key_col, "p.hrow", "p.bucket")
+    return (
+        expl.join(F.broadcast(sketch), ["hrow", "bucket"], "left")
+        .groupBy(key_col)
+        .agg(F.min(F.coalesce(F.col("cnt"), F.lit(0))).alias("cm_est"))
+    )
+
+
+def _hex8_sql(h: str) -> str:
+    """DuckDB: decode the first 8 hex chars of expression ``h`` positionally
+    (no conv in DuckDB)."""
+    return " + ".join(
+        f"(strpos('{_HEX}', substring({h}, {i + 1}, 1)) - 1) * {16 ** (7 - i)}"
+        for i in range(8)
+    )
+
+
+def cm_oracle_sql(
+    source_sql: str,
+    key_expr: str,
+    probe_sql: str,
+    d: int = CM_D,
+    w: int = CM_W,
+) -> str:
+    """DuckDB SQL re-deriving sketch build + probe independently.
+    ``source_sql`` yields the key stream; ``probe_sql`` must yield
+    (token, exact_count) rows.  Output: token, exact_count, cm_est,
+    overcount (cm_est - exact_count, provably >= 0)."""
+    hx = _hex8_sql(f"md5(CAST({key_expr} AS VARCHAR) || '#cm' || CAST(i AS VARCHAR))")
+    hxp = _hex8_sql("md5(token || '#cm' || CAST(i AS VARCHAR))")
+    return f"""
+        WITH src AS ({source_sql}),
+        hashed AS (
+            SELECT CAST(i AS INT) AS hrow, CAST(({hx}) % {w} AS INT) AS bucket
+            FROM src, range({d}) t(i)),
+        sk AS (SELECT hrow, bucket, count(*) AS cnt FROM hashed GROUP BY hrow, bucket),
+        probes AS ({probe_sql}),
+        pb AS (
+            SELECT token, exact_count, CAST(i AS INT) AS hrow,
+                   CAST(({hxp}) % {w} AS INT) AS bucket
+            FROM probes, range({d}) t(i)),
+        est AS (
+            SELECT token, exact_count, min(coalesce(cnt, 0)) AS cm_est
+            FROM pb LEFT JOIN sk USING (hrow, bucket)
+            GROUP BY token, exact_count)
+        SELECT token, exact_count, cm_est, cm_est - exact_count AS overcount
+        FROM est
+    """
+
+
+# ---------------------------------------------------------------------------
+# HDR log-linear histogram + quantiles (Tene, HdrHistogram)
+# ---------------------------------------------------------------------------
+# Mergeable quantile sketch with ZERO floating-point in the hot path: a
+# value lands in bucket idx = o*16 + s where o = floor(log2(v)) computed
+# EXACTLY as length(bin(v)) - 1 and s = (v*16 >> o) - 16 in [0,16) — pure
+# integer string/shift ops that Spark and DuckDB evaluate identically (no
+# ln(), no pow() per row, so no cross-engine ulp risk in the counts).
+# Relative error is bounded by the sub-bucket width: <= 1/16 ~ 6.25%.
+# Histograms merge by (group, idx) count-sum — one partial-agg'd shuffle of
+# at most ~16*64 rows per group; quantile extraction then runs over the
+# tiny histogram table, never the corpus.  The only floats are the final
+# bucket-midpoint estimates, (33 + 2s) * 2^(o-5), which are EXACT doubles
+# (integer times a power of two).
+
+HDR_SUB = 16  # sub-buckets per octave; relative error <= 1/HDR_SUB
+
+# (label, numerator, denominator): rank = ceil(q*n) computed as
+# (num*n + den - 1) DIV den — integer on both engines, no 0.99-double drift.
+HDR_QUANTILES = (("p50", 1, 2), ("p90", 9, 10), ("p99", 99, 100))
+
+
+def hdr_histogram(df: DataFrame, value_col: str, group_cols: list[str]) -> DataFrame:
+    """Per-(group, idx) bucket counts.  Values are clamped to >= 1 (a
+    zero/negative value lands in the unit bucket — documents with empty
+    text still count)."""
+    v = f"greatest(CAST({value_col} AS BIGINT), CAST(1 AS BIGINT))"
+    o = f"(length(bin({v})) - 1)"
+    idx = f"CAST({o} * {HDR_SUB} + (shiftright({v} * {HDR_SUB}, {o}) - {HDR_SUB}) AS INT)"
+    return (
+        df.select(*group_cols, F.expr(idx).alias("idx"))
+        .groupBy(*group_cols, "idx")
+        .agg(F.count("*").alias("cnt"))
+    )
+
+
+def hdr_quantiles(
+    df: DataFrame,
+    value_col: str,
+    group_cols: list[str],
+    include_exact: bool = False,
+) -> DataFrame:
+    """Per-group p50/p90/p99 estimates from the HDR histogram.
+
+    Rank-of-quantile is the type-1 definition: the value at row
+    ceil(q*n) in ascending order.  The windowed cumulative sum and the
+    quantile pick run over the histogram (<= ~16*64 rows per group); with
+    ``include_exact`` the exact type-1 quantile rides along (eval only — a
+    full per-group sort the sketch exists to avoid) with rel_err.
+
+    Output: group_cols..., qlabel, n, est_value (+ exact_value, rel_err).
+    """
+    from pyspark.sql import Window
+
+    hist = hdr_histogram(df, value_col, group_cols)
+    w_cum = Window.partitionBy(*group_cols).orderBy("idx")
+    w_all = Window.partitionBy(*group_cols)
+    cum = hist.withColumn("cum", F.sum("cnt").over(w_cum)).withColumn(
+        "n", F.sum("cnt").over(w_all)
+    )
+    qarr = F.array(
+        *[
+            F.struct(
+                F.lit(lbl).alias("qlabel"),
+                F.lit(num).alias("num"),
+                F.lit(den).alias("den"),
+            )
+            for lbl, num, den in HDR_QUANTILES
+        ]
+    )
+    j = cum.withColumn("q", F.explode(qarr)).select(
+        *group_cols,
+        "idx",
+        "cum",
+        "n",
+        "q.qlabel",
+        F.expr("(q.num * n + q.den - 1) DIV q.den").alias("target"),
+    )
+    pick = (
+        j.filter(F.col("cum") >= F.col("target"))
+        .groupBy(*group_cols, "qlabel")
+        .agg(F.min("idx").alias("idx"), F.max("n").alias("n"))
+    )
+    est = pick.select(
+        *group_cols,
+        "qlabel",
+        "n",
+        F.round(
+            (F.lit(33) + F.lit(2) * (F.col("idx") % HDR_SUB))
+            * F.pow(F.lit(2.0), (F.col("idx") / HDR_SUB).cast("int") - 5),
+            4,
+        ).alias("est_value"),
+    )
+    if not include_exact:
+        return est
+    vals = df.select(
+        *group_cols,
+        F.expr(f"greatest(CAST({value_col} AS BIGINT), CAST(1 AS BIGINT))").alias("v"),
+    )
+    w_rn = Window.partitionBy(*group_cols).orderBy("v")
+    ranked = vals.withColumn("rn", F.row_number().over(w_rn)).withColumn(
+        "n", F.count("*").over(Window.partitionBy(*group_cols))
+    )
+    jx = ranked.withColumn("q", F.explode(qarr)).select(
+        *group_cols,
+        "v",
+        "rn",
+        "q.qlabel",
+        F.expr("(q.num * n + q.den - 1) DIV q.den").alias("target"),
+    )
+    exact = (
+        jx.filter(F.col("rn") >= F.col("target"))
+        .groupBy(*group_cols, "qlabel")
+        .agg(F.min("v").alias("exact_value"))
+    )
+    return est.join(exact, [*group_cols, "qlabel"]).select(
+        *group_cols,
+        "qlabel",
+        "n",
+        "est_value",
+        "exact_value",
+        F.round(
+            F.abs(F.col("est_value") - F.col("exact_value")) / F.col("exact_value"), 4
+        ).alias("rel_err"),
+    )
+
+
+def hdr_oracle_sql(
+    source_sql: str,
+    value_expr: str,
+    group_cols: list[str],
+    include_exact: bool = False,
+) -> str:
+    """DuckDB SQL re-deriving the HDR pipeline independently: same
+    bin()-length octave, same integer shift sub-bucket, same integer rank
+    rule, same exact-double midpoint."""
+    g = ", ".join(group_cols)
+    v = f"greatest(CAST({value_expr} AS BIGINT), CAST(1 AS BIGINT))"
+    qvals = ", ".join(f"('{l}', {n}, {d})" for l, n, d in HDR_QUANTILES)
+    exact_cols = ", exact_value, round(abs(est_value - exact_value) / exact_value, 4) AS rel_err" if include_exact else ""
+    exact_cte = (
+        f""",
+        ranked AS (
+            SELECT {g}, v, row_number() OVER (PARTITION BY {g} ORDER BY v) AS rn,
+                   count(*) OVER (PARTITION BY {g}) AS n
+            FROM vals),
+        ex AS (
+            SELECT {g}, qlabel, min(v) AS exact_value
+            FROM ranked, q
+            WHERE rn >= (num * n + den - 1) // den
+            GROUP BY {g}, qlabel)"""
+        if include_exact
+        else ""
+    )
+    exact_join = f"JOIN ex USING ({g}, qlabel)" if include_exact else ""
+    return f"""
+        WITH src AS ({source_sql}),
+        vals AS (SELECT {g}, {v} AS v FROM src),
+        b AS (
+            SELECT {g},
+                   CAST((length(bin(v)) - 1) * {HDR_SUB}
+                        + ((v * {HDR_SUB} >> (length(bin(v)) - 1)) - {HDR_SUB}) AS INT) AS idx
+            FROM vals),
+        hist AS (SELECT {g}, idx, count(*) AS cnt FROM b GROUP BY {g}, idx),
+        cum AS (
+            SELECT {g}, idx, cnt,
+                   sum(cnt) OVER (PARTITION BY {g} ORDER BY idx) AS cum,
+                   sum(cnt) OVER (PARTITION BY {g}) AS n
+            FROM hist),
+        q(qlabel, num, den) AS (VALUES {qvals}),
+        pick AS (
+            SELECT {g}, qlabel, min(idx) AS idx, max(n) AS n
+            FROM cum, q
+            WHERE cum >= (num * n + den - 1) // den
+            GROUP BY {g}, qlabel),
+        est AS (
+            SELECT {g}, qlabel, n,
+                   round((33 + 2 * (idx % {HDR_SUB}))
+                         * power(2.0, idx // {HDR_SUB} - 5), 4) AS est_value
+            FROM pick){exact_cte}
+        SELECT {g}, qlabel, CAST(n AS BIGINT) AS n, est_value{exact_cols}
+        FROM est {exact_join}
+    """

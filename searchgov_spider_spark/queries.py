@@ -1682,6 +1682,51 @@ def q93_temperature_mixture(spark, sf_dir):
     return curation.temperature_allocation(langs, budget=100_000, alpha=0.3)
 
 
+def q94_count_min_freq(spark, sf_dir):
+    """Count-Min frequency sketch over the corpus token stream
+    (operators/sketches.cm_sketch, d=4 x w=1024 counters): the mergeable
+    point-frequency counter that replaces the reference's Redis tallies
+    when the vocabulary has billions of keys — the shuffle carries at most
+    d*w rows per partition at any corpus size, and the 4096-row sketch
+    BROADCASTS for probing so the probe side never shuffles.  Probes: the
+    exact top-15 tokens (the heavy hitters CM is accurate for) plus the 5
+    rarest (where collision overcount concentrates); the exact vocabulary
+    count is eval-only — production pays only the sketch."""
+    from .operators import sketches
+
+    toks = (
+        _t(spark, sf_dir, "documents")
+        .select(F.explode(F.expr(f"regexp_extract_all(lower(text), '{TOKEN_PATTERN}', 0)")).alias("token"))
+    )
+    sketch = sketches.cm_sketch(toks, "token")
+    vocab = toks.groupBy("token").agg(F.count("*").alias("exact_count"))
+    probes = vocab.orderBy(F.desc("exact_count"), F.asc("token")).limit(15).unionAll(
+        vocab.orderBy(F.asc("exact_count"), F.asc("token")).limit(5)
+    )
+    est = sketches.cm_estimate(sketch, probes.select("token"), "token")
+    return probes.join(est, "token").select(
+        "token",
+        "exact_count",
+        "cm_est",
+        (F.col("cm_est") - F.col("exact_count")).alias("overcount"),
+    )
+
+
+def q95_hdr_length_quantiles(spark, sf_dir):
+    """Per-language document-length quantiles (p50/p90/p99) from an HDR
+    log-linear histogram (operators/sketches.hdr_quantiles): bucket index
+    is PURE INTEGER (bin()-length octave + shift sub-bucket, no ln/pow per
+    row, no cross-engine ulp risk), histograms merge by count-sum, and
+    quantile extraction runs over the tiny histogram table — the corpus is
+    never sorted.  Rank rule is integer type-1 ceil(q*n) via
+    (num*n+den-1) DIV den; exact quantiles ride along eval-only with the
+    <= 1/16 relative-error bound checked as rel_err."""
+    from .operators import sketches
+
+    d = _t(spark, sf_dir, "documents").select("lang", "n_chars")
+    return sketches.hdr_quantiles(d, "n_chars", ["lang"], include_exact=True)
+
+
 # ---------------------------------------------------------------------------
 # registry + oracle SQL
 # ---------------------------------------------------------------------------
@@ -1780,6 +1825,8 @@ QUERIES = {
     "q91_hll_distinct": q91_hll_distinct,
     "q92_weighted_sample": q92_weighted_sample,
     "q93_temperature_mixture": q93_temperature_mixture,
+    "q94_count_min_freq": q94_count_min_freq,
+    "q95_hdr_length_quantiles": q95_hdr_length_quantiles,
 }
 
 _DUP_DOCS_SQL = (
@@ -3151,6 +3198,38 @@ ORACLES["q93_temperature_mixture"] = """
            base + CASE WHEN rn <= 100000 - base_sum THEN 1 ELSE 0 END AS alloc
     FROM r
 """
+
+
+def _q94_oracle_sql() -> str:
+    """Independent Count-Min re-derivation: strpos hex decode, same
+    '#cm<i>' salts, same top-15/rare-5 probe rule."""
+    from .operators.sketches import cm_oracle_sql
+
+    source = f"SELECT unnest({_TOKS}) AS token FROM documents"
+    probe = f"""
+        WITH toks AS (SELECT unnest({_TOKS}) AS token FROM documents),
+        vocab AS (SELECT token, count(*) AS exact_count FROM toks GROUP BY token)
+        (SELECT token, exact_count FROM vocab ORDER BY exact_count DESC, token LIMIT 15)
+        UNION ALL
+        (SELECT token, exact_count FROM vocab ORDER BY exact_count ASC, token LIMIT 5)
+    """
+    return cm_oracle_sql(source, "token", probe)
+
+
+ORACLES["q94_count_min_freq"] = _q94_oracle_sql()
+
+
+def _q95_oracle_sql() -> str:
+    """Independent HDR re-derivation: same bin()-length octave, integer
+    shift sub-bucket, integer rank rule, exact power-of-two midpoints."""
+    from .operators.sketches import hdr_oracle_sql
+
+    return hdr_oracle_sql(
+        "SELECT lang, n_chars FROM documents", "n_chars", ["lang"], include_exact=True
+    )
+
+
+ORACLES["q95_hdr_length_quantiles"] = _q95_oracle_sql()
 
 
 def entry(spark: SparkSession) -> DataFrame:

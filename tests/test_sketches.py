@@ -74,3 +74,118 @@ class TestHllDistinct:
             _keyed(spark, 2000), "k", ["grp"]
         )._jdf.queryExecution().executedPlan().toString()
         assert plan.count("HashAggregate") >= 2
+
+
+class TestCountMin:
+    def _stream(self, spark):
+        # token 't<i>' appears (50 - i) times for i in 0..49: known skew
+        return (
+            spark.range(50)
+            .select(
+                F.col("id"),
+                F.explode(F.expr("sequence(1, cast(50 - id as int))")).alias("j"),
+            )
+            .select(F.concat(F.lit("t"), F.col("id").cast("string")).alias("k"))
+        )
+
+    def test_never_underestimates(self, spark):
+        from searchgov_spider_spark.operators.sketches import cm_estimate, cm_sketch
+
+        st = self._stream(spark)
+        sk = cm_sketch(st, "k")
+        probes = st.groupBy("k").agg(F.count("*").alias("exact"))
+        rows = cm_estimate(sk, probes.select("k"), "k").join(probes, "k").collect()
+        assert len(rows) == 50
+        assert all(r.cm_est >= r.exact for r in rows)
+        # w=1024 >> 50 distinct keys: collisions are rare, most are exact
+        assert sum(1 for r in rows if r.cm_est == r.exact) >= 45
+
+    def test_sketch_is_bounded_and_merges_by_sum(self, spark):
+        from searchgov_spider_spark.operators.sketches import CM_D, CM_W, cm_sketch
+
+        a = self._stream(spark)
+        b = a.limit(300)
+        whole = cm_sketch(a.unionAll(b), "k")
+        assert whole.count() <= CM_D * CM_W
+        merged = (
+            cm_sketch(a, "k")
+            .unionAll(cm_sketch(b, "k"))
+            .groupBy("hrow", "bucket")
+            .agg(F.sum("cnt").alias("cnt"))
+        )
+        assert sorted(map(tuple, whole.collect())) == sorted(map(tuple, merged.collect()))
+
+    def test_probe_join_broadcasts_the_sketch(self, spark):
+        from searchgov_spider_spark.operators.sketches import cm_estimate, cm_sketch
+
+        st = self._stream(spark)
+        plan = (
+            cm_estimate(cm_sketch(st, "k"), st.select("k").distinct(), "k")
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert "BroadcastHashJoin" in plan
+
+
+class TestHdrQuantiles:
+    def _vals(self, spark):
+        # 1..1000 in one group: exact quantiles are 500/900/990
+        return spark.range(1, 1001).select(
+            F.lit("g").alias("grp"), F.col("id").alias("v")
+        )
+
+    def test_matches_pure_python_hdr(self, spark):
+        from searchgov_spider_spark.operators.sketches import HDR_SUB, hdr_quantiles
+
+        rows = hdr_quantiles(self._vals(spark), "v", ["grp"], include_exact=True).collect()
+        got = {r.qlabel: r for r in rows}
+        # independent re-derivation with pure Python ints
+        import math
+
+        def idx_of(v):
+            o = v.bit_length() - 1
+            return o * HDR_SUB + ((v * HDR_SUB) >> o) - HDR_SUB
+
+        from collections import Counter
+
+        hist = Counter(idx_of(v) for v in range(1, 1001))
+        for lbl, num, den in (("p50", 1, 2), ("p90", 9, 10), ("p99", 99, 100)):
+            target = (num * 1000 + den - 1) // den
+            cum = 0
+            for idx in sorted(hist):
+                cum += hist[idx]
+                if cum >= target:
+                    break
+            mid = round((33 + 2 * (idx % HDR_SUB)) * math.pow(2.0, idx // HDR_SUB - 5), 4)
+            assert got[lbl].est_value == mid
+            assert got[lbl].exact_value == target  # values ARE 1..1000
+            assert got[lbl].n == 1000
+
+    def test_relative_error_bound(self, spark):
+        from searchgov_spider_spark.operators.sketches import hdr_quantiles
+
+        rows = hdr_quantiles(self._vals(spark), "v", ["grp"], include_exact=True).collect()
+        # bucket width is 1/16 of the octave: midpoint is within ~6.25%
+        assert all(r.rel_err <= 0.0625 for r in rows)
+
+    def test_histogram_merges_by_count_sum(self, spark):
+        from searchgov_spider_spark.operators.sketches import hdr_histogram
+
+        a = self._vals(spark)
+        b = a.filter(F.col("v") % 3 == 0)
+        whole = hdr_histogram(a.unionAll(b), "v", ["grp"])
+        merged = (
+            hdr_histogram(a, "v", ["grp"])
+            .unionAll(hdr_histogram(b, "v", ["grp"]))
+            .groupBy("grp", "idx")
+            .agg(F.sum("cnt").alias("cnt"))
+        )
+        assert sorted(map(tuple, whole.collect())) == sorted(map(tuple, merged.collect()))
+
+    def test_zero_values_land_in_unit_bucket(self, spark):
+        from searchgov_spider_spark.operators.sketches import hdr_quantiles
+
+        d = spark.range(10).select(F.lit("g").alias("grp"), F.lit(0).alias("v"))
+        rows = hdr_quantiles(d, "v", ["grp"], include_exact=True).collect()
+        assert all(r.exact_value == 1 for r in rows)
