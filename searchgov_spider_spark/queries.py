@@ -1727,6 +1727,36 @@ def q95_hdr_length_quantiles(spark, sf_dir):
     return sketches.hdr_quantiles(d, "n_chars", ["lang"], include_exact=True)
 
 
+def q96_kmeans_clusters(spark, sf_dir):
+    """Full-corpus distributed Lloyd k-means over the embedding column
+    (operators/clustering.kmeans, k=8, 2 update rounds + final assign):
+    the cluster structure SemDeDup-style pruning and cluster-balanced
+    selection build on.  Assignment passes are pure maps against LITERAL
+    centroids (zero shuffle, codegen); each update shuffles <= k*d rows per
+    partition (posexplode + partial agg over k*d keys); the driver holds
+    only the k*d centroid table per iteration — O(1) in corpus size.
+    Determinism: centroids and distances rounded 6 dp, ties to the lower
+    cluster id, so the unrolled-CTE DuckDB oracle reproduces the exact
+    assignment."""
+    from .operators import clustering
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return clustering.kmeans(emb, "embedding", "vec_id", k=8, n_updates=2)
+
+
+def q97_embedding_covariance(spark, sf_dir):
+    """Embedding mean + covariance upper triangle (1 <= i <= j <= 64) —
+    the whitening/PCA statistics computed 100% JVM-side
+    (operators/clustering.embedding_covariance): the d*(d+1)/2 cross
+    moments explode MAP-SIDE and partial-agg to <= 2,080 shuffle rows per
+    partition at any corpus size; the d-row means table broadcasts for the
+    enrichment join.  Output rounded 6 dp."""
+    from .operators import clustering
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return clustering.embedding_covariance(emb, "embedding", dim=64)
+
+
 # ---------------------------------------------------------------------------
 # registry + oracle SQL
 # ---------------------------------------------------------------------------
@@ -1827,6 +1857,8 @@ QUERIES = {
     "q93_temperature_mixture": q93_temperature_mixture,
     "q94_count_min_freq": q94_count_min_freq,
     "q95_hdr_length_quantiles": q95_hdr_length_quantiles,
+    "q96_kmeans_clusters": q96_kmeans_clusters,
+    "q97_embedding_covariance": q97_embedding_covariance,
 }
 
 _DUP_DOCS_SQL = (
@@ -3230,6 +3262,67 @@ def _q95_oracle_sql() -> str:
 
 
 ORACLES["q95_hdr_length_quantiles"] = _q95_oracle_sql()
+
+
+def _q96_oracle_sql(k: int = 8, n_updates: int = 2) -> str:
+    """Independent unrolled-CTE Lloyd re-derivation (the q54 pattern): same
+    smallest-vec_id init, 6-dp centroid/distance rounding, (dist, cid)
+    tie-break; empty clusters drop out of the centroid CTE exactly as they
+    drop out of the Spark groupBy."""
+    steps = []
+    for i in range(1, n_updates + 2):  # n_updates+1 assignment passes
+        steps.append(f"""
+        a{i} AS (
+            SELECT vec_id, cid AS cluster, dist FROM (
+                SELECT v.vec_id, c.cid,
+                       round(sum((v.val - c.cval) * (v.val - c.cval)), 6) AS dist
+                FROM vals v JOIN c{i - 1} c USING (pos)
+                GROUP BY v.vec_id, c.cid)
+            QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) = 1)""")
+        if i <= n_updates:
+            steps.append(f"""
+        c{i} AS (
+            SELECT a.cluster AS cid, v.pos, round(avg(v.val), 6) AS cval
+            FROM a{i} a JOIN vals v USING (vec_id)
+            GROUP BY a.cluster, v.pos)""")
+    return f"""
+        WITH emb AS (SELECT vec_id, embedding FROM embeddings),
+        vals AS (
+            SELECT vec_id, CAST(i AS INT) AS pos, CAST(embedding[i] AS DOUBLE) AS val
+            FROM emb, UNNEST(range(1, 1 + len(embedding))) AS u(i)),
+        seeds AS (
+            SELECT vec_id, CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cid
+            FROM (SELECT vec_id FROM emb ORDER BY vec_id LIMIT {k})),
+        c0 AS (
+            SELECT s.cid, v.pos, round(v.val, 6) AS cval
+            FROM seeds s JOIN vals v USING (vec_id)),
+        {",".join(steps)}
+        SELECT vec_id, cluster, dist FROM a{n_updates + 1}
+    """
+
+
+ORACLES["q96_kmeans_clusters"] = _q96_oracle_sql()
+
+
+ORACLES["q97_embedding_covariance"] = """
+    WITH vals AS (
+        SELECT vec_id, CAST(i AS INT) AS pos, CAST(embedding[i] AS DOUBLE) AS val
+        FROM embeddings, UNNEST(range(1, 1 + len(embedding))) AS u(i)),
+    -- moments pre-rounded to 8 dp so the cov subtraction runs on doubles
+    -- bit-identical to the Spark side (see clustering.embedding_covariance)
+    m AS (SELECT pos, round(avg(val), 8) AS mu FROM vals GROUP BY pos),
+    xy AS (
+        SELECT a.pos AS i, b.pos AS j, round(avg(a.val * b.val), 8) AS exy
+        FROM vals a JOIN vals b USING (vec_id)
+        WHERE b.pos >= a.pos
+        GROUP BY a.pos, b.pos)
+    -- "+ 0" folds IEEE -0.0 to +0.0, matching the Spark side
+    SELECT i, j,
+           round(mi.mu, 6) + 0 AS mean_i,
+           round(mj.mu, 6) + 0 AS mean_j,
+           round(exy - mi.mu * mj.mu, 6) + 0 AS cov
+    FROM xy JOIN m mi ON mi.pos = xy.i JOIN m mj ON mj.pos = xy.j
+"""
 
 
 def entry(spark: SparkSession) -> DataFrame:
