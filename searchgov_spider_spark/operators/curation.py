@@ -515,6 +515,65 @@ def weighted_sample(
     return top.withColumn("rank", F.row_number().over(w))
 
 
+def stratified_weighted_sample(
+    df: DataFrame,
+    alloc: DataFrame,
+    strata_col: str,
+    id_col: str = "doc_id",
+    weight_col: str = "weight",
+    salt: str = "sws",
+) -> DataFrame:
+    """Per-stratum A-ES weighted sampling without replacement: draw exactly
+    ``alloc`` rows from each stratum (the consumption side of
+    temperature_allocation / allocate_budget — those decide HOW MANY per
+    stratum, this decides WHICH, with the same no-RNG hash-key contract as
+    weighted_sample: key = round(ln(u)/w, 6), id tie-break).
+
+    ``alloc``: a tiny (strata_col, alloc) quota table — broadcast.
+
+    Scale: a naive per-stratum rank window sorts each stratum in ONE task,
+    which dies when a stratum holds 10^9 rows.  Instead the classic
+    two-phase top-k: phase 1 ranks within (stratum, input partition) and
+    keeps the per-partition top-max(alloc) — any global top-quota row is
+    necessarily in its partition's top-quota, so the survivor set is a
+    superset of every final sample regardless of partitioning; phase 2
+    ranks the survivors (<= max_alloc * n_partitions rows per stratum, tiny)
+    and applies the per-stratum quota.  Output is partition-invariant and
+    the corpus-sized side never sorts globally.
+
+    Output: strata_col, id_col, weight, sample_key, sample_rank (1..alloc).
+    """
+    from pyspark.sql import Window
+
+    quotas = alloc.select(strata_col, "alloc").collect()  # bounded: strata count
+    max_alloc = max((int(r["alloc"]) for r in quotas), default=0)
+    v = F.conv(
+        F.substring(F.md5(F.concat(F.col(id_col).cast("string"), F.lit(f"#{salt}"))), 1, 8),
+        16,
+        10,
+    ).cast("double")
+    u = (v + F.lit(0.5)) / F.lit(float(1 << 32))
+    keyed = df.select(
+        strata_col,
+        id_col,
+        F.col(weight_col).alias("weight"),
+        F.round(F.log(u) / F.col(weight_col), 6).alias("sample_key"),
+    )
+    w_local = Window.partitionBy(strata_col, F.spark_partition_id()).orderBy(
+        F.desc("sample_key"), F.asc(id_col)
+    )
+    survivors = keyed.withColumn("_lr", F.row_number().over(w_local)).filter(
+        F.col("_lr") <= max_alloc
+    )
+    w_global = Window.partitionBy(strata_col).orderBy(F.desc("sample_key"), F.asc(id_col))
+    return (
+        survivors.withColumn("sample_rank", F.row_number().over(w_global))
+        .join(F.broadcast(alloc.select(strata_col, "alloc")), strata_col)
+        .filter(F.col("sample_rank") <= F.col("alloc"))
+        .select(strata_col, id_col, "weight", "sample_key", "sample_rank")
+    )
+
+
 def weighted_sample_u_sql(id_expr: str, salt: str = "ws") -> str:
     """DuckDB expression for the same hash-uniform u (no conv in DuckDB:
     8 hex digits decoded positionally with strpos)."""

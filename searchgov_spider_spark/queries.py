@@ -1757,6 +1757,35 @@ def q97_embedding_covariance(spark, sf_dir):
     return clustering.embedding_covariance(emb, "embedding", dim=64)
 
 
+def q98_cluster_balanced_sample(spark, sf_dir):
+    """Cluster-balanced corpus selection — the composed selection loop a
+    training-data build runs over embeddings: q96's full-corpus k-means
+    gives the strata, q87's Hamilton apportionment splits a 200-doc budget
+    EXACTLY proportional to cluster size, and a per-stratum A-ES draw
+    (curation.stratified_weighted_sample, weight = 1/(1+dist) so central/
+    typical points win) picks WHICH documents fill each quota.  Every
+    stage is a proven oracle-backed operator; the scalable two-phase
+    per-group top-k means no stratum is ever sorted in one task."""
+    from .operators import clustering, curation, urlmine
+
+    emb = _t(spark, sf_dir, "embeddings")
+    assigned = clustering.kmeans(emb, "embedding", "vec_id", k=8, n_updates=2)
+    assigned = assigned.localCheckpoint(eager=True)  # pay the Lloyd passes once
+    sizes = assigned.groupBy("cluster").agg(F.count("*").alias("score"))
+    alloc = urlmine.allocate_budget(sizes, host_col="cluster", budget=200).select(
+        F.col("host").alias("cluster"), "alloc"
+    )
+    weighted = assigned.select(
+        "cluster", "vec_id", (F.lit(1.0) / (F.lit(1.0) + F.col("dist"))).alias("weight")
+    )
+    picked = curation.stratified_weighted_sample(
+        weighted, alloc, strata_col="cluster", id_col="vec_id", weight_col="weight"
+    )
+    return picked.select(
+        "cluster", "vec_id", F.round("weight", 6).alias("weight"), "sample_key", "sample_rank"
+    )
+
+
 # ---------------------------------------------------------------------------
 # registry + oracle SQL
 # ---------------------------------------------------------------------------
@@ -1859,6 +1888,7 @@ QUERIES = {
     "q95_hdr_length_quantiles": q95_hdr_length_quantiles,
     "q96_kmeans_clusters": q96_kmeans_clusters,
     "q97_embedding_covariance": q97_embedding_covariance,
+    "q98_cluster_balanced_sample": q98_cluster_balanced_sample,
 }
 
 _DUP_DOCS_SQL = (
@@ -3264,11 +3294,12 @@ def _q95_oracle_sql() -> str:
 ORACLES["q95_hdr_length_quantiles"] = _q95_oracle_sql()
 
 
-def _q96_oracle_sql(k: int = 8, n_updates: int = 2) -> str:
-    """Independent unrolled-CTE Lloyd re-derivation (the q54 pattern): same
+def _kmeans_ctes(k: int = 8, n_updates: int = 2) -> str:
+    """Shared unrolled-CTE Lloyd block (the q54 pattern): same
     smallest-vec_id init, 6-dp centroid/distance rounding, (dist, cid)
     tie-break; empty clusters drop out of the centroid CTE exactly as they
-    drop out of the Spark groupBy."""
+    drop out of the Spark groupBy.  Final assignment lives in
+    a{n_updates+1}(vec_id, cluster, dist)."""
     steps = []
     for i in range(1, n_updates + 2):  # n_updates+1 assignment passes
         steps.append(f"""
@@ -3296,12 +3327,12 @@ def _q96_oracle_sql(k: int = 8, n_updates: int = 2) -> str:
         c0 AS (
             SELECT s.cid, v.pos, round(v.val, 6) AS cval
             FROM seeds s JOIN vals v USING (vec_id)),
-        {",".join(steps)}
-        SELECT vec_id, cluster, dist FROM a{n_updates + 1}
-    """
+        {",".join(steps)}"""
 
 
-ORACLES["q96_kmeans_clusters"] = _q96_oracle_sql()
+ORACLES["q96_kmeans_clusters"] = (
+    _kmeans_ctes() + "\n        SELECT vec_id, cluster, dist FROM a3\n    "
+)
 
 
 ORACLES["q97_embedding_covariance"] = """
@@ -3323,6 +3354,47 @@ ORACLES["q97_embedding_covariance"] = """
            round(exy - mi.mu * mj.mu, 6) + 0 AS cov
     FROM xy JOIN m mi ON mi.pos = xy.i JOIN m mj ON mj.pos = xy.j
 """
+
+
+def _q98_oracle_sql() -> str:
+    """Composes the stage oracles: q96's unrolled Lloyd CTEs -> q87's
+    Hamilton apportionment over cluster sizes -> the A-ES per-stratum draw
+    (same md5 hash-uniform, same round-6 key, same tie-breaks)."""
+    from .operators.curation import weighted_sample_u_sql
+
+    u = weighted_sample_u_sql("vec_id", salt="sws")
+    return (
+        _kmeans_ctes()
+        + f""",
+        sizes AS (SELECT cluster, count(*) AS score FROM a3 GROUP BY cluster),
+        t AS (SELECT sum(score) AS total FROM sizes),
+        qd AS (SELECT cluster, 200 * score * 1.0 / total AS qd FROM sizes, t),
+        b AS (SELECT cluster, CAST(floor(qd) AS BIGINT) AS base,
+                     round(qd - floor(qd), 6) AS frac FROM qd),
+        r AS (SELECT cluster, base,
+                     row_number() OVER (ORDER BY frac DESC, cluster) AS rn,
+                     CAST(sum(base) OVER () AS BIGINT) AS base_sum FROM b),
+        alloc AS (SELECT cluster,
+                         base + CASE WHEN rn <= 200 - base_sum THEN 1 ELSE 0 END AS alloc
+                  FROM r),
+        keyed AS (
+            SELECT cluster, vec_id, 1.0 / (1.0 + dist) AS w,
+                   round(ln({u}) / (1.0 / (1.0 + dist)), 6) AS sample_key
+            FROM a3),
+        ranked AS (
+            SELECT cluster, vec_id, w, sample_key,
+                   row_number() OVER (PARTITION BY cluster
+                                      ORDER BY sample_key DESC, vec_id) AS sample_rank
+            FROM keyed)
+        SELECT rk.cluster, rk.vec_id, round(rk.w, 6) AS weight,
+               rk.sample_key, rk.sample_rank
+        FROM ranked rk JOIN alloc a ON a.cluster = rk.cluster
+        WHERE rk.sample_rank <= a.alloc
+    """
+    )
+
+
+ORACLES["q98_cluster_balanced_sample"] = _q98_oracle_sql()
 
 
 def entry(spark: SparkSession) -> DataFrame:

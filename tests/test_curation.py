@@ -340,3 +340,66 @@ class TestTemperatureAllocation:
         order = sorted(quotas, key=lambda k: (-round(quotas[k] - base[k], 6), k))
         expect = {k: base[k] + (1 if order.index(k) < left else 0) for k in quotas}
         assert {r.stratum: r.alloc for r in rows} == expect
+
+
+class TestStratifiedWeightedSample:
+    def _data(self, spark, n=300, parts=1):
+        df = spark.range(n).select(
+            F.col("id").alias("doc_id"),
+            (F.col("id") % 5).cast("int").alias("stratum"),
+            (F.col("id") % 7 + 1).cast("double").alias("weight"),
+        )
+        return df.repartition(parts) if parts > 1 else df
+
+    def _alloc(self, spark):
+        return spark.createDataFrame(
+            [(0, 10), (1, 3), (2, 0), (3, 7), (4, 1)], "stratum int, alloc int"
+        )
+
+    def test_quota_exact_per_stratum(self, spark):
+        rows = curation.stratified_weighted_sample(
+            self._data(spark), self._alloc(spark), "stratum"
+        ).collect()
+        per = {}
+        for r in rows:
+            per[r.stratum] = per.get(r.stratum, 0) + 1
+        assert per == {0: 10, 1: 3, 3: 7, 4: 1}  # stratum 2 quota 0 -> absent
+        for r in rows:
+            assert 1 <= r.sample_rank
+
+    def test_matches_pure_python_per_stratum_aes(self, spark):
+        import math
+
+        rows = curation.stratified_weighted_sample(
+            self._data(spark), self._alloc(spark), "stratum"
+        ).collect()
+        expected = {}
+        for i in range(300):
+            s, w = i % 5, i % 7 + 1
+            v = int(hashlib.md5(f"{i}#sws".encode()).hexdigest()[:8], 16)
+            key = round(math.log((v + 0.5) / 2**32) / w, 6)
+            expected.setdefault(s, []).append((key, i))
+        quota = {0: 10, 1: 3, 2: 0, 3: 7, 4: 1}
+        want = set()
+        for s, items in expected.items():
+            items.sort(key=lambda t: (-t[0], t[1]))
+            want |= {(s, i) for _, i in items[: quota[s]]}
+        assert {(r.stratum, r.doc_id) for r in rows} == want
+
+    def test_partition_invariance_two_phase_topk(self, spark):
+        # phase-1 local pruning must not change the result under any layout
+        a = curation.stratified_weighted_sample(
+            self._data(spark, parts=1), self._alloc(spark), "stratum"
+        ).collect()
+        b = curation.stratified_weighted_sample(
+            self._data(spark, parts=13), self._alloc(spark), "stratum"
+        ).collect()
+        assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+
+    def test_alloc_side_broadcasts(self, spark):
+        plan = plan_of(
+            curation.stratified_weighted_sample(
+                self._data(spark), self._alloc(spark), "stratum"
+            )
+        )
+        assert "BroadcastHashJoin" in plan
