@@ -222,15 +222,20 @@ def bigram_surprisal(docs: DataFrame, id_col: str = "doc_id", text_col: str = "t
         .groupBy("w1")
         .agg(F.sum("bg_cnt").alias("w1_cnt"))
     )
-    surprisal = -F.log2(F.col("bg_cnt") / F.col("w1_cnt"))
-    return (
-        db.join(lm, "bg")
-        .withColumn("w1", F.expr("split(bg, ' ')[0]"))
+    # fold the prefix counts into the LM first: lm JOIN prefix is a
+    # VOCABULARY-sized join, so the corpus-sized (doc, bigram) table pays
+    # exactly ONE join instead of two (bg, then w1) per scoring pass
+    lm_scored = (
+        lm.withColumn("w1", F.expr("split(bg, ' ')[0]"))
         .join(prefix, "w1")
+        .select("bg", (-F.log2(F.col("bg_cnt") / F.col("w1_cnt"))).alias("surprisal"))
+    )
+    return (
+        db.join(lm_scored, "bg")
         .groupBy(id_col)
         .agg(
             F.round(
-                F.sum(F.col("n_db") * surprisal) / F.sum("n_db"), 6
+                F.sum(F.col("n_db") * F.col("surprisal")) / F.sum("n_db"), 6
             ).alias("avg_bigram_surprisal"),
             F.sum("n_db").alias("n_scored_bigrams"),
         )
