@@ -574,6 +574,49 @@ def stratified_weighted_sample(
     )
 
 
+def group_split(
+    df: DataFrame,
+    group_col: str,
+    splits: list[tuple[str, float]] | None = None,
+    salt: str = "split",
+) -> DataFrame:
+    """Leakage-safe deterministic train/val/test assignment: the split is a
+    pure function of the GROUP key (host/domain/source), so every document
+    from one site lands in the same split — near-duplicate pages and
+    boilerplate from a single host can never straddle the train/eval
+    boundary (the standard group-aware split a training-data build uses
+    instead of row-level random splitting).
+
+    u = (first 8 md5 hex digits of group||'#salt' + 0.5) / 2^32 — the same
+    no-RNG dyadic uniform as the stratified sampler; cumulative fraction
+    cutoffs assign the split name.  Adding a new split or re-running at any
+    scale never reassigns an existing group (hash stability).
+
+    Scale: a pure map — one md5 + comparisons per row, zero shuffle, zero
+    joins; the group key is hashed in place, no group table is ever built.
+
+    Output: df's columns + ``split``.
+    """
+    splits = splits or [("train", 0.8), ("val", 0.1), ("test", 0.1)]
+    v = F.conv(
+        F.substring(F.md5(F.concat(F.col(group_col).cast("string"), F.lit(f"#{salt}"))), 1, 8),
+        16,
+        10,
+    ).cast("double")
+    u = (v + F.lit(0.5)) / F.lit(float(1 << 32))
+    expr = F.lit(splits[-1][0])
+    cum = 0.0
+    branches = []
+    for name, frac in splits[:-1]:
+        # round the cumulative cutoff so 0.6+0.2 is the literal double 0.8,
+        # bit-identical to the SQL oracle's constant
+        cum = round(cum + frac, 12)
+        branches.append((name, cum))
+    for name, cutoff in reversed(branches):
+        expr = F.when(u < F.lit(cutoff), F.lit(name)).otherwise(expr)
+    return df.withColumn("split", expr)
+
+
 def weighted_sample_u_sql(id_expr: str, salt: str = "ws") -> str:
     """DuckDB expression for the same hash-uniform u (no conv in DuckDB:
     8 hex digits decoded positionally with strpos)."""

@@ -1786,6 +1786,21 @@ def q98_cluster_balanced_sample(spark, sf_dir):
     )
 
 
+def q99_leakage_safe_split(spark, sf_dir):
+    """Host-grouped train/val/test assignment (curation.group_split,
+    60/20/20 on md5(source) — wider eval fractions than the 80/10/10
+    default so all three branches fire over the fixture's 20 hosts): every
+    document from one host lands in the same split, so host-level near-dups
+    and boilerplate can never straddle the train/eval boundary.  Pure map —
+    zero shuffle, zero joins, stable under any rerun or scale-up."""
+    from .operators import curation
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "source", "lang")
+    return curation.group_split(
+        docs, "source", splits=[("train", 0.6), ("val", 0.2), ("test", 0.2)]
+    )
+
+
 # ---------------------------------------------------------------------------
 # registry + oracle SQL
 # ---------------------------------------------------------------------------
@@ -1889,6 +1904,7 @@ QUERIES = {
     "q96_kmeans_clusters": q96_kmeans_clusters,
     "q97_embedding_covariance": q97_embedding_covariance,
     "q98_cluster_balanced_sample": q98_cluster_balanced_sample,
+    "q99_leakage_safe_split": q99_leakage_safe_split,
 }
 
 _DUP_DOCS_SQL = (
@@ -3395,6 +3411,24 @@ def _q98_oracle_sql() -> str:
 
 
 ORACLES["q98_cluster_balanced_sample"] = _q98_oracle_sql()
+
+
+def _q99_oracle_sql() -> str:
+    """Same md5 hash-uniform over the GROUP key (strpos hex decode), same
+    cumulative cutoffs — group coherence is inherent to the formula."""
+    from .operators.curation import weighted_sample_u_sql
+
+    u = weighted_sample_u_sql("source", salt="split")
+    return f"""
+        SELECT doc_id, source, lang,
+               CASE WHEN {u} < 0.6 THEN 'train'
+                    WHEN {u} < 0.8 THEN 'val'
+                    ELSE 'test' END AS split
+        FROM documents
+    """
+
+
+ORACLES["q99_leakage_safe_split"] = _q99_oracle_sql()
 
 
 def entry(spark: SparkSession) -> DataFrame:

@@ -403,3 +403,42 @@ class TestStratifiedWeightedSample:
             )
         )
         assert "BroadcastHashJoin" in plan
+
+
+class TestGroupSplit:
+    def _docs(self, spark, parts=1):
+        df = spark.range(500).select(
+            F.col("id").alias("doc_id"),
+            F.concat(F.lit("host"), (F.col("id") % 40).cast("string")).alias("source"),
+        )
+        return df.repartition(parts) if parts > 1 else df
+
+    def test_group_coherent_and_matches_pure_python(self, spark):
+        rows = curation.group_split(self._docs(spark), "source").collect()
+        per_group = {}
+        for r in rows:
+            per_group.setdefault(r.source, set()).add(r.split)
+        # leakage guard: every host maps to exactly one split
+        assert all(len(s) == 1 for s in per_group.values())
+        for g, s in per_group.items():
+            v = int(hashlib.md5(f"{g}#split".encode()).hexdigest()[:8], 16)
+            u = (v + 0.5) / 2**32
+            want = "train" if u < 0.8 else ("val" if u < 0.9 else "test")
+            assert s == {want}
+
+    def test_partition_invariant_pure_map(self, spark):
+        a = sorted(map(tuple, curation.group_split(self._docs(spark), "source").collect()))
+        b = sorted(map(tuple, curation.group_split(self._docs(spark, parts=9), "source").collect()))
+        assert a == b
+        plan = plan_of(curation.group_split(self._docs(spark), "source"))
+        assert "Exchange" not in plan  # zero shuffle: split is a pure map
+
+    def test_custom_fraction_cutoffs_are_exact_doubles(self, spark):
+        rows = curation.group_split(
+            self._docs(spark), "source", splits=[("a", 0.6), ("b", 0.2), ("c", 0.2)]
+        ).collect()
+        for r in rows:
+            v = int(hashlib.md5(f"{r.source}#split".encode()).hexdigest()[:8], 16)
+            u = (v + 0.5) / 2**32
+            want = "a" if u < 0.6 else ("b" if u < 0.8 else "c")
+            assert r.split == want
