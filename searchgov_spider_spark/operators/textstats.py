@@ -571,3 +571,176 @@ def length_outliers(
         F.round(z, 6).alias("z"),
         (F.abs(z) >= z_cut).alias("outlier"),
     )
+
+
+def ngram_diversity(
+    docs: DataFrame,
+    group_col: str = "source",
+    text_col: str = "text",
+    max_n: int = 3,
+) -> DataFrame:
+    """Per-group distinct-n-gram diversity (distinct-n / total-n for
+    n = 1..max_n) — the corpus-health ratio that exposes boilerplate-heavy
+    or template-generated sources (their repeated n-grams crater the ratio
+    long before intra-doc filters fire; the corpus-level complement of the
+    Gopher per-doc repetition stats).
+
+    Scale shape: grams are formed JVM-side (the shared shingle transform),
+    the distinct count is a two-level agg — groupBy (group, n, gram) then
+    groupBy (group, n) — so both shuffles carry partial-agg'd uniform keys
+    and nothing corpus-sized is ever collected or sorted.
+
+    Output: group_col, n, total_ngrams, distinct_ngrams, diversity (6 dp).
+    """
+    per_n = []
+    for n in range(1, max_n + 1):
+        grams = shingles_col(text_col, n) if n > 1 else tokens_col(text_col)
+        per_n.append(
+            docs.select(F.col(group_col), F.explode(grams).alias("gram")).select(
+                group_col, F.lit(n).alias("n"), "gram"
+            )
+        )
+    longtab = per_n[0]
+    for d in per_n[1:]:
+        longtab = longtab.unionByName(d)
+    counted = longtab.groupBy(group_col, "n", "gram").agg(F.count("*").alias("c"))
+    return (
+        counted.groupBy(group_col, "n")
+        .agg(
+            F.sum("c").alias("total_ngrams"),
+            F.count("*").alias("distinct_ngrams"),
+        )
+        .select(
+            group_col,
+            "n",
+            "total_ngrams",
+            "distinct_ngrams",
+            F.round(F.col("distinct_ngrams") / F.col("total_ngrams"), 6).alias("diversity"),
+        )
+    )
+
+
+def heaps_fit(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    points: int = 16,
+    gram_n: int = 1,
+) -> DataFrame:
+    """Heap's-law fit V(N) ~ k * N^beta (vocabulary growth vs corpus size)
+    — natural text lands around beta 0.4-0.6; a flattening curve means the
+    crawl is re-reading the same material (vocabulary exhaustion), a
+    steepening one means noise/OCR junk is inflating the vocabulary.
+    ``gram_n`` > 1 fits n-gram-vocabulary growth instead — the right order
+    when the unigram vocabulary saturates early (closed-vocabulary or
+    heavily templated corpora).
+
+    The growth curve is sampled at ``points`` numeric id thresholds
+    t_k = (k * max_id) div points (integer division — portable): N(t) =
+    tokens in docs with id <= t (per-doc token counts crossed with the tiny
+    threshold table, partial-agg'd to <= points keys), V(t) = terms whose
+    FIRST occurrence (min doc id, one vocabulary-sized groupBy) is <= t.
+    OLS of ln V on ln N over the sampled points (the q88 zipf_fit moment
+    formula).
+
+    Output: one row — n_points, heaps_beta (6 dp), heaps_lnk (6 dp).
+    """
+    # integer division for the thresholds: Spark CAST(double AS BIGINT)
+    # truncates while DuckDB rounds, so the float form would diverge
+    mx = docs.agg(F.max(F.col(id_col).cast("long")).alias("m"))
+    ts = mx.select(
+        F.explode(
+            F.expr(f"transform(sequence(1, {points}), k -> (k * m) div {points})")
+        ).alias("t")
+    ).distinct()
+    per_doc = docs.select(
+        F.col(id_col).cast("long").alias("id"),
+        F.size(tokens_col(text_col)).cast("long").alias("n_toks"),
+    )
+    n_at = (
+        per_doc.join(F.broadcast(ts), per_doc.id <= ts.t)
+        .groupBy("t")
+        .agg(F.sum("n_toks").alias("n_tokens"))
+    )
+    grams = tokens_col(text_col) if gram_n == 1 else shingles_col(text_col, gram_n)
+    first = (
+        docs.select(F.col(id_col).cast("long").alias("id"), F.explode(grams).alias("term"))
+        .groupBy("term")
+        .agg(F.min("id").alias("first_id"))
+    )
+    v_at = (
+        first.join(F.broadcast(ts), first.first_id <= ts.t)
+        .groupBy("t")
+        .agg(F.count("*").alias("vocab"))
+    )
+    xy = n_at.join(v_at, "t").select(
+        F.log(F.col("n_tokens").cast("double")).alias("x"),
+        F.log(F.col("vocab").cast("double")).alias("y"),
+    )
+    m = xy.agg(
+        F.count("*").alias("n_points"),
+        F.avg("x").alias("_mx"),
+        F.avg("y").alias("_my"),
+        F.avg(F.col("x") * F.col("y")).alias("_mxy"),
+        F.avg(F.col("x") * F.col("x")).alias("_mxx"),
+    )
+    slope = (F.col("_mxy") - F.col("_mx") * F.col("_my")) / (
+        F.col("_mxx") - F.col("_mx") * F.col("_mx")
+    )
+    # "+ 0.0" folds a degenerate fit's IEEE -0.0 slope to +0.0
+    return m.select(
+        "n_points",
+        (F.round(slope, 6) + F.lit(0.0)).alias("heaps_beta"),
+        (F.round(F.col("_my") - slope * F.col("_mx"), 6) + F.lit(0.0)).alias("heaps_lnk"),
+    )
+
+
+def source_kl_drift(
+    docs: DataFrame,
+    group_col: str = "source",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-source KL divergence of the source's unigram distribution from
+    the whole-corpus distribution — the domain-shift detector a mixture
+    build watches (a source drifting away from the corpus is template spam,
+    a language mix-up, or genuinely novel material; either way it needs a
+    human look before its weight changes).
+
+    KL(P_s || P) = sum_w p_s(w) * ln(p_s(w) / p(w)); every term in a source
+    exists in the corpus, so no smoothing is needed and the score is exactly
+    re-derivable in SQL.
+
+    Scale shape: one (source, token) groupBy collapses the corpus; the
+    corpus totals derive from that VOCABULARY-sized table, join back on
+    token (vocab-sized both sides), and the final per-source sum
+    partial-aggregates.  Totals ride along via broadcast.
+
+    Output: group_col, n_tokens, kl (6 dp) — kl >= 0.
+    """
+    st = (
+        docs.select(F.col(group_col), F.explode(tokens_col(text_col)).alias("token"))
+        .groupBy(group_col, "token")
+        .agg(F.count("*").alias("c_st"))
+    )
+    corpus = st.groupBy("token").agg(F.sum("c_st").alias("c_t"))
+    totals = st.groupBy(group_col).agg(F.sum("c_st").alias("n_s"))
+    grand = corpus.agg(F.sum("c_t").alias("n_all"))
+    term = (
+        st.join(corpus, "token")
+        .join(F.broadcast(totals), group_col)
+        .join(F.broadcast(grand))
+        .select(
+            group_col,
+            "n_s",
+            (
+                (F.col("c_st") / F.col("n_s"))
+                * F.log(
+                    (F.col("c_st") / F.col("n_s")) / (F.col("c_t") / F.col("n_all"))
+                )
+            ).alias("kl_term"),
+        )
+    )
+    return term.groupBy(group_col).agg(
+        F.max("n_s").alias("n_tokens"),
+        F.round(F.sum("kl_term"), 6).alias("kl"),
+    )

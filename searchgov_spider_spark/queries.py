@@ -1801,6 +1801,33 @@ def q99_leakage_safe_split(spark, sf_dir):
     )
 
 
+def q100_ngram_diversity(spark, sf_dir):
+    """Per-source distinct-n-gram diversity (n = 1..3) — the corpus-level
+    boilerplate/template detector complementing q42's per-doc repetition
+    (textstats.ngram_diversity): two-level agg, both shuffles partial-agg'd
+    uniform (source, n, gram) keys, nothing corpus-sized collected."""
+    return textstats.ngram_diversity(_t(spark, sf_dir, "documents"))
+
+
+def q101_heaps_fit(spark, sf_dir):
+    """One-row Heap's-law fit V(N) ~ k*N^beta (vocabulary growth vs corpus
+    size, q88's companion diagnostic): growth curve sampled at 16 integer
+    id thresholds, first-occurrence table from one vocabulary-sized
+    groupBy, OLS in log space (textstats.heaps_fit).  Fitted over TRIGRAM
+    vocabulary — the fixture's unigram vocabulary is a closed 31-word pool
+    that saturates in the first documents (beta would be a degenerate 0);
+    trigram vocabulary grows through the whole corpus, exercising the fit."""
+    return textstats.heaps_fit(_t(spark, sf_dir, "documents"), gram_n=3)
+
+
+def q102_source_kl_drift(spark, sf_dir):
+    """Per-source KL(P_source || P_corpus) over unigrams — the domain-shift
+    detector a mixture build watches (textstats.source_kl_drift): corpus
+    collapses once to (source, token) counts; every later stage is
+    vocabulary-sized; no smoothing needed so the SQL oracle is exact."""
+    return textstats.source_kl_drift(_t(spark, sf_dir, "documents"))
+
+
 # ---------------------------------------------------------------------------
 # registry + oracle SQL
 # ---------------------------------------------------------------------------
@@ -1905,6 +1932,9 @@ QUERIES = {
     "q97_embedding_covariance": q97_embedding_covariance,
     "q98_cluster_balanced_sample": q98_cluster_balanced_sample,
     "q99_leakage_safe_split": q99_leakage_safe_split,
+    "q100_ngram_diversity": q100_ngram_diversity,
+    "q101_heaps_fit": q101_heaps_fit,
+    "q102_source_kl_drift": q102_source_kl_drift,
 }
 
 _DUP_DOCS_SQL = (
@@ -3429,6 +3459,75 @@ def _q99_oracle_sql() -> str:
 
 
 ORACLES["q99_leakage_safe_split"] = _q99_oracle_sql()
+
+
+def _q100_oracle_sql() -> str:
+    """Same gram conventions as the dedup oracles: _TOKS for n=1,
+    _shingles_sql(n) (whole-doc-gram fallback) for n >= 2."""
+    parts = []
+    for n in (1, 2, 3):
+        grams = _TOKS if n == 1 else _shingles_sql(n)
+        parts.append(
+            f"SELECT source, {n} AS n, unnest({grams}) AS gram FROM documents"
+        )
+    return f"""
+        WITH longtab AS ({" UNION ALL ".join(parts)}),
+        counted AS (SELECT source, n, gram, count(*) AS c
+                    FROM longtab GROUP BY source, n, gram)
+        SELECT source, n,
+               CAST(sum(c) AS BIGINT) AS total_ngrams,
+               count(*) AS distinct_ngrams,
+               round(count(*) * 1.0 / sum(c), 6) AS diversity
+        FROM counted GROUP BY source, n
+    """
+
+
+ORACLES["q100_ngram_diversity"] = _q100_oracle_sql()
+
+
+ORACLES["q101_heaps_fit"] = f"""
+    WITH mx AS (SELECT max(CAST(doc_id AS BIGINT)) AS m FROM documents),
+    ts AS (SELECT DISTINCT (k * m) // 16 AS t
+           FROM mx, UNNEST(range(1, 17)) AS u(k)),
+    per_doc AS (SELECT CAST(doc_id AS BIGINT) AS id,
+                       CAST(len({_TOKS}) AS BIGINT) AS n_toks FROM documents),
+    n_at AS (SELECT t, sum(n_toks) AS n_tokens
+             FROM per_doc JOIN ts ON per_doc.id <= ts.t GROUP BY t),
+    fo AS (SELECT term, min(id) AS first_id
+           FROM (SELECT CAST(doc_id AS BIGINT) AS id, unnest({_shingles_sql(3)}) AS term
+                 FROM documents)
+           GROUP BY term),
+    v_at AS (SELECT t, count(*) AS vocab
+             FROM fo JOIN ts ON fo.first_id <= ts.t GROUP BY t),
+    xy AS (SELECT ln(n_tokens * 1.0) AS x, ln(vocab * 1.0) AS y
+           FROM n_at JOIN v_at USING (t)),
+    m AS (SELECT count(*) AS n_points, avg(x) AS mx, avg(y) AS my,
+                 avg(x * y) AS mxy, avg(x * x) AS mxx FROM xy)
+    SELECT n_points,
+           round((mxy - mx * my) / (mxx - mx * mx), 6) + 0 AS heaps_beta,
+           round(my - (mxy - mx * my) / (mxx - mx * mx) * mx, 6) + 0 AS heaps_lnk
+    FROM m
+"""
+
+
+ORACLES["q102_source_kl_drift"] = f"""
+    WITH st AS (
+        SELECT source, token, count(*) AS c_st
+        FROM (SELECT source, unnest({_TOKS}) AS token FROM documents)
+        GROUP BY source, token),
+    corpus AS (SELECT token, sum(c_st) AS c_t FROM st GROUP BY token),
+    totals AS (SELECT source, sum(c_st) AS n_s FROM st GROUP BY source),
+    grand AS (SELECT sum(c_t) AS n_all FROM corpus)
+    SELECT st.source,
+           CAST(max(t.n_s) AS BIGINT) AS n_tokens,
+           round(sum((st.c_st * 1.0 / t.n_s)
+                     * ln((st.c_st * 1.0 / t.n_s) / (c.c_t * 1.0 / g.n_all))), 6) AS kl
+    FROM st
+    JOIN corpus c ON c.token = st.token
+    JOIN totals t ON t.source = st.source
+    CROSS JOIN grand g
+    GROUP BY st.source
+"""
 
 
 def entry(spark: SparkSession) -> DataFrame:
