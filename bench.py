@@ -81,6 +81,10 @@ BENCH_QUERIES = [
     "q51_bigram_surprisal",
     "q52_quality_classifier",
     "q54_pagerank",
+    # round-5 corpus-health family: heaviest of the new metrics (explodes
+    # 1/2/3-grams over the whole corpus; q96-q99/q101/q102 are embedding- or
+    # vocab-sized and add no bench signal at sf scale)
+    "q100_ngram_diversity",
 ]
 
 
