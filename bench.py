@@ -85,6 +85,10 @@ BENCH_QUERIES = [
     # 1/2/3-grams over the whole corpus; q96-q99/q101/q102 are embedding- or
     # vocab-sized and add no bench signal at sf scale)
     "q100_ngram_diversity",
+    # round-5 shipped-dedup end state: q45's pipeline + per-cluster survivor
+    # agg — what a production dedup actually emits (q104/q105 are pure maps /
+    # window-over-slice and add no bench signal at sf scale)
+    "q103_cluster_survivors",
 ]
 
 

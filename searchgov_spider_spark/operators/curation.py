@@ -672,3 +672,194 @@ def temperature_allocation(
     return weighted.join(F.broadcast(alloc), "stratum").select(
         "stratum", "n_docs", "share", "temp_weight_ppm", "quota", "alloc"
     )
+
+
+def host_cap(
+    docs: DataFrame,
+    cap: int,
+    group_col: str = "source",
+    id_col: str = "doc_id",
+    safety: float = 2.0,
+) -> DataFrame:
+    """Hot-host downsampling: keep at most ``cap`` documents per host,
+    chosen deterministically by md5 order (web corpora are Zipf-skewed —
+    a handful of hosts contribute most rows, and uncapped they dominate
+    the training mixture; reference analog: the per-domain URL caps the
+    search.gov crawl enforces via its seed scoping,
+    search_gov_crawler/search_gov_spiders/helpers/domain_spider.py:1-40).
+
+    Exact semantics: rank rows within each host by
+    ``(md5(cast(id as string)), id)`` ascending and keep rank <= cap —
+    a deterministic uniform sample, stable under any partitioning.
+
+    Scale shape: the naive implementation is one window over every row,
+    which serializes each hot host's billions of rows through a single
+    task.  Instead:
+
+      1. per-host counts (partial-agg'd, host cardinality ~ millions —
+         broadcastable);
+      2. map-side PREFILTER: keep a row only when the numeric value of its
+         first 8 md5 hex digits falls below ``cap * safety / count`` — a
+         superset of the final keep set w.h.p., ~``cap * safety`` rows per
+         host regardless of host size;
+      3. exact rank window over the prefiltered slice only;
+      4. GUARD: any host whose prefilter kept fewer than
+         ``min(cap, count)`` rows (astronomically rare at safety=2, but
+         the correctness gate is exact) is re-ranked over its full rows.
+
+    The md5-prefix prefilter is order-consistent with the full-md5 ranking
+    (fixed-width lowercase hex: numeric order of the prefix == lexicographic
+    order), so when the prefilter keeps >= cap rows their top-cap IS the
+    global top-cap.
+
+    Returns the input rows of the kept set (original columns).
+    """
+    from pyspark.sql import Window
+
+    h = F.md5(F.col(id_col).cast("string"))
+    frac = F.conv(F.substring(h, 1, 8), 16, 10).cast("double") / float(1 << 32)
+    counts = docs.groupBy(group_col).agg(F.count(F.lit(1)).alias("_n"))
+    cutoff = F.least(F.lit(1.0), F.lit(float(cap) * safety) / F.col("_n"))
+
+    pre = (
+        docs.join(F.broadcast(counts), group_col)
+        .withColumn("_frac", frac)
+        .filter(F.col("_frac") <= cutoff)
+    )
+    w = Window.partitionBy(group_col).orderBy(h.asc(), F.col(id_col).asc())
+    ranked = pre.withColumn("_rk", F.row_number().over(w))
+    kept = ranked.filter(F.col("_rk") <= cap)
+
+    # guard: hosts where the prefilter under-delivered get an exact re-rank.
+    # Anchored on the COUNTS side (left join) — a host whose prefilter kept
+    # zero rows is absent from `kept` entirely and must still be caught.
+    kept_counts = kept.groupBy(group_col).agg(F.count(F.lit(1)).alias("_kept"))
+    short = (
+        counts.join(kept_counts, group_col, "left")
+        .filter(F.coalesce("_kept", F.lit(0)) < F.least(F.lit(cap), F.col("_n")))
+        .select(group_col)
+    )
+    exact = (
+        docs.join(F.broadcast(short), group_col)
+        .withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") <= cap)
+    )
+    out_cols = docs.columns
+    return (
+        kept.join(F.broadcast(short), group_col, "left_anti")
+        .select(*out_cols)
+        .unionByName(exact.select(*out_cols))
+    )
+
+
+def perplexity_buckets(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    lang_col: str = "lang",
+    scale: int = 1000,
+) -> DataFrame:
+    """CCNet-style head/middle/tail quality bucketing (Wenzek et al. 2020):
+    per language, split documents into terciles of LM score — CCNet keeps
+    "head" (lowest perplexity) for training and uses the cutoffs as fixed,
+    precomputed per-language thresholds.  Here the LM score is the proven
+    unigram-surprisal surrogate (q47) and the cutoffs come from the proven
+    HDR log-linear quantile sketch (q95) at q=1/3 and q=2/3.
+
+    Determinism/portability: surprisal is rounded to 6dp, then scaled to
+    integer "milli-bits" via floor(x * scale) — the HDR sketch is
+    all-integer from there, so both engines derive bit-identical cutoffs;
+    the bucket compare (BIGINT <= exact-double midpoint) has no float risk.
+
+    Scale shape: surprisal is the q47 distributed pipeline (vocab built and
+    consumed with no collect); the histogram shuffles <= ~16*64 rows per
+    language per partition REGARDLESS of corpus size (this is exactly why
+    CCNet precomputes cutoffs instead of rank-windowing — an ntile() per
+    language would sort each language inside one task); the cutoff table is
+    languages x 2 rows, broadcast back.  No corpus-wide sort anywhere.
+
+    Output: (id, lang, avg_surprisal, sbits, bucket).
+    """
+    from . import sketches, textstats
+
+    s = textstats.unigram_surprisal(docs, id_col=id_col, text_col=text_col)
+    sl = s.join(docs.select(id_col, lang_col), id_col).withColumn(
+        "sbits", F.floor(F.col("avg_surprisal") * scale).cast("bigint")
+    )
+    terciles = (("q33", 1, 3), ("q67", 2, 3))
+    cuts = sketches.hdr_quantiles(sl, "sbits", [lang_col], quantiles=terciles)
+    cutsp = cuts.groupBy(lang_col).agg(
+        F.max(F.when(F.col("qlabel") == "q33", F.col("est_value"))).alias("cut_head"),
+        F.max(F.when(F.col("qlabel") == "q67", F.col("est_value"))).alias("cut_mid"),
+    )
+    return sl.join(F.broadcast(cutsp), lang_col).select(
+        F.col(id_col),
+        F.col(lang_col),
+        "avg_surprisal",
+        "sbits",
+        F.when(F.col("sbits") <= F.col("cut_head"), F.lit("head"))
+        .when(F.col("sbits") <= F.col("cut_mid"), F.lit("middle"))
+        .otherwise(F.lit("tail"))
+        .alias("bucket"),
+    )
+
+
+def strip_host_boilerplate(
+    docs: DataFrame,
+    host_col: str = "host",
+    id_col: str = "doc_id",
+    lines_col: str = "lines",
+    min_docs: int = 10,
+    min_share: float = 0.3,
+) -> DataFrame:
+    """The SHIPPING half of host-level boilerplate handling: q86's
+    ``host_boilerplate`` finds the repeated nav/footer/banner lines; this
+    removes every occurrence of them from each document and re-assembles
+    the cleaned text in original line order (the RefinedWeb/CCNet line-wise
+    filter applied, not just reported).
+
+    Semantics: a line is stripped when (host, line) is flagged boilerplate
+    by ``host_boilerplate`` (>= min_share of the host's >= min_docs docs)
+    and the line is non-blank.  Documents keep their row even when every
+    line is stripped (clean_text = '') or the lines array is empty.
+
+    Scale shape: one posexplode; the strip join is keyed (host, line) —
+    boilerplate lines are hot by definition (>= 30% of a host's docs), so
+    this is the AQE-skew-join case, never a broadcast of an unbounded
+    per-host line vocabulary; re-assembly is one partial-agg'd
+    groupBy(doc) whose state is bounded by document length.  No windows.
+
+    Output: (id, host, clean_text, n_lines_kept, n_lines_removed).
+    """
+    bp = (
+        host_boilerplate(
+            docs,
+            host_col=host_col,
+            id_col=id_col,
+            lines_col=lines_col,
+            min_docs=min_docs,
+            min_share=min_share,
+        )
+        .filter(F.col("boilerplate") & (F.trim(F.col("line")) != ""))
+        .select("host", "line", F.lit(True).alias("_bp"))
+    )
+    pos = docs.select(
+        F.col(host_col).alias("host"),
+        F.col(id_col),
+        F.posexplode_outer(F.col(lines_col)).alias("pos", "line"),
+    )
+    flagged = pos.join(bp, ["host", "line"], "left")
+    keep = F.col("_bp").isNull() & F.col("line").isNotNull()
+    return flagged.groupBy(id_col, "host").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.when(keep, F.struct(F.col("pos"), F.col("line"))))
+                ),
+                lambda s: s.getField("line"),
+            ),
+            "\n",
+        ).alias("clean_text"),
+        F.sum(F.when(keep, 1).otherwise(0)).alias("n_lines_kept"),
+        F.sum(F.when(F.col("_bp").isNotNull(), 1).otherwise(0)).alias("n_lines_removed"),
+    )

@@ -626,3 +626,49 @@ def corpus_overlap_sketch(
         F.round(F.col("n_inter") / F.col("n_union"), 6).alias("exact_jaccard"),
     )
     return sketch.crossJoin(F.broadcast(exact))
+
+
+def survivor_selection(
+    labels: DataFrame,
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    quality_col: str | None = None,
+) -> DataFrame:
+    """Per-cluster survivor selection — the step AFTER connected components
+    that a dedup pipeline actually ships: keep the best member of every
+    near-dup cluster, not an arbitrary one (reference analog: the Scrapy
+    dupefilter keeps first-seen, search_gov_crawler/search_gov_spiders/
+    job_state/dupefilter.py:8-25; a curation pipeline upgrades "first" to
+    "highest quality").
+
+    ``labels`` is ``connected_components`` output (``id_col``, label);
+    ``docs`` supplies the quality signal — ``quality_col`` if given, else
+    character length of ``text``.  Survivor = max quality, ties broken by
+    min id (deterministic at any partitioning).
+
+    Plan shape: one groupBy(label) with ``max(struct(quality, -id))`` —
+    partial-aggregated, so each cluster collapses map-side before the
+    shuffle — then one join back on label.  No windows: a window would
+    sort every cluster's rows inside one task, and while near-dup clusters
+    are star-shaped and small, boilerplate corpora produce million-member
+    clusters where the agg's partial combine wins.  Both shuffles are keyed
+    by label (uniform: cluster count ~ doc count).
+
+    Returns (``id_col``, label, survivor_id, keep).
+    """
+    qual = F.col(quality_col) if quality_col else F.length(F.col("text"))
+    scored = labels.join(docs, id_col).select(
+        id_col, "label", qual.cast("double").alias("_q")
+    )
+    best = scored.groupBy("label").agg(
+        F.max(F.struct(F.col("_q"), (-F.col(id_col)).alias("_nid"))).alias("_b")
+    )
+    return (
+        scored.join(best, "label")
+        .select(
+            F.col(id_col),
+            "label",
+            (-F.col("_b._nid")).cast(scored.schema[id_col].dataType).alias("survivor_id"),
+        )
+        .withColumn("keep", F.col(id_col) == F.col("survivor_id"))
+    )

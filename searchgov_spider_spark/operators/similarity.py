@@ -471,3 +471,55 @@ def semantic_dedup(
             F.coalesce(~F.col("_dup"), F.lit(True)).alias("keep"),
         )
     )
+
+
+def semantic_decontaminate(
+    corpus: DataFrame,
+    eval_vectors: list[list[float]],
+    threshold: float = 0.9,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    max_literal: int = 256,
+) -> DataFrame:
+    """Embedding-space benchmark decontamination: flag every corpus vector
+    whose cosine to ANY eval-set vector reaches ``threshold`` — the
+    semantic companion to the n-gram ``curation.decontaminate`` (verbatim
+    leaks get paraphrased; n-gram overlap misses them, embedding cosine
+    does not).
+
+    ``eval_vectors`` is the benchmark's embedding list — small by
+    construction (eval suites are thousands of items, not corpus-scale)
+    and capped at ``max_literal`` here because every vector is compiled
+    into the plan as a literal: per eval vector one codegen'd
+    aggregate/zip_with cosine expression, combined with ``greatest``.
+
+    Scale shape: a pure MAP over the corpus — zero joins, zero shuffles,
+    zero UDFs; the 100-TB side streams through whole-stage codegen once.
+    (The alternative broadcast-crossJoin + groupBy(id) re-shuffles the
+    full corpus for the max; with the eval side literal, nothing moves.)
+    For eval sets past ``max_literal``, chunk the calls and OR the flags.
+
+    Returns (``id_col``, max_eval_cosine, contaminated).
+    """
+    if not eval_vectors:
+        raise ValueError("eval_vectors must be non-empty")
+    if len(eval_vectors) > max_literal:
+        raise ValueError(
+            f"{len(eval_vectors)} eval vectors exceed max_literal={max_literal}; "
+            "chunk the eval set and OR the contaminated flags"
+        )
+    norm = F.expr(_norm_expr(vec_col))
+    df = corpus
+    cos_cols = []
+    for i, vec in enumerate(eval_vectors):
+        cname = f"_c{i}"
+        qn = float(np.sqrt(np.dot(vec, vec)))
+        arr = "array(" + ", ".join(f"cast({float(x)!r} as double)" for x in vec) + ")"
+        df = df.withColumn(cname, F.expr(_dot_expr(vec_col, arr)) / (norm * F.lit(qn)))
+        cos_cols.append(cname)
+    mx = F.col(cos_cols[0]) if len(cos_cols) == 1 else F.greatest(*[F.col(c) for c in cos_cols])
+    return df.select(
+        F.col(id_col),
+        F.round(mx, 6).alias("max_eval_cosine"),
+        (mx >= F.lit(float(threshold))).alias("contaminated"),
+    )

@@ -367,8 +367,11 @@ def hdr_quantiles(
     value_col: str,
     group_cols: list[str],
     include_exact: bool = False,
+    quantiles: tuple = HDR_QUANTILES,
 ) -> DataFrame:
-    """Per-group p50/p90/p99 estimates from the HDR histogram.
+    """Per-group quantile estimates (default p50/p90/p99) from the HDR
+    histogram; ``quantiles`` takes (label, numerator, denominator) triples
+    so callers can ask for e.g. terciles without float-q drift.
 
     Rank-of-quantile is the type-1 definition: the value at row
     ceil(q*n) in ascending order.  The windowed cumulative sum and the
@@ -393,7 +396,7 @@ def hdr_quantiles(
                 F.lit(num).alias("num"),
                 F.lit(den).alias("den"),
             )
-            for lbl, num, den in HDR_QUANTILES
+            for lbl, num, den in quantiles
         ]
     )
     j = cum.withColumn("q", F.explode(qarr)).select(
@@ -458,13 +461,14 @@ def hdr_oracle_sql(
     value_expr: str,
     group_cols: list[str],
     include_exact: bool = False,
+    quantiles: tuple = HDR_QUANTILES,
 ) -> str:
     """DuckDB SQL re-deriving the HDR pipeline independently: same
     bin()-length octave, same integer shift sub-bucket, same integer rank
     rule, same exact-double midpoint."""
     g = ", ".join(group_cols)
     v = f"greatest(CAST({value_expr} AS BIGINT), CAST(1 AS BIGINT))"
-    qvals = ", ".join(f"('{l}', {n}, {d})" for l, n, d in HDR_QUANTILES)
+    qvals = ", ".join(f"('{l}', {n}, {d})" for l, n, d in quantiles)
     exact_cols = ", exact_value, round(abs(est_value - exact_value) / exact_value, 4) AS rel_err" if include_exact else ""
     exact_cte = (
         f""",

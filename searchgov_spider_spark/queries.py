@@ -1828,6 +1828,60 @@ def q102_source_kl_drift(spark, sf_dir):
     return textstats.source_kl_drift(_t(spark, sf_dir, "documents"))
 
 
+def q103_cluster_survivors(spark, sf_dir):
+    """Survivor selection over near-dup clusters — the q45 composition
+    carried to the step a dedup pipeline actually ships: LSH-verified pairs
+    -> connected components -> keep the BEST member per cluster
+    (dedup.survivor_selection: max char-length, ties to min doc_id).
+    Plan: q45's pair pipeline + one partial-agg'd groupBy(label) + one
+    label join — no windows, so million-member boilerplate clusters never
+    serialize through one task."""
+    d = _docs_with_dups(spark, sf_dir)
+    pairs = (
+        dedup.minhash_lsh_pairs(d, k=16, bands=8, threshold=0.8)
+        .select("id_a", "id_b")
+        .localCheckpoint(eager=True)
+    )
+    cc = dedup.connected_components(pairs, d.select("doc_id"), id_col="doc_id")
+    return dedup.survivor_selection(cc, d, id_col="doc_id")
+
+
+Q104_THRESHOLD = 0.9
+
+
+def q104_semantic_decontamination(spark, sf_dir):
+    """Embedding-space decontamination (similarity.semantic_decontaminate):
+    flag corpus vectors within cosine 0.9 of ANY eval vector — the
+    paraphrase-robust companion to q40's n-gram decontamination.  Eval set
+    = the 8 original vectors vec_id in {0,10,..,70}; the dup-injected
+    corpus carries exact copies of them at +100000 (must flag, cosine 1.0)
+    plus copies of non-eval vectors (must stay clean).  The eval side is
+    compiled into literal codegen'd cosine expressions, so the corpus-side
+    plan is a pure map — zero joins, zero shuffles, zero UDFs."""
+    from .operators import similarity
+
+    base = _t(spark, sf_dir, "embeddings")
+    is_eval = (F.col("vec_id") % 10 == 0) & (F.col("vec_id") < 80)
+    evals = [
+        list(r["embedding"])
+        for r in base.filter(is_eval).orderBy("vec_id").select("embedding").collect()
+    ]
+    corpus = _embeddings_with_dups(spark, sf_dir).filter(~is_eval)
+    return similarity.semantic_decontaminate(corpus, evals, threshold=Q104_THRESHOLD)
+
+
+def q105_host_cap(spark, sf_dir):
+    """Hot-host downsampling (curation.host_cap): keep at most 10 docs per
+    source by deterministic md5 order.  Exercises the skew-safe two-phase
+    shape — per-host counts broadcast back, map-side md5-prefix prefilter
+    (~cap*safety rows/host survive regardless of host size), exact window
+    over the slice only, counts-anchored guard for under-delivering
+    hosts."""
+    return curation.host_cap(
+        _t(spark, sf_dir, "documents"), cap=10, group_col="source", id_col="doc_id"
+    )
+
+
 # ---------------------------------------------------------------------------
 # registry + oracle SQL
 # ---------------------------------------------------------------------------
@@ -1935,6 +1989,9 @@ QUERIES = {
     "q100_ngram_diversity": q100_ngram_diversity,
     "q101_heaps_fit": q101_heaps_fit,
     "q102_source_kl_drift": q102_source_kl_drift,
+    "q103_cluster_survivors": q103_cluster_survivors,
+    "q104_semantic_decontamination": q104_semantic_decontamination,
+    "q105_host_cap": q105_host_cap,
 }
 
 _DUP_DOCS_SQL = (
@@ -3571,3 +3628,14 @@ def entry(spark: SparkSession) -> DataFrame:
         shutil.rmtree(ckpt, ignore_errors=True)
         _cleanup_at_exit(root)
     return spark.read.parquet(out_dir)
+
+# q105: the oracle is the naive exact form — one window over everything —
+# which the operator's prefilter+guard decomposition must reproduce exactly.
+ORACLES["q105_host_cap"] = """
+    SELECT doc_id, text, lang, source, n_chars FROM (
+        SELECT d.*,
+               row_number() OVER (PARTITION BY source
+                                  ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
+        FROM documents d
+    ) WHERE rk <= 10
+"""
