@@ -1882,6 +1882,39 @@ def q105_host_cap(spark, sf_dir):
     )
 
 
+def q106_perplexity_buckets(spark, sf_dir):
+    """CCNet head/middle/tail quality buckets (curation.perplexity_buckets):
+    per-language terciles of the q47 unigram-surprisal LM score, cutoffs
+    from the q95 HDR integer sketch (q=1/3, 2/3) — CCNet's precomputed
+    per-language threshold shape, so no per-language ntile sort ever runs;
+    the cutoff table (langs x 2) broadcasts back over a pure map."""
+    return curation.perplexity_buckets(_t(spark, sf_dir, "documents"))
+
+
+def q107_strip_boilerplate(spark, sf_dir):
+    """Host-boilerplate STRIPPING (curation.strip_host_boilerplate): q86's
+    banner-injected corpus cleaned — every flagged (host, line) removed
+    from every document, text re-assembled in original line order; docs
+    whose lines all strip keep their row with clean_text = ''.  The strip
+    join is (host, line)-keyed (AQE skew case), re-assembly one
+    partial-agg'd groupBy(doc)."""
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.col("source").alias("host"),
+        F.when(
+            F.col("doc_id") % 2 == 0,
+            F.concat(F.col("source"), F.lit(_Q86_BANNER_TAIL + " "), F.col("text")),
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    toks = f"regexp_extract_all(lower(text), '{TOKEN_PATTERN}', 0)"
+    with_lines = d.select(
+        "doc_id", "host", F.expr(_LINES_EXPR.format(t=toks)).alias("lines")
+    )
+    return curation.strip_host_boilerplate(with_lines, min_docs=10, min_share=0.3)
+
+
 # ---------------------------------------------------------------------------
 # registry + oracle SQL
 # ---------------------------------------------------------------------------
@@ -1992,6 +2025,8 @@ QUERIES = {
     "q103_cluster_survivors": q103_cluster_survivors,
     "q104_semantic_decontamination": q104_semantic_decontamination,
     "q105_host_cap": q105_host_cap,
+    "q106_perplexity_buckets": q106_perplexity_buckets,
+    "q107_strip_boilerplate": q107_strip_boilerplate,
 }
 
 _DUP_DOCS_SQL = (
@@ -3638,4 +3673,74 @@ ORACLES["q105_host_cap"] = """
                                   ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
         FROM documents d
     ) WHERE rk <= 10
+"""
+
+
+def _q106_oracle_sql() -> str:
+    """q47's surprisal CTE + the q95 HDR re-derivation at terciles + the
+    bucket CASE — the whole CCNet pipeline independently in DuckDB."""
+    from .operators.sketches import hdr_oracle_sql
+
+    sl = f"""
+        WITH toks AS (SELECT doc_id, unnest({_TOKS}) AS tok FROM documents),
+        vocab AS (SELECT tok, count(*) AS cnt FROM toks GROUP BY tok),
+        total AS (SELECT sum(cnt) AS total FROM vocab),
+        s AS (SELECT doc_id, round(avg(-log2(cnt * 1.0 / total)), 6) AS avg_surprisal
+              FROM toks JOIN vocab USING (tok) CROSS JOIN total GROUP BY doc_id)
+        SELECT s.doc_id, d.lang, avg_surprisal,
+               CAST(floor(avg_surprisal * 1000) AS BIGINT) AS sbits
+        FROM s JOIN documents d USING (doc_id)
+    """
+    cuts = hdr_oracle_sql(
+        f"SELECT lang, sbits FROM ({sl})",
+        "sbits",
+        ["lang"],
+        quantiles=(("q33", 1, 3), ("q67", 2, 3)),
+    )
+    return f"""
+        WITH sl AS ({sl}),
+        cuts_raw AS ({cuts}),
+        cuts AS (SELECT lang,
+                        max(CASE WHEN qlabel = 'q33' THEN est_value END) AS cut_head,
+                        max(CASE WHEN qlabel = 'q67' THEN est_value END) AS cut_mid
+                 FROM cuts_raw GROUP BY lang)
+        SELECT sl.doc_id, sl.lang, sl.avg_surprisal, sl.sbits,
+               CASE WHEN sbits <= cut_head THEN 'head'
+                    WHEN sbits <= cut_mid THEN 'middle'
+                    ELSE 'tail' END AS bucket
+        FROM sl JOIN cuts USING (lang)
+    """
+
+
+ORACLES["q106_perplexity_buckets"] = _q106_oracle_sql()
+
+# q107: q86's discovery SQL extended by the strip itself — per-host
+# boilerplate LIST joined back, list_filter keeps original line order
+ORACLES["q107_strip_boilerplate"] = f"""
+    WITH injected AS (
+        SELECT doc_id, source AS host,
+               CASE WHEN doc_id % 2 = 0
+                    THEN source || '{_Q86_BANNER_TAIL} ' || text
+                    ELSE text END AS text
+        FROM documents),
+    dl AS (
+        SELECT doc_id, host, CASE WHEN len(toks) = 0 THEN [] ELSE
+               list_transform(range(0, cast(ceil(len(toks) / 10.0) AS INT)),
+                              i -> array_to_string(toks[i*10+1 : i*10+10], ' ')) END AS lines
+        FROM (SELECT doc_id, host,
+                     regexp_extract_all(lower(text), '{TOKEN_PATTERN}') AS toks
+              FROM injected)),
+    pl AS (SELECT DISTINCT host, doc_id, unnest(list_distinct(lines)) AS line FROM dl),
+    lc AS (SELECT host, line, count(*) AS n FROM pl GROUP BY host, line),
+    ht AS (SELECT host, count(DISTINCT doc_id) AS host_docs FROM injected GROUP BY host),
+    bp AS (SELECT lc.host, line FROM lc JOIN ht USING (host)
+           WHERE n >= 2 AND n >= host_docs * 0.3 AND host_docs >= 10
+             AND trim(line) <> ''),
+    bpl AS (SELECT host, list(line) AS bls FROM bp GROUP BY host),
+    flt AS (SELECT doc_id, dl.host, lines,
+                   list_filter(lines, l -> NOT list_contains(coalesce(bls, [])::VARCHAR[], l)) AS keptl
+            FROM dl LEFT JOIN bpl ON dl.host = bpl.host)
+    SELECT doc_id, host, array_to_string(keptl, chr(10)) AS clean_text,
+           len(keptl) AS n_lines_kept, len(lines) - len(keptl) AS n_lines_removed
+    FROM flt
 """
