@@ -744,3 +744,82 @@ def source_kl_drift(
         F.max("n_s").alias("n_tokens"),
         F.round(F.sum("kl_term"), 6).alias("kl"),
     )
+
+
+def bpe_train(
+    docs: DataFrame,
+    n_merges: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Full iterative BPE tokenizer TRAINING (Sennrich et al. 2016) — the
+    loop whose first iteration is ``bpe_pair_counts``: repeatedly find the
+    most frequent adjacent symbol pair across the corpus and merge it,
+    ``n_merges`` times.  Returns the learned merge table
+    (merge_rank, pair, merged, n) in merge order — the artifact a corpus-
+    specific tokenizer ships.
+
+    Determinism: pair counts are exact integer sums; ties break on the
+    lexicographically smaller pair; training stops early if the best pair
+    occurs fewer than 2 times (then emits fewer than ``n_merges`` rows).
+    Bit-identical at any parallelism.
+
+    Scale shape (the published word-level trick): the corpus collapses ONCE
+    to its vocabulary — (word, count) via token explode + groupBy (uniform
+    keys, partial agg) — and every merge iteration runs over DISTINCT words
+    (vocabulary-sized: millions), never corpus tokens (trillions).  Per
+    iteration: one pair explode + groupBy (keys bounded by running-vocab²,
+    partial agg), one 1-row TakeOrdered collect for the argmax, one pure-map
+    re-segmentation, and a localCheckpoint so the plan stays O(1) in
+    iteration count.  Driver state: the merge list — O(n_merges).
+
+    The left-to-right non-overlapping merge uses Java regex replaceAll on
+    the space-joined symbol string: pattern ``' \\Qa\\E \\Qb\\E(?= )'``
+    against ``' ' || seg || ' '`` — the lookahead leaves the trailing space
+    to serve as the next match's leading space, which reproduces exactly
+    the greedy scan reference BPE implementations use ("a a a a" with merge
+    (a,a) -> "aa aa", not "aa a a").
+    """
+    spark = docs.sparkSession
+    words = (
+        docs.select(F.explode(tokens_col(text_col)).alias("word"))
+        .groupBy("word")
+        .agg(F.count("*").alias("wc"))
+        .filter(F.length("word") >= 2)
+    )
+    vocab = words.select(
+        "wc",
+        F.expr("trim(regexp_replace(word, '(.)', '$1 '))").alias("seg"),
+    ).localCheckpoint(eager=True)
+
+    adj = (
+        "case when size(split(seg, ' ')) >= 2 then "
+        "transform(sequence(1, size(split(seg, ' ')) - 1), "
+        "i -> concat(element_at(split(seg, ' '), i), ' ', element_at(split(seg, ' '), i + 1))) "
+        "else array() end"
+    )
+    merges: list[tuple[int, str, str, int]] = []
+    for rank in range(1, n_merges + 1):
+        best = (
+            vocab.select(F.explode(F.expr(adj)).alias("pair"), "wc")
+            .groupBy("pair")
+            .agg(F.sum("wc").alias("n"))
+            .orderBy(F.desc("n"), F.asc("pair"))
+            .limit(1)
+            .collect()
+        )
+        if not best or int(best[0]["n"]) < 2:
+            break
+        pair, n = best[0]["pair"], int(best[0]["n"])
+        a, b = pair.split(" ")
+        merges.append((rank, pair, a + b, n))
+        vocab = vocab.select(
+            "wc",
+            F.expr(
+                "trim(regexp_replace(concat(' ', seg, ' '), "
+                f"' \\\\Q{a}\\\\E \\\\Q{b}\\\\E(?= )', ' {a}{b}'))"
+            ).alias("seg"),
+        ).localCheckpoint(eager=True)
+    return spark.createDataFrame(
+        merges, "merge_rank INT, pair STRING, merged STRING, n BIGINT"
+    ).orderBy("merge_rank")

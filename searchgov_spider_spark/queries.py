@@ -1915,6 +1915,52 @@ def q107_strip_boilerplate(spark, sf_dir):
     return curation.strip_host_boilerplate(with_lines, min_docs=10, min_share=0.3)
 
 
+Q108_LR, Q108_ITERS = 0.5, 5
+
+
+def q108_logreg_train(spark, sf_dir):
+    """Distributed logistic-regression TRAINING over the corpus
+    (operators/training.logistic_regression): full-batch gradient descent,
+    5 iterations, on three token-statistic features (bias, n_tokens/64,
+    type-token ratio, avg-token-length/8) against the separable label
+    ttr >= 0.45 — the self-trained half of the q52 quality-classifier
+    story.  Per-row gradients are IEEE doubles TRUNCATED to 2^20
+    fixed-point bigints and summed EXACTLY, so the learned weights are
+    bit-identical at any parallelism and the DuckDB oracle carries a
+    pure-Python re-derivation as literal rows.  Per iteration: one agg job
+    whose shuffle is d+1 bigint rows per partition (map-side partial agg);
+    the feature frame is persisted once so iterations never rescan the
+    raw text.  Output: (iter, name, value) — weights after every
+    iteration, then train_accuracy and n_docs."""
+    from .operators import training
+
+    feats = training.logreg_token_features(_t(spark, sf_dir, "documents"))
+    history, acc, n = training.logistic_regression(
+        feats, ["x0", "x1", "x2", "x3"], "y", lr=Q108_LR, n_iters=Q108_ITERS
+    )
+    rows = [
+        (it + 1, f"w{j}", w)
+        for it, ws in enumerate(history)
+        for j, w in enumerate(ws)
+    ]
+    rows.append((Q108_ITERS, "train_accuracy", acc))
+    rows.append((0, "n_docs", float(n)))
+    return spark.createDataFrame(rows, "iter INT, name STRING, value DOUBLE").orderBy(
+        "iter", "name"
+    )
+
+
+def q109_bpe_train(spark, sf_dir):
+    """Iterative BPE tokenizer training — the full Sennrich merge loop
+    whose first iteration is q77 (textstats.bpe_train, 8 merges): corpus
+    collapses once to its vocabulary, every merge runs vocabulary-sized
+    with exact integer pair counts and lexicographic tie-breaks, and the
+    learned merge table (merge_rank, pair, merged, n) comes back in merge
+    order.  The oracle is an independent pure-Python BPE trainer over the
+    same parquet emitting literal rows."""
+    return textstats.bpe_train(_t(spark, sf_dir, "documents"), n_merges=8)
+
+
 # ---------------------------------------------------------------------------
 # registry + oracle SQL
 # ---------------------------------------------------------------------------
@@ -2027,6 +2073,8 @@ QUERIES = {
     "q105_host_cap": q105_host_cap,
     "q106_perplexity_buckets": q106_perplexity_buckets,
     "q107_strip_boilerplate": q107_strip_boilerplate,
+    "q108_logreg_train": q108_logreg_train,
+    "q109_bpe_train": q109_bpe_train,
 }
 
 _DUP_DOCS_SQL = (
