@@ -89,6 +89,10 @@ BENCH_QUERIES = [
     # agg — what a production dedup actually emits (q104/q105 are pure maps /
     # window-over-slice and add no bench signal at sf scale)
     "q103_cluster_survivors",
+    # round-5 iterative-training family: the 8-merge Sennrich loop + corpus
+    # re-encode (vocabulary-sized iterations; q108's logreg is one narrow agg
+    # per iteration and adds no bench signal at sf scale)
+    "q110_bpe_encode",
 ]
 
 

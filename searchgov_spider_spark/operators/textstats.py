@@ -7,6 +7,7 @@ wrapping searchgov_spider_spark.kernels.textproc.
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -823,3 +824,96 @@ def bpe_train(
     return spark.createDataFrame(
         merges, "merge_rank INT, pair STRING, merged STRING, n BIGINT"
     ).orderBy("merge_rank")
+
+
+def bpe_encode(
+    docs: DataFrame,
+    merges: list[tuple[str, str]],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    impl: str = "sql",
+) -> DataFrame:
+    """Apply a learned BPE merge table (``bpe_train`` output order) to every
+    document — the ENCODE half of the tokenizer loop, producing the per-doc
+    subword counts a packing/budgeting stage (q82/q83) consumes.
+
+    Per doc: ``n_words`` (pre-tokenizer tokens), ``n_bpe_tokens`` (subword
+    symbols after applying every merge in rank order, greedy left-to-right
+    within each word — identical semantics to ``bpe_train``'s
+    re-segmentation), ``chars_per_token`` (token-chars / subwords; NULL on
+    empty docs).
+
+    Two engines, equal by construction (pinned by a unit test):
+
+    - ``impl='sql'`` — the merge table folds into the PLAN as literals: a
+      chain of ``n_merges`` nested regexp_replace calls inside a
+      ``transform`` lambda, 100% whole-stage codegen, zero shuffles, zero
+      Python.  The right engine for the small/medium merge tables these
+      queries learn (8-a few hundred merges).
+    - ``impl='pandas'`` — the same greedy loop over Arrow batches with the
+      merge list captured in the UDF closure (Spark broadcasts it with the
+      task binary).  The scale path for production vocabularies (30k+
+      merges), where a 30k-deep codegen expression is not viable; still a
+      pure map — zero shuffles at any corpus size.
+    """
+    if impl == "sql":
+        seg = f"trim(regexp_replace(w, '(.)', '$1 '))"
+        for a, b in merges:
+            seg = (
+                f"trim(regexp_replace(concat(' ', {seg}, ' '), "
+                f"' \\\\Q{a}\\\\E \\\\Q{b}\\\\E(?= )', ' {a}{b}'))"
+            )
+        toks = f"regexp_extract_all(lower({text_col}), '{TOKEN_PATTERN}', 0)"
+        per_word = f"transform({toks}, w -> size(split({seg}, ' ')))"
+        n_bpe = f"aggregate({per_word}, 0L, (acc, x) -> acc + cast(x as bigint))"
+        n_chars = f"aggregate(transform({toks}, w -> length(w)), 0L, (acc, x) -> acc + cast(x as bigint))"
+        return docs.select(
+            F.col(id_col),
+            F.expr(f"cast(size({toks}) as bigint)").alias("n_words"),
+            F.expr(n_bpe).alias("n_bpe_tokens"),
+            F.expr(
+                f"case when ({n_bpe}) > 0 then cast(({n_chars}) as double) / cast(({n_bpe}) as double) end"
+            ).alias("chars_per_token"),
+        )
+    if impl != "pandas":
+        raise ValueError(f"impl must be 'sql' or 'pandas', got {impl!r}")
+
+    import re as _re
+
+    from pyspark.sql.functions import pandas_udf
+
+    merge_list = list(merges)
+    token_re = TOKEN_PATTERN
+
+    @pandas_udf("struct<n_words: bigint, n_bpe_tokens: bigint, chars_per_token: double>")
+    def _encode(texts: pd.Series) -> pd.DataFrame:
+        pat = _re.compile(token_re)
+        out = {"n_words": [], "n_bpe_tokens": [], "chars_per_token": []}
+        for text in texts:
+            words = pat.findall((text or "").lower())
+            n_bpe = 0
+            n_chars = 0
+            for w in words:
+                syms = list(w)
+                n_chars += len(w)
+                for a, b in merge_list:
+                    merged: list[str] = []
+                    i = 0
+                    while i < len(syms):
+                        if i < len(syms) - 1 and syms[i] == a and syms[i + 1] == b:
+                            merged.append(a + b)
+                            i += 2
+                        else:
+                            merged.append(syms[i])
+                            i += 1
+                    syms = merged
+                n_bpe += len(syms)
+            out["n_words"].append(len(words))
+            out["n_bpe_tokens"].append(n_bpe)
+            out["chars_per_token"].append(n_chars / n_bpe if n_bpe else None)
+        return pd.DataFrame(out)
+
+    enc = _encode(F.col(text_col)).alias("e")
+    return docs.select(F.col(id_col), enc).select(
+        id_col, "e.n_words", "e.n_bpe_tokens", "e.chars_per_token"
+    )

@@ -1961,6 +1961,45 @@ def q109_bpe_train(spark, sf_dir):
     return textstats.bpe_train(_t(spark, sf_dir, "documents"), n_merges=8)
 
 
+def q110_bpe_encode(spark, sf_dir):
+    """Apply the q109-learned merge table to every document
+    (operators/textstats.bpe_encode): train the 8-merge tokenizer on the
+    corpus vocabulary, then encode the corpus with the merge table FOLDED
+    INTO THE PLAN as literals — a zero-shuffle, zero-UDF, whole-stage-
+    codegen map producing the per-doc subword counts that packing/budgeting
+    stages consume.  (bpe_encode also ships an Arrow-batched pandas engine
+    for production 30k-merge vocabularies; a unit test pins both engines
+    equal.)  The oracle re-trains AND re-encodes in pure Python, emitting
+    one literal row per document."""
+    docs = _t(spark, sf_dir, "documents")
+    merge_df = textstats.bpe_train(docs, n_merges=8)
+    merges = [
+        tuple(r["pair"].split(" "))
+        for r in merge_df.orderBy("merge_rank").collect()
+    ]
+    return textstats.bpe_encode(docs, merges).orderBy("doc_id")
+
+
+def q111_pq_ann(spark, sf_dir):
+    """Product-quantization ANN with exact re-rank (operators/pq): train
+    m=4 x k=8 codebooks with EXACT fixed-point distributed Lloyd
+    (bit-identical at any parallelism — integer sums, like q108), encode
+    the corpus to 4 one-byte codes per vector (32x compression at d=64),
+    select vec_id=0's top-50 candidates by ADC lookup-table scoring (a
+    zero-join pure map over the compressed codes), then exact-re-rank ONLY
+    those 50 via a broadcast candidate join — the production two-stage PQ
+    shape where the 100-TB side never shuffles.  The oracle re-derives
+    codebooks, codes, ADC and exact distances in pure Python (identical
+    left-associated IEEE folds) and emits the top-10 as literal rows."""
+    from .operators import pq
+
+    emb = _t(spark, sf_dir, "embeddings")
+    qvec = [float(x) for x in emb.filter(F.col("vec_id") == 0).select("embedding").head()[0]]
+    books = pq.pq_train(emb, dim=64, m=4, k=8, n_iters=3)
+    top = pq.rerank_topk_pq(emb, books, qvec, k=10, r=50)
+    return top.select("vec_id", F.round("sq_dist", 6).alias("sq_dist"))
+
+
 # ---------------------------------------------------------------------------
 # registry + oracle SQL
 # ---------------------------------------------------------------------------
@@ -2075,6 +2114,8 @@ QUERIES = {
     "q107_strip_boilerplate": q107_strip_boilerplate,
     "q108_logreg_train": q108_logreg_train,
     "q109_bpe_train": q109_bpe_train,
+    "q110_bpe_encode": q110_bpe_encode,
+    "q111_pq_ann": q111_pq_ann,
 }
 
 _DUP_DOCS_SQL = (

@@ -97,3 +97,59 @@ def test_bpe_train_partition_invariant(spark):
     b = textstats.bpe_train(_docs_df(spark, texts).repartition(11), n_merges=6).collect()
     assert [tuple(r) for r in a] == [tuple(r) for r in b]
     assert len(a) == 6
+
+
+# --- BPE encoding ----------------------------------------------------------
+
+
+def test_bpe_encode_hand_computed(spark):
+    # merges (e,s)->(es,t): "newest" -> n e w est (4), "widest" -> w i d est (4)
+    d = _docs_df(spark, ["newest widest", "es es", ""])
+    merges = [("e", "s"), ("es", "t")]
+    rows = {r["doc_id"]: r for r in textstats.bpe_encode(d, merges).collect()}
+    assert (rows[0]["n_words"], rows[0]["n_bpe_tokens"]) == (2, 8)
+    assert rows[0]["chars_per_token"] == 12 / 8
+    assert (rows[1]["n_words"], rows[1]["n_bpe_tokens"]) == (2, 2)
+    assert (rows[2]["n_words"], rows[2]["n_bpe_tokens"]) == (0, 0)
+    assert rows[2]["chars_per_token"] is None
+
+
+def test_bpe_encode_greedy_overlap(spark):
+    # "aaaa" under (a,a) -> "aa aa" (2 symbols), then (aa,aa) -> "aaaa" (1);
+    # odd-length "aaaaa" -> "aa aa a" -> "aaaa a" (2).
+    d = _docs_df(spark, ["aaaa aaaaa"])
+    rows = textstats.bpe_encode(d, [("a", "a"), ("aa", "aa")]).collect()
+    assert rows[0]["n_bpe_tokens"] == 1 + 2
+
+
+def test_bpe_encode_engines_equal(spark):
+    texts = ["the quick brown fox 123", "thee theme anthem", "", "a b ab abab"]
+    d = _docs_df(spark, texts)
+    merges = [("t", "h"), ("th", "e"), ("a", "b")]
+    sql_rows = sorted(map(tuple, textstats.bpe_encode(d, merges, impl="sql").collect()))
+    pd_rows = sorted(map(tuple, textstats.bpe_encode(d, merges, impl="pandas").collect()))
+    assert sql_rows == pd_rows
+
+
+def test_bpe_encode_sql_plan_is_pure_jvm_map(spark):
+    """The SQL engine must be a zero-shuffle, zero-Python map: no Exchange,
+    no ArrowEvalPython/BatchEvalPython in the plan."""
+    d = _docs_df(spark, ["some text here"])
+    plan = textstats.bpe_encode(d, [("t", "e")])._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+    assert "EvalPython" not in plan
+
+
+def test_bpe_train_then_encode_roundtrip(spark):
+    """Encoding with the learned merges must shrink token counts vs raw
+    char counts and stay consistent between train's own re-segmentation
+    and encode (the 'low/lower/newest/widest' classic)."""
+    corpus = " ".join(["low"] * 5 + ["lower"] * 2 + ["newest"] * 6 + ["widest"] * 3)
+    d = _docs_df(spark, [corpus])
+    merge_df = textstats.bpe_train(d, n_merges=5)
+    merges = [tuple(r["pair"].split(" ")) for r in merge_df.orderBy("merge_rank").collect()]
+    row = textstats.bpe_encode(d, merges).collect()[0]
+    # 16 words; low->1 sym (5x), lower->3 (2x: low e r), newest->3 (6x: n ew est),
+    # widest->4 (3x: w i d est)
+    assert row["n_words"] == 16
+    assert row["n_bpe_tokens"] == 5 * 1 + 2 * 3 + 6 * 3 + 3 * 4
