@@ -513,3 +513,225 @@ def hdr_oracle_sql(
         SELECT {g}, qlabel, CAST(n AS BIGINT) AS n, est_value{exact_cols}
         FROM est {exact_join}
     """
+
+
+# ---------------------------------------------------------------------------
+# KMV (k-minimum-values) distinct sketch with set operations
+# ---------------------------------------------------------------------------
+# Bar-Yossef et al. 2002 / Beyer et al. 2007: keep the k smallest hash
+# values of a key stream; the k-th smallest, as a fraction v_k of the hash
+# space, estimates distinct count as (k-1)/v_k.  Unlike HLL (union-only),
+# KMV sketches support INTERSECTION: the k smallest of KMV(A) u KMV(B) is
+# exactly KMV_k(A u B), and the fraction of those union-sketch hashes
+# present in BOTH input sketches estimates Jaccard(A, B), hence
+# |A n B| ~= J * |A u B| — the estimator a corpus-overlap / decontamination
+# triage runs when both sides are too large for the exact q84 join.
+#
+# Determinism: hashes are md5 hex strings; the k-th value converts to a
+# 48-bit integer positionally (exact in double), and the only floats are
+# one division, one multiply, and the final rounds — Spark and DuckDB land
+# on identical bits.
+
+KMV_K = 256
+_KMV_SPACE = float(1 << 48)  # 12 hex chars
+
+
+def kmv_min_hashes(
+    df: DataFrame,
+    key_col: str,
+    group_cols: list[str],
+    k: int = KMV_K,
+    safety: float = 8.0,
+) -> DataFrame:
+    """Per-group k smallest md5 hashes of ``key_col`` (the KMV sketch),
+    exact at any scale.
+
+    Scale shape (the naive form is one window over every distinct hash,
+    serializing each group through a single sort):
+
+      1. distinct (group, hash) — one uniform-key shuffle;
+      2. approx_count_distinct per group (JVM HLL++, partial-agg'd,
+         deterministic) broadcast back as a prefilter threshold
+         ``safety * k / n_est`` on the 32-bit hash prefix — ~``safety*k``
+         survivors per group regardless of group size;
+      3. exact rank window over the survivors only;
+      4. GUARD: any group whose prefilter kept < k rows while its cutoff
+         was < 1 (i.e. the prefilter actually dropped hashes) is re-ranked
+         exactly over its full distinct hashes.  The threshold estimate
+         therefore affects PERFORMANCE only, never the result.
+
+    Hash-prefix order equals full-hash order (fixed-width lowercase hex),
+    so a prefilter that keeps >= k rows keeps the true top-k.
+    """
+    from pyspark.sql import Window
+
+    hashed = df.select(
+        *group_cols, F.md5(F.col(key_col).cast("string")).alias("kmv_hash")
+    ).distinct()
+    est = hashed.groupBy(*group_cols).agg(
+        F.approx_count_distinct("kmv_hash").alias("_n_est")
+    )
+    frac = F.conv(F.substring("kmv_hash", 1, 8), 16, 10).cast("double") / float(1 << 32)
+    cutoff = F.least(F.lit(1.0), F.lit(float(k) * safety) / F.col("_n_est"))
+    pre = (
+        hashed.join(F.broadcast(est), group_cols)
+        .withColumn("_cut", cutoff)
+        .filter(frac <= F.col("_cut"))
+    )
+    w = Window.partitionBy(*group_cols).orderBy(F.col("kmv_hash").asc())
+    kept = pre.withColumn("_rk", F.row_number().over(w)).filter(F.col("_rk") <= k)
+
+    short = (
+        kept.groupBy(*group_cols)
+        .agg(F.count(F.lit(1)).alias("_kept"), F.max("_cut").alias("_cut"))
+        .filter((F.col("_kept") < k) & (F.col("_cut") < 1.0))
+        .select(*group_cols)
+    )
+    exact = (
+        hashed.join(F.broadcast(short), group_cols)
+        .withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") <= k)
+    )
+    out = [*group_cols, "kmv_hash", "_rk"]
+    return (
+        kept.join(F.broadcast(short), group_cols, "left_anti")
+        .select(*out)
+        .unionByName(exact.select(*out))
+        .withColumnRenamed("_rk", "kmv_rank")
+    )
+
+
+def _kmv_estimate(sketch: DataFrame, group_cols: list[str], k: int) -> DataFrame:
+    """distinct-count estimate from a KMV sketch: exact row count when the
+    sketch holds < k hashes (the stream had fewer distinct keys than k),
+    else (k-1) / v_k with v_k = k-th hash as a 48-bit fraction."""
+    vk = F.conv(F.substring(F.max("kmv_hash"), 1, 12), 16, 10).cast("double")
+    n = F.count(F.lit(1))
+    return sketch.groupBy(*group_cols).agg(
+        n.alias("sketch_size"),
+        F.round(
+            F.when(n < k, n.cast("double")).otherwise(
+                F.lit(float((k - 1)) * _KMV_SPACE) / vk
+            ),
+            4,
+        ).alias("distinct_est"),
+    )
+
+
+def kmv_set_ops(
+    df: DataFrame,
+    corpus_col: str,
+    key_col: str,
+    corpus_a: str,
+    corpus_b: str,
+    k: int = KMV_K,
+) -> DataFrame:
+    """Distinct / union / intersection / Jaccard estimates between two key
+    streams from their KMV sketches — ONE row out.
+
+    The corpora are scanned exactly once (the sketch build); every set
+    operation below runs on the <= 2k sketch rows: the k smallest of
+    KMV(A) u KMV(B) is exactly KMV_k(A u B); Jaccard is the fraction of
+    those union hashes present in both input sketches; the intersection
+    estimate is J * |A u B|-est.
+    """
+    from pyspark.sql import Window
+
+    two = df.filter(F.col(corpus_col).isin([corpus_a, corpus_b]))
+    sk = kmv_min_hashes(two, key_col, [corpus_col], k=k).persist()
+
+    per = _kmv_estimate(sk, [corpus_col], k)
+    a_est = per.filter(F.col(corpus_col) == corpus_a).select(
+        F.col("sketch_size").alias("_na"), F.col("distinct_est").alias("distinct_a_est")
+    )
+    b_est = per.filter(F.col(corpus_col) == corpus_b).select(
+        F.col("sketch_size").alias("_nb"), F.col("distinct_est").alias("distinct_b_est")
+    )
+
+    union_sk = (
+        sk.select("kmv_hash")
+        .distinct()
+        .withColumn("_rk", F.row_number().over(Window.orderBy(F.col("kmv_hash").asc())))
+        .filter(F.col("_rk") <= k)
+    )
+    a_hashes = sk.filter(F.col(corpus_col) == corpus_a).select("kmv_hash")
+    b_hashes = sk.filter(F.col(corpus_col) == corpus_b).select("kmv_hash")
+    in_both = (
+        union_sk.join(a_hashes, "kmv_hash", "left_semi")
+        .join(b_hashes, "kmv_hash", "left_semi")
+    )
+    vk = F.conv(F.substring(F.max("kmv_hash"), 1, 12), 16, 10).cast("double")
+    un = union_sk.agg(
+        F.count(F.lit(1)).alias("_nu"),
+        F.round(
+            F.when(F.count(F.lit(1)) < k, F.count(F.lit(1)).cast("double")).otherwise(
+                F.lit(float((k - 1)) * _KMV_SPACE) / vk
+            ),
+            4,
+        ).alias("union_est"),
+    )
+    both = in_both.agg(F.count(F.lit(1)).alias("_nboth"))
+
+    row = a_est.crossJoin(b_est).crossJoin(un).crossJoin(both)
+    jacc = F.round(F.col("_nboth") / F.col("_nu"), 6)
+    return row.select(
+        F.lit(k).alias("k"),
+        "distinct_a_est",
+        "distinct_b_est",
+        "union_est",
+        jacc.alias("jaccard_est"),
+        F.round(jacc * F.col("union_est"), 4).alias("intersection_est"),
+    )
+
+
+def _hex12_sql(h: str) -> str:
+    """DuckDB: decode the first 12 hex chars of expression ``h``
+    positionally (16^11 < 2^63, exact BIGINT)."""
+    return " + ".join(
+        f"(strpos('{_HEX}', substring({h}, {i + 1}, 1)) - 1) * {16 ** (11 - i)}"
+        for i in range(12)
+    )
+
+
+def kmv_oracle_sql(
+    source_sql: str,
+    corpus_expr: str,
+    key_expr: str,
+    corpus_a: str,
+    corpus_b: str,
+    k: int = KMV_K,
+) -> str:
+    """DuckDB SQL re-deriving the full KMV pipeline independently (exact
+    per-corpus k smallest via QUALIFY — no prefilter needed single-node;
+    the guard makes the distributed side exactly equal)."""
+    est = (
+        f"CASE WHEN count(*) < {k} THEN CAST(count(*) AS DOUBLE) "
+        f"ELSE {float(k - 1) * _KMV_SPACE!r} / ({_hex12_sql('max(kmv_hash)')}) END"
+    )
+    return f"""
+        WITH src AS ({source_sql}),
+        hashed AS (
+            SELECT DISTINCT {corpus_expr} AS corpus,
+                   md5(CAST({key_expr} AS VARCHAR)) AS kmv_hash
+            FROM src WHERE {corpus_expr} IN ('{corpus_a}', '{corpus_b}')),
+        sk AS (
+            SELECT corpus, kmv_hash FROM hashed
+            QUALIFY row_number() OVER (PARTITION BY corpus ORDER BY kmv_hash) <= {k}),
+        per AS (SELECT corpus, round({est}, 4) AS distinct_est FROM sk GROUP BY corpus),
+        usk AS (
+            SELECT kmv_hash FROM (SELECT DISTINCT kmv_hash FROM sk)
+            QUALIFY row_number() OVER (ORDER BY kmv_hash) <= {k}),
+        un AS (SELECT count(*) AS nu, round({est}, 4) AS union_est
+               FROM (SELECT kmv_hash FROM usk) sk),
+        both AS (
+            SELECT count(*) AS nboth FROM usk
+            WHERE kmv_hash IN (SELECT kmv_hash FROM sk WHERE corpus = '{corpus_a}')
+              AND kmv_hash IN (SELECT kmv_hash FROM sk WHERE corpus = '{corpus_b}'))
+        SELECT {k} AS k,
+               (SELECT distinct_est FROM per WHERE corpus = '{corpus_a}') AS distinct_a_est,
+               (SELECT distinct_est FROM per WHERE corpus = '{corpus_b}') AS distinct_b_est,
+               un.union_est,
+               round(both.nboth / un.nu, 6) AS jaccard_est,
+               round(round(both.nboth / un.nu, 6) * un.union_est, 4) AS intersection_est
+        FROM un, both
+    """

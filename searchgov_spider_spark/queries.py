@@ -2000,6 +2000,112 @@ def q111_pq_ann(spark, sf_dir):
     return top.select("vec_id", F.round("sq_dist", 6).alias("sq_dist"))
 
 
+_SOFT404_BODY = "404 - page not found. The requested URL does not exist on this server."
+
+
+def q112_soft404(spark, sf_dir):
+    """Soft-404 detection (crawlqc.soft404_flags): pages whose SERVER said
+    200 but whose BODY is an error page — error-phrase regex hits AND a
+    short body.  Fixture injects a true soft-404 (doc_id%23==0, body
+    replaced) and a long article that merely MENTIONS 404 (doc_id%23==1,
+    phrase appended) — the second must NOT flag.  Pure codegen scan, zero
+    shuffles."""
+    from .operators import crawlqc
+
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.when(F.col("doc_id") % 23 == 0, F.lit(_SOFT404_BODY))
+        .when(F.col("doc_id") % 23 == 1, F.concat(F.col("text"), F.lit(" ... error 404: page not found")))
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    return crawlqc.soft404_flags(d)
+
+
+def q113_mirror_hosts(spark, sf_dir):
+    """Mirror-host detection (crawlqc.mirror_host_pairs): host pairs serving
+    byte-identical content, via distinct (content-hash, host) self-join on
+    the hash — group size = duplication factor, never all-pairs-of-hosts —
+    plus a broadcast per-host-totals join for containment.  Fixture mirrors
+    every third document of each source onto a '<source>-m' host."""
+    from .operators import crawlqc
+
+    base = _t(spark, sf_dir, "documents").select(F.col("source").alias("host"), "text", "doc_id")
+    mirrored = base.filter(F.col("doc_id") % 3 == 0).withColumn(
+        "host", F.concat(F.col("host"), F.lit("-m"))
+    )
+    return crawlqc.mirror_host_pairs(base.unionByName(mirrored).drop("doc_id"))
+
+
+def q114_crawl_traps(spark, sf_dir):
+    """Crawl-trap scoring (crawlqc.crawl_trap_scores): hosts whose URL count
+    explodes while serving duplicate content (calendar/session-id traps) —
+    1 - distinct_content/pages per host, one partial-agg'd groupBy.
+    Fixture triples the page count of every 4th source with byte-identical
+    copies (URL variants of the same page); those score 0.75 and flag,
+    clean hosts score 0.0."""
+    from .operators import crawlqc
+
+    base = _t(spark, sf_dir, "documents").select(F.col("source").alias("host"), "text")
+    trap = base.filter(F.substring(F.col("host"), 4, 10).cast("int") % 4 == 0)
+    corpus = base.unionByName(trap).unionByName(trap).unionByName(trap)
+    return crawlqc.crawl_trap_scores(corpus)
+
+
+def q115_adaptive_politeness(spark, sf_dir):
+    """AIMD per-host politeness retuning (crawlqc.adaptive_politeness):
+    multiplicative backoff on errors, additive recovery on success, as a
+    CLOSED FORM over two plain windows (trailing error count drives the
+    doubling, success run since last error the decrease) — the sequential
+    control law made declarative, one shuffle on host, integer arithmetic
+    (shiftleft) so the evolution is exactly reproducible.  The events log
+    stands in for the fetch log (user_id%20 -> host, event_type='error' ->
+    failed fetch)."""
+    from .operators import crawlqc
+
+    ev = _t(spark, sf_dir, "events").select(
+        F.concat(F.lit("h"), (F.col("user_id") % 20).cast("string")).alias("host"),
+        "ts",
+        "event_id",
+        (F.col("event_type") == "error").alias("is_error"),
+    )
+    return crawlqc.adaptive_politeness(ev)
+
+
+def q116_script_profile(spark, sf_dir):
+    """Per-language character-script profile (crawlqc.script_profile):
+    Latin/Cyrillic/digit fractions via length-difference after
+    regexp_replace (pure JVM regex, no tokenization) and a
+    Cyrillic-dominant document count — the lang-tag-vs-script mislabel
+    signal.  Fixture prepends a Cyrillic phrase to every 7th document so
+    the non-Latin path is exercised on the ASCII test corpus."""
+    from .operators import crawlqc
+
+    d = _t(spark, sf_dir, "documents").select(
+        "lang",
+        F.when(
+            F.col("doc_id") % 7 == 0,
+            F.concat(F.lit("привет мир как дела "), F.col("text")),
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    return crawlqc.script_profile(d)
+
+
+def q117_quality_ensemble(spark, sf_dir):
+    """Composite quality ranking (crawlqc.quality_ensemble): z-score three
+    independent per-doc signals (log token count, type-token ratio,
+    stopword fraction), average, and decile-bucket the corpus.  Corpus
+    mean/std is ONE tiny aggregate broadcast back over the scored docs (the
+    100-TB side is scanned once, never re-shuffled for the stats); the
+    global ntile sorts on the ROUNDED composite + id so both engines order
+    identically."""
+    from .operators import crawlqc
+
+    return crawlqc.quality_ensemble(_t(spark, sf_dir, "documents"))
+
+
 # ---------------------------------------------------------------------------
 # registry + oracle SQL
 # ---------------------------------------------------------------------------
@@ -2116,6 +2222,12 @@ QUERIES = {
     "q109_bpe_train": q109_bpe_train,
     "q110_bpe_encode": q110_bpe_encode,
     "q111_pq_ann": q111_pq_ann,
+    "q112_soft404": q112_soft404,
+    "q113_mirror_hosts": q113_mirror_hosts,
+    "q114_crawl_traps": q114_crawl_traps,
+    "q115_adaptive_politeness": q115_adaptive_politeness,
+    "q116_script_profile": q116_script_profile,
+    "q117_quality_ensemble": q117_quality_ensemble,
 }
 
 _DUP_DOCS_SQL = (
@@ -3833,3 +3945,188 @@ ORACLES["q107_strip_boilerplate"] = f"""
            len(keptl) AS n_lines_kept, len(lines) - len(keptl) AS n_lines_removed
     FROM flt
 """
+
+
+# q112: soft-404 = error-phrase hit AND short body; the long doc that merely
+# mentions 404 (doc_id%23==1) gets hits but fails the length gate
+_SOFT404_RE = (
+    "(page not found|not found on this server|404|does not exist|"
+    "no longer available|an error occurred)"
+)
+ORACLES["q112_soft404"] = f"""
+    WITH injected AS (
+        SELECT doc_id,
+               CASE WHEN doc_id % 23 = 0 THEN '{_SOFT404_BODY}'
+                    WHEN doc_id % 23 = 1 THEN text || ' ... error 404: page not found'
+                    ELSE text END AS text
+        FROM documents),
+    sig AS (
+        SELECT doc_id,
+               len(regexp_split_to_array(trim(lower(text)), '\\s+')) AS n_tokens,
+               len(regexp_extract_all(lower(text), '{_SOFT404_RE}')) AS n_hits
+        FROM injected)
+    SELECT doc_id, n_tokens, n_hits,
+           (n_hits > 0 AND n_tokens <= 40) AS is_soft404
+    FROM sig
+"""
+
+# q113: distinct (content-hash, host) self-join on the hash; containment
+# against the smaller host
+ORACLES["q113_mirror_hosts"] = """
+    WITH corpus AS (
+        SELECT source AS host, text FROM documents
+        UNION ALL
+        SELECT source || '-m' AS host, text FROM documents WHERE doc_id % 3 = 0),
+    hashed AS (SELECT DISTINCT md5(text) AS chash, host FROM corpus),
+    totals AS (SELECT host, count(*) AS n FROM hashed GROUP BY host),
+    pairs AS (
+        SELECT a.host AS host_a, b.host AS host_b, count(*) AS shared_docs
+        FROM hashed a JOIN hashed b USING (chash)
+        WHERE a.host < b.host GROUP BY 1, 2)
+    SELECT host_a, host_b, shared_docs,
+           round(shared_docs / least(ta.n, tb.n), 6) AS containment
+    FROM pairs
+    JOIN totals ta ON ta.host = host_a
+    JOIN totals tb ON tb.host = host_b
+    WHERE shared_docs >= 3 AND shared_docs / least(ta.n, tb.n) >= 0.5
+"""
+
+# q114: every 4th source tripled with identical copies -> 100 pages / 25
+# distinct -> 0.75; clean hosts 0.0
+ORACLES["q114_crawl_traps"] = """
+    WITH base AS (SELECT source AS host, text FROM documents),
+    trap AS (SELECT * FROM base WHERE cast(substr(host, 4) AS INT) % 4 = 0),
+    corpus AS (SELECT * FROM base UNION ALL SELECT * FROM trap
+               UNION ALL SELECT * FROM trap UNION ALL SELECT * FROM trap)
+    SELECT host, count(*) AS n_pages,
+           count(DISTINCT md5(text)) AS n_distinct,
+           round(1.0 - count(DISTINCT md5(text)) / count(*), 6) AS trap_score,
+           (count(*) >= 20
+            AND 1.0 - count(DISTINCT md5(text)) / count(*) >= 0.5) AS is_trap
+    FROM corpus GROUP BY host
+"""
+
+# q115: the AIMD closed form — trailing-20 error count drives the doubling
+# (capped at 3), success run since the last error the additive decrease
+ORACLES["q115_adaptive_politeness"] = """
+    WITH ev AS (
+        SELECT 'h' || cast(user_id % 20 AS VARCHAR) AS host, ts, event_id,
+               event_type = 'error' AS is_error
+        FROM events),
+    st1 AS (
+        SELECT host, is_error,
+               row_number() OVER (PARTITION BY host ORDER BY ts, event_id) AS rn
+        FROM ev),
+    st2 AS (
+        SELECT host, is_error, rn,
+               count(CASE WHEN is_error THEN 1 END) OVER w20 AS err_w,
+               max(CASE WHEN is_error THEN rn END) OVER wall AS last_err
+        FROM st1
+        WINDOW w20 AS (PARTITION BY host ORDER BY rn
+                       ROWS BETWEEN 19 PRECEDING AND CURRENT ROW),
+               wall AS (PARTITION BY host ORDER BY rn
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+    st3 AS (
+        SELECT host, is_error, rn,
+               greatest(100, least(8000,
+                   (1000 << cast(least(err_w, 3) AS INT))
+                   - 100 * (rn - coalesce(last_err, 0)))) AS delay
+        FROM st2)
+    SELECT host, count(*) AS n_events,
+           count(CASE WHEN is_error THEN 1 END) AS n_errors,
+           max_by(delay, rn) AS recommended_delay_ms
+    FROM st3 GROUP BY host
+"""
+
+# q116: character-class counting via length-difference (global regexp_replace)
+ORACLES["q116_script_profile"] = """
+    WITH injected AS (
+        SELECT lang,
+               CASE WHEN doc_id % 7 = 0
+                    THEN 'привет мир как дела ' || text ELSE text END AS text
+        FROM documents),
+    per_doc AS (
+        SELECT lang,
+               cast(length(text) AS DOUBLE) AS n,
+               length(text) - length(regexp_replace(text, '[A-Za-z]', '', 'g')) AS latin,
+               length(text) - length(regexp_replace(text, '[а-яёА-ЯЁ]', '', 'g')) AS cyr,
+               length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS digit
+        FROM injected)
+    SELECT lang, count(*) AS n_docs,
+           round(avg(latin / nullif(n, 0)), 6) AS latin_frac,
+           round(avg(cyr / nullif(n, 0)), 6) AS cyrillic_frac,
+           round(avg(digit / nullif(n, 0)), 6) AS digit_frac,
+           count(CASE WHEN cyr > latin THEN 1 END) AS cyrillic_dominant_docs
+    FROM per_doc GROUP BY lang
+"""
+
+# q117: z-average of (log tokens, type-token ratio, stopword fraction);
+# ntile on the ROUNDED composite so both engines order identically
+ORACLES["q117_quality_ensemble"] = f"""
+    WITH toks AS (
+        SELECT doc_id, regexp_extract_all(lower(text), '{TOKEN_PATTERN}') AS t
+        FROM documents),
+    sig AS (
+        SELECT doc_id,
+               ln(1 + len(t)) AS s_len,
+               len(list_distinct(t)) * 1.0 / nullif(len(t), 0) AS s_ttr,
+               len(list_filter(t, x -> list_contains(
+                   ['the','of','and','to','in','a','is','that','for','it'], x)))
+                   * 1.0 / nullif(len(t), 0) AS s_stop
+        FROM toks),
+    st AS (
+        SELECT avg(s_len) AS mu1, stddev_samp(s_len) AS sd1,
+               avg(s_ttr) AS mu2, stddev_samp(s_ttr) AS sd2,
+               avg(s_stop) AS mu3, stddev_samp(s_stop) AS sd3
+        FROM sig),
+    z AS (
+        SELECT doc_id,
+               round(((s_len - mu1) / nullif(sd1, 0)
+                      + (s_ttr - mu2) / nullif(sd2, 0)
+                      + (s_stop - mu3) / nullif(sd3, 0)) / 3.0, 6) AS quality_z
+        FROM sig, st)
+    SELECT doc_id, quality_z,
+           ntile(10) OVER (ORDER BY quality_z DESC, doc_id ASC) AS decile
+    FROM z
+"""
+
+
+def q118_kmv_overlap(spark, sf_dir):
+    """KMV distinct sketch with SET OPERATIONS (sketches.kmv_set_ops):
+    distinct / union / intersection / Jaccard estimates between the
+    even-source and odd-source corpora from k=256 minimum md5 values of
+    their token 3-grams.  The HLL complement: KMV supports intersection.
+    One scan builds both sketches (distinct + approx-count prefilter +
+    exact window over ~8k survivors per corpus with an exactness guard);
+    every set operation runs on the <= 2k sketch rows."""
+    from .operators import sketches
+    from .operators.dedup import shingles_col
+
+    d = (
+        _t(spark, sf_dir, "documents")
+        .withColumn(
+            "corpus",
+            F.when(F.substring("source", 4, 10).cast("int") % 2 == 0, F.lit("even"))
+            .otherwise(F.lit("odd")),
+        )
+        .select("corpus", F.explode(shingles_col("text", 3)).alias("gram"))
+    )
+    return sketches.kmv_set_ops(d, "corpus", "gram", "even", "odd")
+
+
+QUERIES["q118_kmv_overlap"] = q118_kmv_overlap
+
+from .operators.sketches import kmv_oracle_sql as _kmv_oracle_sql  # noqa: E402
+
+ORACLES["q118_kmv_overlap"] = _kmv_oracle_sql(
+    source_sql=f"""
+        SELECT CASE WHEN cast(substr(source, 4) AS INT) % 2 = 0
+                    THEN 'even' ELSE 'odd' END AS corpus,
+               unnest({_SHINGLES}) AS gram
+        FROM documents
+    """,
+    corpus_expr="corpus",
+    key_expr="gram",
+    corpus_a="even",
+    corpus_b="odd",
+)

@@ -189,3 +189,81 @@ class TestHdrQuantiles:
         d = spark.range(10).select(F.lit("g").alias("grp"), F.lit(0).alias("v"))
         rows = hdr_quantiles(d, "v", ["grp"], include_exact=True).collect()
         assert all(r.exact_value == 1 for r in rows)
+
+
+class TestKmv:
+    def _pure_kmv(self, keys, k=256):
+        import hashlib
+
+        hs = sorted({hashlib.md5(str(x).encode()).hexdigest() for x in keys})
+        return hs[:k]
+
+    def test_sketch_matches_pure_python(self, spark):
+        keys = [f"k{i}" for i in range(3000)]
+        df = spark.createDataFrame([(x,) for x in keys], ["k"]).withColumn(
+            "grp", F.lit("g")
+        )
+        got = [
+            r["kmv_hash"]
+            for r in sketches.kmv_min_hashes(df, "k", ["grp"], k=256)
+            .orderBy("kmv_rank")
+            .collect()
+        ]
+        assert got == self._pure_kmv(keys)
+
+    def test_guard_makes_result_exact_under_bad_prefilter(self, spark):
+        # safety so small the prefilter keeps ~0 rows -> every group must
+        # take the guard path and the result still be the true top-k
+        keys = [f"k{i}" for i in range(2000)]
+        df = spark.createDataFrame([(x,) for x in keys], ["k"]).withColumn(
+            "grp", F.lit("g")
+        )
+        got = [
+            r["kmv_hash"]
+            for r in sketches.kmv_min_hashes(df, "k", ["grp"], k=64, safety=0.001)
+            .orderBy("kmv_rank")
+            .collect()
+        ]
+        assert got == self._pure_kmv(keys, k=64)
+
+    def test_estimate_accuracy(self, spark):
+        # KMV standard error ~ 1/sqrt(k-2) = 6.3% at k=256; 20% is a safe
+        # deterministic bound for one fixed hash draw
+        df = spark.createDataFrame(
+            [(f"k{i}",) for i in range(10000)], ["k"]
+        ).withColumn("grp", F.lit("g"))
+        sk = sketches.kmv_min_hashes(df, "k", ["grp"], k=256)
+        est = sketches._kmv_estimate(sk, ["grp"], 256).collect()[0]
+        assert est["sketch_size"] == 256
+        assert abs(est["distinct_est"] - 10000) / 10000 < 0.20
+
+    def test_small_stream_exact(self, spark):
+        df = spark.createDataFrame([(f"k{i}",) for i in range(50)], ["k"]).withColumn(
+            "grp", F.lit("g")
+        )
+        est = sketches._kmv_estimate(
+            sketches.kmv_min_hashes(df, "k", ["grp"], k=256), ["grp"], 256
+        ).collect()[0]
+        assert est["sketch_size"] == 50
+        assert est["distinct_est"] == 50.0
+
+    def test_set_ops_against_truth(self, spark):
+        # A = 0..5999, B = 4000..9999 -> |A|=6000 |B|=6000 |AuB|=10000
+        # J = 2000/10000 = 0.2
+        rows = [("a", f"k{i}") for i in range(6000)]
+        rows += [("b", f"k{i}") for i in range(4000, 10000)]
+        df = spark.createDataFrame(rows, ["corpus", "k"])
+        r = sketches.kmv_set_ops(df, "corpus", "k", "a", "b", k=256).collect()[0]
+        assert abs(r["distinct_a_est"] - 6000) / 6000 < 0.20
+        assert abs(r["union_est"] - 10000) / 10000 < 0.20
+        assert abs(r["jaccard_est"] - 0.2) < 0.1
+        assert abs(r["intersection_est"] - 2000) / 2000 < 0.5
+
+    def test_partition_invariance(self, spark):
+        rows = [("a", f"k{i}") for i in range(3000)]
+        rows += [("b", f"k{i}") for i in range(1000, 4000)]
+        a = spark.createDataFrame(rows, ["corpus", "k"]).repartition(1)
+        b = spark.createDataFrame(rows, ["corpus", "k"]).repartition(32)
+        ra = sketches.kmv_set_ops(a, "corpus", "k", "a", "b", k=128).collect()[0]
+        rb = sketches.kmv_set_ops(b, "corpus", "k", "a", "b", k=128).collect()[0]
+        assert ra == rb
