@@ -581,10 +581,16 @@ def kmv_min_hashes(
     w = Window.partitionBy(*group_cols).orderBy(F.col("kmv_hash").asc())
     kept = pre.withColumn("_rk", F.row_number().over(w)).filter(F.col("_rk") <= k)
 
+    # guard anchored on the estimate side (like curation.host_cap): a group
+    # whose prefilter kept ZERO rows is absent from `kept` entirely and must
+    # still be caught; its cutoff is recomputed from the broadcast estimate.
+    kept_counts = kept.groupBy(*group_cols).agg(F.count(F.lit(1)).alias("_kept"))
     short = (
-        kept.groupBy(*group_cols)
-        .agg(F.count(F.lit(1)).alias("_kept"), F.max("_cut").alias("_cut"))
-        .filter((F.col("_kept") < k) & (F.col("_cut") < 1.0))
+        est.join(kept_counts, group_cols, "left")
+        .filter(
+            (F.coalesce(F.col("_kept"), F.lit(0)) < k)
+            & (F.lit(float(k) * safety) / F.col("_n_est") < 1.0)
+        )
         .select(*group_cols)
     )
     exact = (
@@ -723,7 +729,7 @@ def kmv_oracle_sql(
             QUALIFY row_number() OVER (ORDER BY kmv_hash) <= {k}),
         un AS (SELECT count(*) AS nu, round({est}, 4) AS union_est
                FROM (SELECT kmv_hash FROM usk) sk),
-        both AS (
+        ib AS (
             SELECT count(*) AS nboth FROM usk
             WHERE kmv_hash IN (SELECT kmv_hash FROM sk WHERE corpus = '{corpus_a}')
               AND kmv_hash IN (SELECT kmv_hash FROM sk WHERE corpus = '{corpus_b}'))
@@ -731,7 +737,7 @@ def kmv_oracle_sql(
                (SELECT distinct_est FROM per WHERE corpus = '{corpus_a}') AS distinct_a_est,
                (SELECT distinct_est FROM per WHERE corpus = '{corpus_b}') AS distinct_b_est,
                un.union_est,
-               round(both.nboth / un.nu, 6) AS jaccard_est,
-               round(round(both.nboth / un.nu, 6) * un.union_est, 4) AS intersection_est
-        FROM un, both
+               round(ib.nboth / un.nu, 6) AS jaccard_est,
+               round(round(ib.nboth / un.nu, 6) * un.union_est, 4) AS intersection_est
+        FROM un, ib
     """
