@@ -21,7 +21,10 @@ Env knobs:
   BENCH_SCALING_PAGES   override scaling web size (default 1,000,000)
   BENCH_LOAD_SLACK      external-load headroom for the gate (default 4.0)
   BENCH_LOAD_MAX_WAIT   max seconds to wait for a quiet window (default 150)
-  BENCH_LOAD_ATTEMPTS   max runs per gated phase incl. retries (default 2)
+  BENCH_LOAD_ATTEMPTS   max runs per gated phase incl. retries (default 3)
+  BENCH_EXT_CPU_LIMIT   max external busy cores (measured via /proc/stat
+                        minus our own children's CPU) to accept a phase
+                        (default 1.5)
   BENCH_LOAD_GATE       set to 0 to disable the load gate entirely
 """
 
@@ -56,8 +59,17 @@ CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 # attempt — accepted or not — is declared in the artifact.
 LOAD_SLACK = float(os.environ.get("BENCH_LOAD_SLACK", "4.0"))
 LOAD_MAX_WAIT = float(os.environ.get("BENCH_LOAD_MAX_WAIT", "150"))
-LOAD_ATTEMPTS = max(1, int(os.environ.get("BENCH_LOAD_ATTEMPTS", "2")))
+LOAD_ATTEMPTS = max(1, int(os.environ.get("BENCH_LOAD_ATTEMPTS", "3")))
 LOAD_GATE_ON = os.environ.get("BENCH_LOAD_GATE", "1") != "0"
+# Primary acceptance signal (round 5): EXTERNAL CPU measured exactly, not
+# inferred from loadavg.  /proc/stat gives the whole box's busy core-seconds
+# over the phase; getrusage(RUSAGE_CHILDREN) gives OUR phase subprocesses'
+# core-seconds; the difference is other tenants' CPU.  loadavg's 1-min EMA
+# smears 10-20 s bursts below any threshold (a gated round-4/5 run was
+# accepted at during-mean 5-6 while the high phase lost 40% throughput);
+# the busy-jiffy delta cannot miss them.  A phase is accepted when external
+# usage averaged below EXT_CPU_LIMIT cores for its whole window.
+EXT_CPU_LIMIT = float(os.environ.get("BENCH_EXT_CPU_LIMIT", "1.5"))
 
 BENCH_QUERIES = [
     "q01_pricing_summary",
@@ -504,6 +516,9 @@ def _run_phase(args: list[str], pin_cores: int | None = None) -> dict:
     if pin_cores and _shutil.which("taskset") and pin_cores < (os.cpu_count() or pin_cores):
         cmd = ["taskset", "-c", f"0-{pin_cores - 1}", *cmd]
     load_before = os.getloadavg()[0]
+    busy_before = _box_busy_cpu_s()
+    own_before = _children_cpu_s()
+    wall_t0 = time.monotonic()
     # sample the 1-min load every 2 s WHILE the phase runs: the during-run
     # profile (not just the before/after endpoints) is what distinguishes an
     # external burst from our own pinned work — a phase pinned to N cores
@@ -511,9 +526,11 @@ def _run_phase(args: list[str], pin_cores: int | None = None) -> dict:
     # the machine, and the gate below retries it.
     proc = subprocess.Popen(cmd, stdout=subprocess.PIPE, stderr=sys.stderr, text=True)
     samples: list[float] = []
+    tree_cpu: dict[int, float] = {}
     while proc.poll() is None:
         samples.append(os.getloadavg()[0])
-        time.sleep(2.0)
+        _sample_tree_cpu(proc.pid, tree_cpu)
+        time.sleep(1.0)
     out, _ = proc.communicate()
     if proc.returncode != 0:
         raise RuntimeError(f"bench phase {args} exited {proc.returncode}")
@@ -523,6 +540,22 @@ def _run_phase(args: list[str], pin_cores: int | None = None) -> dict:
     # recording the 1-min load around each phase makes any weak sample
     # self-evidencing (see BENCH.md variance notes)
     result["host_load_1m"] = {"before": round(load_before, 2), "after": round(os.getloadavg()[0], 2)}
+    phase_wall = max(time.monotonic() - wall_t0, 0.001)
+    # own CPU: two independent lower bounds — reaped-children rusage (exact
+    # for whatever the phase waited) and the sampled /proc tree (covers the
+    # JVM even when it is never reaped) — take the max
+    own_rusage = _children_cpu_s() - own_before
+    own_sampled = sum(tree_cpu.values())
+    own_core_s = max(own_rusage, own_sampled)
+    ext_core_s = max(0.0, (_box_busy_cpu_s() - busy_before) - own_core_s)
+    result["external_cpu"] = {
+        "external_core_s": round(ext_core_s, 1),
+        "external_cores_avg": round(ext_core_s / phase_wall, 3),
+        "own_core_s": round(own_core_s, 1),
+        "own_rusage_core_s": round(own_rusage, 1),
+        "own_sampled_core_s": round(own_sampled, 1),
+        "phase_wall_s": round(phase_wall, 1),
+    }
     if samples:
         result["host_load_during"] = {
             "mean": round(sum(samples) / len(samples), 2),
@@ -530,6 +563,63 @@ def _run_phase(args: list[str], pin_cores: int | None = None) -> dict:
             "n": len(samples),
         }
     return result
+
+
+def _box_busy_cpu_s() -> float:
+    """Whole-box busy core-seconds since boot (/proc/stat line 1: everything
+    except idle+iowait, so user/nice/system/irq/softirq/steal/guest)."""
+    parts = open("/proc/stat").readline().split()
+    v = list(map(int, parts[1:]))
+    idle = v[3] + (v[4] if len(v) > 4 else 0)
+    return (sum(v) - idle) / os.sysconf("SC_CLK_TCK")
+
+
+def _children_cpu_s() -> float:
+    """Cumulative CPU core-seconds of this process's reaped children.
+    LOWER BOUND on a phase's own CPU: the gateway JVM is not always waited
+    by the phase python, so its time can be missing here — the /proc tree
+    sampling below covers it (the gate takes the max of both)."""
+    import resource
+
+    r = resource.getrusage(resource.RUSAGE_CHILDREN)
+    return r.ru_utime + r.ru_stime
+
+
+def _sample_tree_cpu(root_pid: int, cache: dict[int, float]) -> None:
+    """Accumulate, per live descendant of ``root_pid`` (inclusive), the max
+    cumulative CPU seconds observed in /proc/<pid>/stat.  Summed at phase
+    end this is the phase's own CPU measured INDEPENDENTLY of wait()/reap
+    semantics; it misses at most one sampling interval per process (the
+    slice between the last sample and its exit)."""
+    tick = os.sysconf("SC_CLK_TCK")
+    info: dict[int, tuple[int, float]] = {}
+    for p in os.listdir("/proc"):
+        if not p.isdigit():
+            continue
+        try:
+            with open(f"/proc/{p}/stat", "rb") as f:
+                st = f.read().decode("ascii", "replace")
+        except OSError:
+            continue
+        try:
+            rp = st.rindex(")")
+            fields = st[rp + 2 :].split()
+            info[int(p)] = (int(fields[1]), (int(fields[11]) + int(fields[12])) / tick)
+        except (ValueError, IndexError):  # pragma: no cover - racing exit
+            continue
+    kids: dict[int, list[int]] = {}
+    for pid, (ppid, _) in info.items():
+        kids.setdefault(ppid, []).append(pid)
+    stack, seen = [root_pid], set()
+    while stack:
+        x = stack.pop()
+        if x in seen:
+            continue
+        seen.add(x)
+        stack.extend(kids.get(x, []))
+    for pid in seen:
+        if pid in info and info[pid][1] > cache.get(pid, 0.0):
+            cache[pid] = info[pid][1]
 
 
 def _wait_for_quiet(threshold: float, max_wait_s: float = LOAD_MAX_WAIT) -> dict:
@@ -575,26 +665,32 @@ def _run_phase_gated(args: list[str], pin_cores: int | None, own_cores: int | No
         wait = _wait_for_quiet(LOAD_SLACK)
         result = _run_phase(args, pin_cores=pin_cores)
         during = result.get("host_load_during", {})
+        ext = result.get("external_cpu", {})
+        ext_avg = ext.get("external_cores_avg", 0.0)
         mean = during.get("mean", 0.0)
-        accepted = mean <= accept_threshold
+        # primary acceptance: measured external CPU (exact, burst-proof);
+        # the loadavg ceiling stays as a sanity backstop
+        accepted = ext_avg <= EXT_CPU_LIMIT and mean <= accept_threshold
         attempts.append({
             "attempt": i + 1,
             "pre_wait": wait,
             "load_during": during,
+            "external_cpu": ext,
             "accepted": accepted,
             "wall_s": result.get("wall_s"),
         })
-        if mean < best_mean:
-            best, best_mean = result, mean
+        if ext_avg < best_mean:
+            best, best_mean = result, ext_avg
         if accepted:
             break
     assert best is not None
     best["load_gate"] = {
         "accept_threshold": round(accept_threshold, 2),
         "slack": LOAD_SLACK,
+        "ext_cpu_limit": EXT_CPU_LIMIT,
         "attempts": attempts,
         "accepted": attempts[-1]["accepted"],
-        "kept": "first accepted attempt" if attempts[-1]["accepted"] else "lowest-load attempt",
+        "kept": "first accepted attempt" if attempts[-1]["accepted"] else "lowest-external-cpu attempt",
     }
     return best
 
@@ -842,6 +938,7 @@ def main() -> None:
                 "accepted": res.get("load_gate", {}).get("accepted"),
                 "attempts": len(res.get("load_gate", {}).get("attempts", [])),
                 "load_during_mean": res.get("host_load_during", {}).get("mean"),
+                "external_cores_avg": res.get("external_cpu", {}).get("external_cores_avg"),
             }
 
         line["load_gate"] = {"crawl_headline": _gate_summary(high)}
