@@ -565,6 +565,36 @@ def _run_phase(args: list[str], pin_cores: int | None = None) -> dict:
     return result
 
 
+def _control_work(n: int) -> int:
+    import hashlib
+
+    h = b"x" * 64
+    for _ in range(n):
+        h = hashlib.md5(h).digest()
+    return h[0]
+
+
+def control_bench(cores: int, total_ops: int = 24_000_000) -> dict:
+    """Machine-ceiling control: the SAME fixed amount of pure-CPU work
+    (md5 chains, zero IPC after the fork) split across ``cores``
+    multiprocessing workers.  Run pinned at the scaling pair's core counts
+    in the same window, its 2->8 efficiency is the HOST's parallel ceiling
+    that day — engine efficiency cannot exceed it, and dividing by it
+    attributes any shared-host degradation (SMT siblings, hypervisor
+    frequency, memory bandwidth — none visible to loadavg or /proc steal)
+    to the machine rather than the engine.  Mid-round-5 measurement: the
+    same control that read 0.94 when the committed scaling run was recorded
+    read 0.858 hours later on an idle box while engine scaling read 0.708."""
+    import multiprocessing as mp
+
+    per = total_ops // cores
+    t0 = time.monotonic()
+    with mp.Pool(cores) as pool:
+        pool.map(_control_work, [per] * cores)
+    wall = time.monotonic() - t0
+    return {"wall_s": round(wall, 2), "ops_per_sec": round(total_ops / wall, 0), "cores": cores}
+
+
 def _box_busy_cpu_s() -> float:
     """Whole-box busy core-seconds since boot (/proc/stat line 1: everything
     except idle+iowait, so user/nice/system/irq/softirq/steal/guest)."""
@@ -884,6 +914,19 @@ def main() -> None:
             "deep_urls_per_sec_low": lo["deep_urls_per_sec"],
             "deep_urls_per_sec_high": hi["deep_urls_per_sec"],
         }
+        # same-window machine-ceiling control (pure-CPU multiprocessing at
+        # the same pinned core counts): the host's own 2->8 parallel
+        # efficiency bounds anything the engine can show that day, and the
+        # ceiling-normalized number attributes shared-host degradation
+        # (invisible to the load/external-CPU gates) to the machine
+        ctl_lo = _run_phase(["--phase", "control", "--cores", str(lo_cores)], pin_cores=lo_cores)
+        ctl_hi = _run_phase(["--phase", "control", "--cores", str(hi_cores)], pin_cores=hi_cores)
+        ceiling = (ctl_hi["ops_per_sec"] / ctl_lo["ops_per_sec"]) / ratio if ctl_lo["ops_per_sec"] else 0.0
+        extras["scaling"]["machine_ceiling_efficiency"] = round(ceiling, 3)
+        extras["scaling"]["ceiling_normalized_efficiency"] = (
+            round(billed_eff / ceiling, 3) if ceiling else None
+        )
+        extras["scaling"]["control"] = {"low": ctl_lo, "high": ctl_hi}
 
     total = round(time.monotonic() - total_t0, 2)
     # COMPACT one-line contract on stdout (the driver's capture window is
@@ -929,7 +972,9 @@ def main() -> None:
                 "billed_urls_per_sec_low", "billed_urls_per_sec_high",
                 "efficiency", "whole_crawl_efficiency", "all_rounds_efficiency",
                 "tail_rounds_unbilled_low", "tail_rounds_unbilled_high",
+                "machine_ceiling_efficiency", "ceiling_normalized_efficiency",
             )
+            if k in s
         }
         # one-glance load-gate evidence for the compact artifact: per gated
         # run, was the kept attempt load-clean and how many attempts it took
@@ -967,6 +1012,8 @@ if __name__ == "__main__":
 
         if phase == "queries":
             print(json.dumps(query_bench()))
+        elif phase == "control":
+            print(json.dumps(control_bench(_arg("--cores", 2), _arg("--ops", 24_000_000))))
         elif phase == "seenjoin":
             print(json.dumps(seenjoin_bench(_arg("--cores", 8), cand=_arg("--cand", 100_000))))
         elif phase == "stateful":

@@ -107,3 +107,42 @@ def allocate_budget(
             ).otherwise(0)
         ).alias("alloc"),
     )
+
+
+def surt_col(url_col: str):
+    """SURT key (Sort-friendly URI Reordering Transform) — the canonical
+    key of Common Crawl / Wayback CDX indexes: host labels lowercased and
+    reversed comma-joined, then ``)`` + path, so one host's (and one
+    registered domain's) URLs are CONTIGUOUS under a plain byte sort:
+    ``https://news.example.com/a?b=1`` -> ``com,example,news)/a?b=1``.
+    Pure codegen'd JVM string ops (split/reverse/join), no UDF."""
+    host = f"lower(regexp_extract({url_col}, '^[a-z]+://([^/]+)', 1))"
+    rest = f"regexp_replace({url_col}, '^[a-z]+://[^/]*', '')"
+    return F.expr(
+        f"concat(array_join(reverse(split({host}, '\\\\.')), ','), ')', "
+        f"CASE WHEN {rest} = '' THEN '/' ELSE {rest} END)"
+    )
+
+
+def cdx_index(pages: DataFrame, url_col: str = "url", ts_col: str = "warc_date", extra_cols: tuple[str, ...] = ()) -> DataFrame:
+    """CDX-style capture index over a parsed page table: one row per
+    capture keyed by (surt, ts) — the lookup artifact a 100-TB archive
+    ships next to its WARC segments so consumers can random-access a URL
+    without scanning.  Output is range-partition-sorted by the SURT key
+    (`sortWithinPartitions` after a range `repartitionByRange`), the
+    distributed analogue of the CDX file's global sort: k-way
+    concatenation of the output files IS the sorted index.
+
+    Scale: one range shuffle (Spark samples split points) + per-partition
+    sort; no aggregation, no skew risk beyond a hot HOST, which the
+    (surt, ts) composite key still spreads across captures.
+    """
+    out = pages.select(
+        surt_col(url_col).alias("surt"),
+        F.col(ts_col).alias("ts"),
+        F.col(url_col).alias("url"),
+        *[F.col(c) for c in extra_cols],
+    )
+    return out.repartitionByRange(F.col("surt"), F.col("ts")).sortWithinPartitions(
+        "surt", "ts"
+    )

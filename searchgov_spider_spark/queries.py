@@ -4130,3 +4130,102 @@ ORACLES["q118_kmv_overlap"] = _kmv_oracle_sql(
     corpus_a="even",
     corpus_b="odd",
 )
+
+
+def q119_warc_scan(spark, sf_dir):
+    """WARC segment scan (operators/warc.warc_pages over kernels/warcx):
+    Common-Crawl-style archives parsed into the input_hint page table.  The
+    fixture serializes each source's documents as ONE deterministic WARC
+    segment (warcinfo + request + response records; even-numbered sources
+    as per-record-gzip members, the CC layout; odd ones plain), then the
+    Arrow-batched mapInPandas source inflates + parses them back — one task
+    per segment, zero shuffles past the synthesis groupBy.  The oracle
+    re-derives every expected row from the construction FORMULA (url/date/
+    status templates, utf-8 byte length, body md5) without touching the
+    writer or parser, so a round-trip defect cannot self-verify."""
+    import pandas as pd
+
+    from .kernels import warcx
+    from .operators import warc as warcop
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text", "source")
+
+    def build(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("doc_id")
+        src = pdf["source"].iloc[0]
+        seg_id = int(src[3:])
+        pages = [
+            {
+                "url": f"https://{src}.example.com/doc/{int(r.doc_id)}",
+                "date": f"2024-01-{int(r.doc_id) % 28 + 1:02d}T00:00:00Z",
+                "status": 404 if int(r.doc_id) % 31 == 0 else 200,
+                "mime": "text/html",
+                "body": r.text.encode("utf-8"),
+            }
+            for r in pdf.itertuples()
+        ]
+        data = warcx.build_warc_segment(
+            pages, segment_name=src, gzip_per_record=(seg_id % 2 == 0)
+        )
+        return pd.DataFrame([(seg_id, data)], columns=["segment_id", "data"])
+
+    segments = docs.groupBy("source").applyInPandas(build, "segment_id long, data binary")
+    pages = warcop.warc_pages(segments)
+    return pages.select(
+        "segment_id", "url", "warc_date", "status", "mime", "n_bytes",
+        F.md5(F.col("body")).alias("body_md5"),
+    )
+
+
+QUERIES["q119_warc_scan"] = q119_warc_scan
+
+
+def q120_cdx_index(spark, sf_dir):
+    """CDX capture index with SURT keys (urlmine.cdx_index): the lookup
+    artifact shipped next to WARC segments — SURT (host labels reversed
+    comma-joined + ')' + path, pure codegen string ops) keys sorted by
+    (surt, ts) via repartitionByRange + sortWithinPartitions, the
+    distributed form of the CDX global sort (concatenating output files
+    yields the sorted index).  URLs/timestamps from the q119 formula, with
+    a query-string variant every 4th doc."""
+    from .operators import urlmine
+
+    d = _t(spark, sf_dir, "documents")
+    pages = d.select(
+        "doc_id",
+        F.concat(
+            F.lit("https://"), F.col("source"), F.lit(".example.com/doc/"),
+            F.col("doc_id").cast("string"),
+            F.when(
+                F.col("doc_id") % 4 == 0,
+                F.concat(F.lit("?page="), (F.col("doc_id") % 3).cast("string")),
+            ).otherwise(F.lit("")),
+        ).alias("url"),
+        F.concat(
+            F.lit("2024-01-"),
+            F.lpad(((F.col("doc_id") % 28) + 1).cast("string"), 2, "0"),
+            F.lit("T00:00:00Z"),
+        ).alias("warc_date"),
+    )
+    return urlmine.cdx_index(pages, extra_cols=("doc_id",))
+
+
+QUERIES["q120_cdx_index"] = q120_cdx_index
+
+_Q120_REST = "regexp_replace(url, '^[a-z]+://[^/]*', '')"
+ORACLES["q120_cdx_index"] = f"""
+    WITH pages AS (
+        SELECT doc_id,
+               'https://' || source || '.example.com/doc/' || doc_id ||
+                   CASE WHEN doc_id % 4 = 0 THEN '?page=' || (doc_id % 3)
+                        ELSE '' END AS url,
+               '2024-01-' || lpad(cast(doc_id % 28 + 1 AS VARCHAR), 2, '0')
+                   || 'T00:00:00Z' AS ts
+        FROM documents)
+    SELECT array_to_string(list_reverse(string_split(
+               lower(regexp_extract(url, '^[a-z]+://([^/]+)', 1)), '.')), ',')
+               || ')' ||
+               CASE WHEN {_Q120_REST} = '' THEN '/' ELSE {_Q120_REST} END AS surt,
+           ts, url, doc_id
+    FROM pages
+"""

@@ -156,3 +156,79 @@ def stream_url_dedup(
         .trigger(availableNow=True)
         .start()
     )
+
+
+HEALTH_SCHEMA = T.StructType(
+    [
+        T.StructField("ts", T.TimestampType()),
+        T.StructField("host", T.StringType()),
+        T.StructField("status", T.StringType()),  # fetched | missed | denied
+        T.StructField("latency_ms", T.LongType()),
+    ]
+)
+
+
+def host_health(
+    events: DataFrame,
+    window: str = "2 minutes",
+    slide: str = "1 minute",
+    watermark: str = "2 minutes",
+    err_threshold: float = 0.5,
+    min_events: int = 5,
+) -> DataFrame:
+    """Sliding-window per-host crawl health: error rate + latency profile
+    with an ALERT flag — the live feedback loop that retunes politeness
+    (crawlqc.adaptive_politeness is the batch form) and pauses a failing
+    host before a whole budget burns on it.  The reference's spidermon
+    monitors compute the same signals per finished JOB (monitors.py:21-48);
+    a 10^10 crawl needs them DURING the run.
+
+    Works on batch and streaming inputs alike; streaming state is bounded
+    by the watermark (late events beyond it are dropped) and the window
+    count (each host holds window/slide live panes).  A host alerts when
+    its windowed error rate reaches ``err_threshold`` over at least
+    ``min_events`` fetches.
+    """
+    is_err = F.col("status") != "fetched"
+    agg = (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window, slide).alias("w"), F.col("host"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.count(F.when(is_err, 1)).alias("n_errors"),
+            F.avg("latency_ms").alias("_avg_lat"),
+            F.max("latency_ms").alias("max_latency_ms"),
+        )
+    )
+    err_rate = F.round(F.col("n_errors") / F.col("n_events"), 6)
+    return agg.select(
+        F.col("w.start").alias("window_start"),
+        "host",
+        "n_events",
+        "n_errors",
+        err_rate.alias("err_rate"),
+        F.round(F.col("_avg_lat"), 3).alias("avg_latency_ms"),
+        "max_latency_ms",
+        ((F.col("n_events") >= min_events) & (err_rate >= err_threshold)).alias("alert"),
+    )
+
+
+def stream_host_health(
+    spark: SparkSession,
+    events_dir: str,
+    checkpoint_dir: str,
+    query_name: str = "host_health",
+    **kwargs,
+):
+    """readStream over fetch-event drops -> sliding-window host health
+    (memory sink, update mode: each pane re-emits as its counts grow)."""
+    stream = spark.readStream.schema(HEALTH_SCHEMA).json(events_dir)
+    return (
+        host_health(stream, **kwargs)
+        .writeStream.outputMode("update")
+        .format("memory")
+        .queryName(query_name)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

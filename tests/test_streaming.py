@@ -199,3 +199,59 @@ def test_stream_url_dedup(spark, tmp_path):
     q2.awaitTermination(120)
     got2 = sorted(r["url_canon"] for r in spark.read.parquet(out_dir).collect())
     assert got2 == ["https://a.gov/x", "https://a.gov/y", "https://a.gov/z"]
+
+
+def test_host_health_batch_semantics(spark):
+    # batch-mode check of the exact windowed numbers: host h0 fails 3/4 in
+    # the 10:00 pane -> alert; h1 is healthy; panes slide (2 min window,
+    # 1 min hop) so each event lands in two panes
+    rows = [
+        ("2024-01-01 10:00:05", "h0", "missed", 900),
+        ("2024-01-01 10:00:20", "h0", "denied", 0),
+        ("2024-01-01 10:00:40", "h0", "missed", 1200),
+        ("2024-01-01 10:00:50", "h0", "fetched", 80),
+        ("2024-01-01 10:00:10", "h1", "fetched", 50),
+        ("2024-01-01 10:00:30", "h1", "fetched", 70),
+    ]
+    df = spark.createDataFrame(rows, ["ts", "host", "status", "latency_ms"]).selectExpr(
+        "cast(ts as timestamp) ts", "host", "status", "latency_ms"
+    )
+    got = {
+        (str(r["window_start"]), r["host"]): r
+        for r in ingest.host_health(df, min_events=4).collect()
+    }
+    r = got[("2024-01-01 10:00:00", "h0")]
+    assert (r["n_events"], r["n_errors"], r["err_rate"], r["alert"]) == (4, 3, 0.75, True)
+    assert r["max_latency_ms"] == 1200 and r["avg_latency_ms"] == 545.0
+    r1 = got[("2024-01-01 10:00:00", "h1")]
+    assert (r1["err_rate"], r1["alert"]) == (0.0, False)
+    # sliding panes: the same events also appear in the 09:59 pane
+    assert ("2024-01-01 09:59:00", "h0") in got
+
+
+def test_stream_host_health(spark, tmp_path):
+    edir = tmp_path / "events"
+    edir.mkdir()
+    with open(edir / "drop1.json", "w") as f:
+        for i in range(6):
+            f.write(
+                json.dumps(
+                    {
+                        "ts": f"2024-01-01T10:00:{10 + i:02d}",
+                        "host": "h0",
+                        "status": "missed" if i < 4 else "fetched",
+                        "latency_ms": 100 + i,
+                    }
+                )
+                + "\n"
+            )
+    q = ingest.stream_host_health(
+        spark, str(edir), str(tmp_path / "ckpt"), query_name="hh_test", min_events=5
+    )
+    q.awaitTermination(120)
+    out = spark.sql("select * from hh_test").collect()
+    assert out, "stream produced no panes"
+    alerts = [r for r in out if r["alert"]]
+    assert alerts and all(r["host"] == "h0" for r in alerts)
+    top = {str(r["window_start"]): r for r in out}["2024-01-01 10:00:00"]
+    assert top["n_events"] == 6 and top["n_errors"] == 4
