@@ -16,11 +16,15 @@ for large negative offsets the same way).
 Since round 4/5 the subset also covers: /DecodeParms PNG (10-15, all five
 row filters, numpy-vectorized Up/Sub) and TIFF-2 predictors, PDF 1.5 xref
 STREAMS and /ObjStm object streams, composite-font hex show-strings through
-per-font /ToUnicode CMaps, and simple-font /Encoding /Differences tables
-(AGL-subset glyph names, WinAnsi base via cp1252) selected per /Tf font.
+per-font /ToUnicode CMaps, simple-font /Encoding /Differences tables
+(AGL-subset glyph names, WinAnsi base via cp1252) selected per /Tf font,
+and ENCRYPTED documents via the standard security handler (kernels/
+pdfcrypt: RC4-40/128 and AES-128-CBC with empty user password — the
+owner-encrypted shape; every entry point runs the decrypt pre-pass).
 Remaining out of subset: embedded image codecs (irrelevant to text),
-encryption, interlaced/palette PNG predictors.  A production deployment can
-still swap `extract_pdf_text` for a pypdf call with identical outputs.
+AES-256 (/R 5-6) and password-protected user passwords, interlaced/palette
+PNG predictors.  A production deployment can still swap `extract_pdf_text`
+for a pypdf call with identical outputs.
 """
 
 from __future__ import annotations
@@ -786,6 +790,10 @@ def extract_pdf_text(body: bytes) -> PdfDoc:
     out = PdfDoc()
     if not body.startswith(b"%PDF"):
         return out
+    if b"/Encrypt" in body:  # standard-security-handler pre-pass (§7.6)
+        from . import pdfcrypt
+
+        body = pdfcrypt.decrypt_pdf(body)
     cmaps: list[tuple[int, dict[int, str]]] = []
     cmap_by_obj: dict[int, tuple[int, dict[int, str]]] = {}
     objstm_objs: list[tuple[int, int, bytes]] = []
@@ -908,6 +916,10 @@ def extract_pdf_meta(body: bytes) -> dict[str, str]:
     ModDate, ...).  The reference reads reader.metadata and exif-parses each
     value (parse.py:128-151 get_pdf_meta); exif parsing happens in
     kernels.dates.clean_pdf_metadata so this stays a pure byte scanner."""
+    if b"/Encrypt" in body:  # standard-security-handler pre-pass (§7.6)
+        from . import pdfcrypt
+
+        body = pdfcrypt.decrypt_pdf(body)
     m = _INFO_REF_RE.search(body)
     if not m:
         return {}

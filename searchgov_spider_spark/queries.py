@@ -571,6 +571,16 @@ def _pdf_fixture(i: int) -> tuple[str, bytes]:
         hex_text_lines=hex_lines,
         diff_text_lines=diff_lines,
     )
+    if i % 8 == 7:
+        # every 8th (classic-layout) row ships ENCRYPTED via the standard
+        # security handler (owner-encrypted, empty user password — the
+        # common real-corpus shape), rotating RC4-40 / RC4-128 / AES-128.
+        # Encryption is transport-level: the golden EXPECTED fields are
+        # unchanged, so the oracle pins that decryption is transparent.
+        from .kernels import pdfcrypt
+
+        variant = ("rc4-40", "rc4-128", "aes-128")[(i // 8) % 3]
+        pdf = pdfcrypt.encrypt_pdf(pdf, variant=variant, file_id=bytes([i]) * 16)
     return url, pdf
 
 
