@@ -140,13 +140,32 @@ def png_palette(body_seed: bytes) -> bytes:
     return bytes(seed[k % len(seed)] for k in range(256 * 3))
 
 
-def make_png(width: int, height: int, body_seed: bytes = b"", color_type: int = 0) -> bytes:
+# Adam7 interlace pass grid (PNG spec §8.2): (x0, y0, dx, dy) per pass
+ADAM7 = ((0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+         (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2))
+
+
+def _adam7_passes(width: int, height: int):
+    """Non-empty Adam7 passes as (x0, y0, dx, dy, wp, hp)."""
+    for x0, y0, dx, dy in ADAM7:
+        wp = (width - x0 + dx - 1) // dx
+        hp = (height - y0 + dy - 1) // dy
+        if wp > 0 and hp > 0:
+            yield x0, y0, dx, dy, wp, hp
+
+
+def make_png(
+    width: int, height: int, body_seed: bytes = b"", color_type: int = 0,
+    interlace: bool = False,
+) -> bytes:
     """Fully-valid 8-bit PNG (signature + IHDR [+ PLTE] + IDAT + IEND) for
     fixtures — correct CRCs, REAL deterministic pixel data (``png_pixels``),
     rows filtered with cycling PNG filter types 0-4 so the decoder's
     unfilter dispatch is exercised.  ``color_type`` 0 = grayscale, 2 = RGB
     truecolor (bpp=3 filter look-back, the dominant real-world flavor),
-    3 = palette-indexed (PLTE lookup, the icon/diagram flavor)."""
+    3 = palette-indexed (PLTE lookup, the icon/diagram flavor).
+    ``interlace`` emits the Adam7 layout (spec §8.2): seven sub-images,
+    each row-filtered independently — SAME pixels, different transport."""
     from ..kernels.pdfx import png_predictor_encode
 
     if color_type not in (0, 2, 3):
@@ -161,23 +180,33 @@ def make_png(width: int, height: int, body_seed: bytes = b"", color_type: int = 
             + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
         )
 
-    ihdr = struct.pack(">IIBBBBB", width, height, 8, color_type, 0, 0, 0)
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, color_type, 0, 0, 1 if interlace else 0)
     raw = png_pixels(width, height, body_seed, channels)
-    idat = zlib.compress(
-        png_predictor_encode(raw, [0, 1, 2, 3, 4], colors=channels, columns=width)
-    )
+    if interlace:
+        img = np.frombuffer(raw, dtype=np.uint8).reshape(height, width, channels)
+        filtered = bytearray()
+        for x0, y0, dx, dy, wp, hp in _adam7_passes(width, height):
+            sub = img[y0::dy, x0::dx, :].tobytes()
+            filtered += png_predictor_encode(sub, [0, 1, 2, 3, 4], colors=channels, columns=wp)
+        idat = zlib.compress(bytes(filtered))
+    else:
+        idat = zlib.compress(
+            png_predictor_encode(raw, [0, 1, 2, 3, 4], colors=channels, columns=width)
+        )
     plte = chunk(b"PLTE", png_palette(body_seed)) if color_type == 3 else b""
     return _PNG_SIG + chunk(b"IHDR", ihdr) + plte + chunk(b"IDAT", idat) + chunk(b"IEND", b"")
 
 
 def png_decode(payload: bytes) -> np.ndarray:
     """REAL pixel decode for 8-bit grayscale (color 0), RGB truecolor
-    (color 2) and palette-indexed (color 3) non-interlaced PNG — pure
+    (color 2) and palette-indexed (color 3) PNG, BOTH progressive layouts —
+    sequential and Adam7 INTERLACED (spec §8.2: seven independently
+    row-filtered sub-images scattered back onto the pass grid) — pure
     Python/zlib: chunk walk, concatenated-IDAT inflate, PNG row-filter
     reversal (None/Sub/Up/Average/Paeth with the channel-count bpp
     look-back), PLTE index lookup for color 3.  Returns (h, w) uint8 for
     gray, (h, w, 3) for RGB/palette; raises ValueError for other flavors
-    (alpha/16-bit/interlaced, which would need pillow) or malformed data."""
+    (alpha/16-bit, which would need pillow) or malformed data."""
     from ..kernels.pdfx import apply_png_predictor
 
     if not payload.startswith(_PNG_SIG):
@@ -199,7 +228,7 @@ def png_decode(payload: bytes) -> np.ndarray:
             pos += 12 + length  # length + type + data + crc
             if ctype == b"IHDR":
                 width, height, depth, color, _comp, _filt, interlace = struct.unpack(">IIBBBBB", data)
-                if depth != 8 or color not in (0, 2, 3) or interlace != 0:
+                if depth != 8 or color not in (0, 2, 3) or interlace not in (0, 1):
                     raise ValueError(
                         f"unsupported PNG flavor (depth={depth} color={color} interlace={interlace})"
                     )
@@ -214,9 +243,25 @@ def png_decode(payload: bytes) -> np.ndarray:
                 break
         if width is None or not idat:
             raise ValueError("malformed PNG (missing IHDR/IDAT)")
-        raw = apply_png_predictor(
-            zlib.decompress(bytes(idat)), colors=channels, columns=width
-        )
+        inflated = zlib.decompress(bytes(idat))
+        if interlace:
+            # Adam7: each pass unfilters against ITS OWN sub-image width,
+            # then scatters onto the (y0::dy, x0::dx) grid
+            out = np.zeros((height, width, channels), dtype=np.uint8)
+            pos = 0
+            for x0, y0, dx, dy, wp, hp in _adam7_passes(width, height):
+                stride = hp * (1 + wp * channels)
+                chunk_bytes = inflated[pos : pos + stride]
+                if len(chunk_bytes) < stride:
+                    raise ValueError("truncated interlaced PNG pass")
+                pos += stride
+                sub = apply_png_predictor(chunk_bytes, colors=channels, columns=wp)
+                out[y0::dy, x0::dx, :] = np.frombuffer(
+                    sub[: hp * wp * channels], dtype=np.uint8
+                ).reshape(hp, wp, channels)
+            raw = out.tobytes()
+        else:
+            raw = apply_png_predictor(inflated, colors=channels, columns=width)
     except (struct.error, zlib.error) as exc:
         raise ValueError(f"malformed PNG: {exc}") from exc
     n = width * height * channels
@@ -453,7 +498,10 @@ def synthetic_media(spark, n: int = 64) -> DataFrame:
             w, h = 16 + (i % 9) * 8, 12 + (i % 5) * 16
             if i % 2 == 0:
                 ct = 2 if i % 12 == 6 else (3 if i % 24 == 0 else 0)
-                payload = make_png(w, h, blob, color_type=ct)
+                # i%18==12 rows ship Adam7-INTERLACED (i=12 gray, 30 RGB,
+                # 48 palette at n=64) — same pixels, different transport,
+                # so the oracle's formula-derived stats pin deinterlacing
+                payload = make_png(w, h, blob, color_type=ct, interlace=(i % 18 == 12))
             else:
                 payload = make_jpeg(w, h, blob)
             meta = (w, h, 0, "png" if i % 2 == 0 else "jpeg")

@@ -726,3 +726,65 @@ class TestPageRank:
         got = {r["id"]: r["pagerank"] for r in graph.pagerank(e_df, n_df, n_iter=3).collect()}
         assert sum(got.values()) < 1.0
         assert got[1] > got[0]  # 1 receives 0's whole rank each step
+
+
+class TestAdam7Interlace:
+    def test_interlaced_pixels_equal_sequential(self):
+        import numpy as np
+
+        from searchgov_spider_spark.operators import multimodal as mm
+
+        seed = b"adam7-seed"
+        for ct in (0, 2, 3):
+            for w, h in ((16, 12), (17, 13), (7, 5), (1, 1)):
+                a = mm.png_decode(mm.make_png(w, h, seed, color_type=ct))
+                b = mm.png_decode(mm.make_png(w, h, seed, color_type=ct, interlace=True))
+                assert np.array_equal(a, b), (ct, w, h)
+
+    def test_truncated_interlaced_pass_raises(self):
+        import zlib as _zlib
+
+        import pytest as _pytest
+
+        from searchgov_spider_spark.operators import multimodal as mm
+
+        p = mm.make_png(16, 12, b"s", interlace=True)
+        assert mm.png_decode(p).shape == (12, 16)
+        # rebuild the IDAT with only half the filtered bytes: some Adam7
+        # pass comes up short and the decoder must refuse, not mis-scatter
+        raw = _zlib.decompress(_idat_of(p))
+        rebuilt = _replace_idat(p, _zlib.compress(raw[: len(raw) // 2]))
+        with _pytest.raises(ValueError):
+            mm.png_decode(rebuilt)
+
+
+def _idat_of(png: bytes) -> bytes:
+    import struct
+
+    pos = 8
+    out = bytearray()
+    while pos + 8 <= len(png):
+        (length,) = struct.unpack(">I", png[pos : pos + 4])
+        ctype = png[pos + 4 : pos + 8]
+        if ctype == b"IDAT":
+            out += png[pos + 8 : pos + 8 + length]
+        pos += 12 + length
+    return bytes(out)
+
+
+def _replace_idat(png: bytes, new_idat: bytes) -> bytes:
+    import struct
+    import zlib
+
+    pos = 8
+    out = bytearray(png[:8])
+    while pos + 8 <= len(png):
+        (length,) = struct.unpack(">I", png[pos : pos + 4])
+        ctype = png[pos + 4 : pos + 8]
+        data = png[pos + 8 : pos + 8 + length]
+        pos += 12 + length
+        if ctype == b"IDAT":
+            data = new_idat
+        out += struct.pack(">I", len(data)) + ctype + data
+        out += struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
+    return bytes(out)
