@@ -267,3 +267,84 @@ def resolve_redirects(
         F.col("_h").alias("hops"),
         "status",
     )
+
+
+def opic(
+    edges: DataFrame,
+    nodes: DataFrame,
+    id_col: str = "id",
+    src_col: str = "src",
+    dst_col: str = "dst",
+    n_iter: int = 5,
+) -> DataFrame:
+    """On-line Page Importance Computation (Abiteboul, Preda & Cobena,
+    WWW 2003) — the crawl-ordering signal DESIGNED for frontiers: unlike
+    PageRank it needs no converged global ranking before it is useful;
+    cash accumulates importance as the crawl proceeds.  This is the
+    deterministic SYNCHRONOUS variant: every node starts with cash 1/N and
+    history 0; each step every node banks its cash into history and
+    distributes it equally over its out-links, with DANGLING nodes' cash
+    redistributed uniformly (the paper's virtual-root contract):
+
+        hist_i(v) = hist_{i-1}(v) + cash_{i-1}(v)
+        cash_i(v) = sum_{u->v} cash_{i-1}(u)/outdeg(u) + dangling_{i-1}/N
+
+    Importance after k steps = (hist_k + cash_k) / (k + 1) — total cash is
+    1 every step, so k+1 normalizes the banked+pending mass to a
+    distribution.  Returns (id_col, opic) rounded to 6 dp.
+
+    Scale shape (mirrors :func:`pagerank`): adjacency+outdeg materialized
+    ONCE; each iteration is one co-partitioned contribution join + one
+    map-side-combined groupBy + a 1-row dangling-mass broadcast
+    (anti-join on the out-degree keys, no collect), with a per-iteration
+    ``localCheckpoint`` keeping plan depth O(1).
+    """
+    n_total = nodes.count()  # scalar N: one job, O(1) driver memory
+    deg = edges.groupBy(src_col).agg(F.count("*").alias("out_deg"))
+    adj = edges.join(deg, src_col).localCheckpoint(eager=True)
+    deg_ids = deg.select(F.col(src_col).alias(id_col)).localCheckpoint(eager=True)
+
+    state = nodes.select(
+        F.col(id_col),
+        F.lit(1.0 / n_total).alias("cash"),
+        F.lit(0.0).alias("hist"),
+    ).localCheckpoint(eager=True)
+
+    for _ in range(n_iter):
+        dmass = F.broadcast(
+            state.join(deg_ids, id_col, "left_anti").agg(
+                F.coalesce(F.sum("cash"), F.lit(0.0)).alias("dm")
+            )
+        )
+        contribs = (
+            adj.join(state.select(F.col(id_col).alias(src_col), "cash"), src_col)
+            .select(
+                F.col(dst_col).alias(id_col),
+                (F.col("cash") / F.col("out_deg")).alias("contrib"),
+            )
+            .groupBy(id_col)
+            .agg(F.sum("contrib").alias("in_mass"))
+        )
+        state = (
+            state.select(
+                id_col, F.col("cash").alias("_prev_cash"), F.col("hist").alias("_prev_hist")
+            )
+            .join(contribs, id_col, "left")
+            .crossJoin(dmass)
+            .select(
+                F.col(id_col),
+                (
+                    F.coalesce("in_mass", F.lit(0.0))
+                    + F.col("dm") / F.lit(float(n_total))
+                ).alias("cash"),
+                (F.col("_prev_hist") + F.col("_prev_cash")).alias("hist"),
+            )
+            .localCheckpoint(eager=True)  # cut lineage: plan depth stays O(1)
+        )
+
+    return state.select(
+        F.col(id_col),
+        F.round(
+            (F.col("hist") + F.col("cash")) / F.lit(float(n_iter + 1)), 6
+        ).alias("opic"),
+    )

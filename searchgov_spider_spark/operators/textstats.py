@@ -243,6 +243,98 @@ def bigram_surprisal(docs: DataFrame, id_col: str = "doc_id", text_col: str = "t
     )
 
 
+def kneser_ney_surprisal(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    discount: float = 0.75,
+) -> DataFrame:
+    """Interpolated Kneser-Ney bigram surprisal — the ACTUAL smoothing the
+    KenLM models behind CCNet's quality stage use (Wenzek et al. 2020;
+    Heafield 2011), one rung up from :func:`bigram_surprisal`'s raw
+    maximum-likelihood P(w2|w1):
+
+        P_KN(w2|w1) = max(c(w1 w2) - D, 0) / c(w1 .)
+                      + (D * N1+(w1,.) / c(w1 .)) * (N1+(.,w2) / N1+(. .))
+
+    with fixed discount D = 0.75, where N1+(w1,.) counts distinct
+    continuations of w1, N1+(.,w2) counts distinct histories of w2 (the
+    continuation probability that makes 'Francisco' cheap after 'San' but
+    expensive elsewhere), and N1+(. .) is the number of distinct bigram
+    types.  avg_kn_surprisal = occurrence-weighted mean of -log2 P_KN over
+    a document's adjacent token pairs.  Unlike the ML score, frequent-but-
+    promiscuous histories are discounted and rare continuations are
+    penalized by their type statistics, not just their raw counts.
+
+    Scale shape (mirrors :func:`bigram_surprisal`): the corpus is
+    tokenized ONCE into weighted (doc, bigram) rows and materialized
+    (localCheckpoint); every LM statistic — bigram counts, prefix totals
+    c(w1 .), continuation-type counts N1+(w1,.) / N1+(.,w2), and the
+    1-row type total — derives from that vocabulary-sized table, never
+    from a corpus rescan.  The three stat joins compose on the LM side
+    (vocab x vocab, uniform keys), the type total rides a 1-row broadcast
+    cross join (no driver action), and the corpus-sized table pays exactly
+    ONE scoring join on bg before the per-doc partial-agg'd mean.  Docs
+    with < 2 tokens yield no bigrams and drop out (contract: not
+    LM-scorable), matching q51.
+    """
+    toks = f"regexp_extract_all(lower({text_col}), '{TOKEN_PATTERN}', 0)"
+    bigrams = (
+        f"CASE WHEN size({toks}) >= 2 THEN "
+        f"transform(sequence(1, size({toks}) - 1), "
+        f"i -> concat(element_at({toks}, i), ' ', element_at({toks}, i + 1))) "
+        f"ELSE array() END"
+    )
+    db = (
+        docs.select(F.col(id_col), F.explode(F.expr(bigrams)).alias("bg"))
+        .groupBy(id_col, "bg")
+        .agg(F.count("*").alias("n_db"))
+        .localCheckpoint()
+    )
+    lm = (
+        db.groupBy("bg")
+        .agg(F.sum("n_db").cast("double").alias("bg_cnt"))
+        .select(
+            "bg",
+            "bg_cnt",
+            F.expr("split(bg, ' ')[0]").alias("w1"),
+            F.expr("split(bg, ' ')[1]").alias("w2"),
+        )
+        .localCheckpoint()
+    )
+    pre = lm.groupBy("w1").agg(
+        F.sum("bg_cnt").alias("w1_cnt"),
+        F.count("*").cast("double").alias("n_follow"),
+    )
+    cont = lm.groupBy("w2").agg(F.count("*").cast("double").alias("n_precede"))
+    tot = lm.agg(F.count("*").cast("double").alias("n_types"))
+    d = F.lit(float(discount))
+    # expression structure kept IDENTICAL to the SQL oracle (left-assoc
+    # products, same division placement) so both engines walk the same
+    # IEEE-double op sequence
+    p_kn = (
+        F.greatest(F.col("bg_cnt") - d, F.lit(0.0)) / F.col("w1_cnt")
+        + (d * F.col("n_follow") / F.col("w1_cnt"))
+        * (F.col("n_precede") / F.col("n_types"))
+    )
+    lm_scored = (
+        lm.join(pre, "w1")
+        .join(cont, "w2")
+        .crossJoin(F.broadcast(tot))
+        .select("bg", (-F.log2(p_kn)).alias("kn"))
+    )
+    return (
+        db.join(lm_scored, "bg")
+        .groupBy(id_col)
+        .agg(
+            F.round(F.sum(F.col("n_db") * F.col("kn")) / F.sum("n_db"), 6).alias(
+                "avg_kn_surprisal"
+            ),
+            F.sum("n_db").alias("n_scored_bigrams"),
+        )
+    )
+
+
 def vocab_coverage(
     docs: DataFrame, id_col: str = "doc_id", text_col: str = "text", top_k: int = 20
 ) -> DataFrame:

@@ -146,3 +146,90 @@ def cdx_index(pages: DataFrame, url_col: str = "url", ts_col: str = "warc_date",
     return out.repartitionByRange(F.col("surt"), F.col("ts")).sortWithinPartitions(
         "surt", "ts"
     )
+
+
+def shard_plan(
+    pages: DataFrame,
+    n_shards: int = 16,
+    url_col: str = "url",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Balanced SURT-range shard boundaries — the planning artifact computed
+    BEFORE bucketing/range-writing a 10^10-row CDX or seen-set: ``n_shards``
+    contiguous SURT-host ranges of (approximately) equal URL mass, so a
+    range-partitioned write spreads bytes evenly even when host sizes are
+    Zipfian.  One row per non-empty shard: (shard_id, lo_host, hi_host,
+    n_hosts, n_urls).  A mega-host wider than one quantile width keeps its
+    whole mass in one shard (hosts are never split — host contiguity is the
+    point of SURT), which surfaces as n_urls >> total/n_shards and SKIPPED
+    shard ids after it: the plan makes residual skew visible instead of
+    hiding it.
+
+    Scale shape: URLs collapse to a host-weight table first (hosts << URLs;
+    one uniform-key groupBy with map-side partial agg), and the exclusive
+    prefix sum over SURT-ordered hosts runs as the same two-pass
+    range-partitioned scheme as ``crawl/seqno.assign_global_seq`` — range
+    repartition + per-partition sums (a P-row driver offset table, never
+    host rows) + partition-local running-sum window — NOT a single-partition
+    global window.  Shard assignment is pure BIGINT arithmetic
+    (``cum_before * n_shards div total``), so the plan is bit-identical at
+    any parallelism.  The tiny result is localCheckpointed so the range
+    boundaries can be released immediately.
+    """
+    from pyspark.sql import Window
+
+    spark = pages.sparkSession
+    host = f"lower(regexp_extract({url_col}, '^[a-z]+://([^/]+)', 1))"
+    hosts = (
+        pages.groupBy(
+            F.expr(f"array_join(reverse(split({host}, '\\\\.')), ',')").alias("surt_host")
+        )
+        .agg(F.count("*").alias("n_urls"))
+    )
+    if num_partitions is None:
+        num_partitions = max(1, spark.sparkContext.defaultParallelism)
+    ranged = (
+        hosts.repartitionByRange(num_partitions, "surt_host")
+        .sortWithinPartitions("surt_host")
+        .withColumn("_pid", F.spark_partition_id())
+        .persist()
+    )
+    psums = {
+        r["_pid"]: r["s"]
+        for r in ranged.groupBy("_pid").agg(F.sum("n_urls").alias("s")).collect()
+    }
+    total = int(sum(psums.values()))
+    if total == 0:
+        ranged.unpersist()
+        return spark.createDataFrame(
+            [], "shard_id int, lo_host string, hi_host string, n_hosts bigint, n_urls bigint"
+        )
+    offsets, running = [], 0
+    for pid in sorted(psums):
+        offsets.append((int(pid), running))
+        running += int(psums[pid])
+    offsets_df = F.broadcast(
+        spark.createDataFrame(offsets, "_pid int, _offset long")
+    )
+    w = Window.partitionBy("_pid").orderBy("surt_host")
+    out = (
+        ranged.join(offsets_df, "_pid")
+        .withColumn(
+            "_cum",
+            (F.sum("n_urls").over(w) - F.col("n_urls") + F.col("_offset")).cast("long"),
+        )
+        .withColumn(
+            "shard_id",
+            F.expr(f"CAST(_cum * {int(n_shards)} div {int(total)} AS INT)"),
+        )
+        .groupBy("shard_id")
+        .agg(
+            F.min("surt_host").alias("lo_host"),
+            F.max("surt_host").alias("hi_host"),
+            F.count("*").alias("n_hosts"),
+            F.sum("n_urls").alias("n_urls"),
+        )
+        .localCheckpoint()
+    )
+    ranged.unpersist()
+    return out

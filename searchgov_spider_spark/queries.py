@@ -4239,3 +4239,179 @@ ORACLES["q120_cdx_index"] = f"""
            ts, url, doc_id
     FROM pages
 """
+
+
+def q121_kn_surprisal(spark, sf_dir):
+    """Interpolated Kneser-Ney bigram scoring (textstats.kneser_ney_surprisal)
+    — the actual KenLM smoothing behind CCNet's quality stage (discount
+    0.75, continuation-probability backoff), completing the q47 unigram ->
+    q51 ML-bigram -> KN ladder.  LM stats all derive from one checkpointed
+    vocabulary-sized table; the corpus pays a single scoring join."""
+    return textstats.kneser_ney_surprisal(_t(spark, sf_dir, "documents"))
+
+
+QUERIES["q121_kn_surprisal"] = q121_kn_surprisal
+
+# expression structure mirrors the Spark side op-for-op (left-assoc
+# products, same division placement, greatest(x-D, 0)) so both engines walk
+# the same IEEE-double sequence before round(., 6)
+ORACLES["q121_kn_surprisal"] = f"""
+    WITH d AS (SELECT doc_id, {_TOKS} AS t FROM documents),
+    bg AS (SELECT doc_id, t[i] || ' ' || t[i+1] AS bg
+           FROM d, UNNEST(range(1, len(t))) AS u(i)),
+    db AS (SELECT doc_id, bg, count(*) AS n_db FROM bg GROUP BY doc_id, bg),
+    lm AS (SELECT bg, split_part(bg, ' ', 1) AS w1, split_part(bg, ' ', 2) AS w2,
+                  CAST(sum(n_db) AS DOUBLE) AS bg_cnt
+           FROM db GROUP BY 1, 2, 3),
+    pre AS (SELECT w1, sum(bg_cnt) AS w1_cnt,
+                   CAST(count(*) AS DOUBLE) AS n_follow
+            FROM lm GROUP BY w1),
+    cont AS (SELECT w2, CAST(count(*) AS DOUBLE) AS n_precede
+             FROM lm GROUP BY w2),
+    tot AS (SELECT CAST(count(*) AS DOUBLE) AS n_types FROM lm),
+    sc AS (SELECT bg,
+                  -log2(greatest(bg_cnt - 0.75, 0.0) / w1_cnt
+                        + (0.75 * n_follow / w1_cnt) * (n_precede / n_types))
+                      AS kn
+           FROM lm JOIN pre USING (w1) JOIN cont USING (w2) CROSS JOIN tot)
+    SELECT doc_id,
+           round(sum(n_db * kn) / sum(n_db), 6) AS avg_kn_surprisal,
+           CAST(sum(n_db) AS BIGINT) AS n_scored_bigrams
+    FROM db JOIN sc USING (bg)
+    GROUP BY doc_id
+"""
+
+
+def q122_shard_plan(spark, sf_dir):
+    """Balanced SURT-range shard planning (urlmine.shard_plan): 8 contiguous
+    host ranges of ~equal URL mass over the q120 synthetic capture URLs —
+    the artifact a 10^10-row CDX range-write reads for its boundaries.
+    Host weights aggregate first (hosts << URLs), the exclusive prefix sum
+    runs two-pass range-partitioned (seqno's scheme, no global window), and
+    shard ids are pure BIGINT math — bit-identical at any parallelism."""
+    from .operators import urlmine
+
+    d = _t(spark, sf_dir, "documents")
+    pages = d.select(
+        "doc_id",
+        F.concat(
+            F.lit("https://"), F.col("source"), F.lit(".example.com/doc/"),
+            F.col("doc_id").cast("string"),
+            F.when(
+                F.col("doc_id") % 4 == 0,
+                F.concat(F.lit("?page="), (F.col("doc_id") % 3).cast("string")),
+            ).otherwise(F.lit("")),
+        ).alias("url"),
+    )
+    return urlmine.shard_plan(pages, n_shards=8)
+
+
+QUERIES["q122_shard_plan"] = q122_shard_plan
+
+ORACLES["q122_shard_plan"] = """
+    WITH pages AS (
+        SELECT doc_id,
+               'https://' || source || '.example.com/doc/' || doc_id ||
+                   CASE WHEN doc_id % 4 = 0 THEN '?page=' || (doc_id % 3)
+                        ELSE '' END AS url
+        FROM documents),
+    hosts AS (
+        SELECT array_to_string(list_reverse(string_split(
+                   lower(regexp_extract(url, '^[a-z]+://([^/]+)', 1)), '.')), ',')
+                   AS surt_host,
+               count(*) AS n_urls
+        FROM pages GROUP BY 1),
+    tot AS (SELECT sum(n_urls) AS total FROM hosts),
+    cum AS (
+        SELECT surt_host, n_urls,
+               coalesce(SUM(n_urls) OVER (ORDER BY surt_host
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                   AS cum_before
+        FROM hosts)
+    SELECT CAST(cum_before * 8 // total AS INT) AS shard_id,
+           min(surt_host) AS lo_host,
+           max(surt_host) AS hi_host,
+           count(*) AS n_hosts,
+           CAST(sum(n_urls) AS BIGINT) AS n_urls
+    FROM cum CROSS JOIN tot
+    GROUP BY 1
+"""
+
+
+_Q123_EDGE_MULTS = ((3, 1), (5, 2), (11, 7))
+Q123_ITERATIONS = 5
+
+
+def q123_opic(spark, sf_dir):
+    """OPIC crawl-ordering importance (graph.opic): the synchronous
+    deterministic variant of Abiteboul/Preda/Cobena's On-line Page
+    Importance Computation — cash/history accounting with uniform
+    dangling-cash redistribution, 5 steps, over an arithmetic link graph
+    where every doc_id % 7 == 0 node is a DANGLER (exercising the
+    virtual-root path PageRank's lost-mass contract never isolates).
+    Per step: one contribution join + one partial-agg'd groupBy + a 1-row
+    dangling-mass broadcast; localCheckpoint keeps plan depth O(1)."""
+    from .operators import graph
+
+    docs = _t(spark, sf_dir, "documents").select(F.col("doc_id").cast("long").alias("id"))
+    n = docs.count()
+    dsts = ", ".join(f"(id * {a} + {b}) % {n}L" for a, b in _Q123_EDGE_MULTS)
+    edges = (
+        docs.filter(F.col("id") % 7 != 0)
+        .select(F.col("id").alias("src"), F.explode(F.expr(f"array({dsts})")).alias("dst"))
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+    return graph.opic(edges, docs, n_iter=Q123_ITERATIONS).select(
+        F.col("id").alias("doc_id"), "opic"
+    )
+
+
+QUERIES["q123_opic"] = q123_opic
+
+
+def _q123_oracle_sql() -> str:
+    """Independent synchronous OPIC as chained SQL CTEs (q54's pattern):
+    per step a dangling-mass scalar (anti-join on out-degree keys), the
+    contribution join, and the cash/history update — same arithmetic edge
+    formula and dangler rule the Spark query states, no kernel import."""
+    dsts = ", ".join(f"(doc_id * {a} + {b}) % nn.n" for a, b in _Q123_EDGE_MULTS)
+    k = Q123_ITERATIONS
+    iters = []
+    for i in range(1, k + 1):
+        iters.append(f"""
+        d{i} AS (
+            SELECT coalesce(sum(s.cash), CAST(0.0 AS DOUBLE)) AS dm
+            FROM s{i - 1} s LEFT JOIN deg ON deg.src = s.id
+            WHERE deg.src IS NULL),
+        s{i} AS (
+            SELECT nodes.id,
+                   coalesce(c.mass, CAST(0.0 AS DOUBLE)) + d{i}.dm / nn.n AS cash,
+                   sp.hist + sp.cash AS hist
+            FROM nodes CROSS JOIN nn CROSS JOIN d{i}
+            JOIN s{i - 1} sp ON sp.id = nodes.id
+            LEFT JOIN (
+                SELECT e.dst AS id, sum(sp2.cash / deg.out_deg) AS mass
+                FROM edges e
+                JOIN s{i - 1} sp2 ON sp2.id = e.src
+                JOIN deg ON deg.src = e.src
+                GROUP BY e.dst) c ON c.id = nodes.id)""")
+    return f"""
+        WITH nn AS (SELECT count(*) AS n FROM documents),
+        nodes AS (SELECT CAST(doc_id AS BIGINT) AS id FROM documents),
+        lst AS (SELECT CAST(doc_id AS BIGINT) AS src, [{dsts}] AS dsts
+                FROM documents CROSS JOIN nn WHERE doc_id % 7 <> 0),
+        raw_edges AS (
+            -- positional lateral unnest (same DuckDB binder workaround as q54)
+            SELECT src, CAST(dsts[i] AS BIGINT) AS dst
+            FROM lst, UNNEST(range(1, 1 + len(dsts))) AS u(i)),
+        edges AS (SELECT DISTINCT src, dst FROM raw_edges WHERE dst <> src),
+        deg AS (SELECT src, count(*) AS out_deg FROM edges GROUP BY src),
+        s0 AS (SELECT id, CAST(1.0 AS DOUBLE) / nn.n AS cash, CAST(0.0 AS DOUBLE) AS hist
+               FROM nodes CROSS JOIN nn),
+        {",".join(iters)}
+        SELECT id AS doc_id, round((hist + cash) / {float(k + 1)}, 6) AS opic FROM s{k}
+    """
+
+
+ORACLES["q123_opic"] = _q123_oracle_sql()

@@ -649,6 +649,47 @@ class TestBigramSurprisal:
         assert 2 not in got
 
 
+class TestKneserNeySurprisal:
+    def test_hand_computed_and_partition_invariant(self, spark):
+        import math
+
+        from searchgov_spider_spark.operators import textstats
+
+        rows = [(0, "a b a b c"), (1, "b c"), (2, "x")]
+        docs = spark.createDataFrame(rows, "doc_id long, text string")
+        got = {r["doc_id"]: r.asDict() for r in textstats.kneser_ney_surprisal(docs).collect()}
+        # bigrams: doc0 = [a b, b a, a b, b c], doc1 = [b c]
+        # LM: "a b"=2, "b a"=1, "b c"=2; types=3
+        # pre:  a -> c(a .)=2, N1+(a,.)=1;  b -> c(b .)=3, N1+(b,.)=2
+        # cont: N1+(.,a)=1, N1+(.,b)=1, N1+(.,c)=1
+        D = 0.75
+
+        def p_kn(bg_cnt, w1_cnt, n_follow, n_precede, n_types=3.0):
+            return max(bg_cnt - D, 0.0) / w1_cnt + (D * n_follow / w1_cnt) * (
+                n_precede / n_types
+            )
+
+        s_ab = -math.log2(p_kn(2, 2, 1, 1))  # 0.75      -> 0.415037
+        s_ba = -math.log2(p_kn(1, 3, 2, 1))  # 0.25      -> 2.0
+        s_bc = -math.log2(p_kn(2, 3, 2, 1))  # 7/12      -> 0.777608
+        assert got[0]["avg_kn_surprisal"] == round((2 * s_ab + s_ba + s_bc) / 4, 6)
+        assert got[0]["avg_kn_surprisal"] == 0.901921  # pinned literal
+        assert got[1]["avg_kn_surprisal"] == round(s_bc, 6) == 0.777608
+        assert got[0]["n_scored_bigrams"] == 4 and got[1]["n_scored_bigrams"] == 1
+        # single-token doc yields no bigrams -> absent per the contract
+        assert 2 not in got
+
+        # KN is a proper probability: every smoothed bigram costs MORE bits
+        # than its ML estimate unless backoff mass flows in (b a gains)
+        assert s_ab > -math.log2(2 / 2) and s_bc > -math.log2(2 / 3)
+
+        re_got = {
+            r["doc_id"]: r["avg_kn_surprisal"]
+            for r in textstats.kneser_ney_surprisal(docs.repartition(7)).collect()
+        }
+        assert re_got == {k: v["avg_kn_surprisal"] for k, v in got.items()}
+
+
 class TestHashedClassifier:
     def test_deterministic_and_bounded(self, spark):
         from searchgov_spider_spark.operators import curation
@@ -726,6 +767,47 @@ class TestPageRank:
         got = {r["id"]: r["pagerank"] for r in graph.pagerank(e_df, n_df, n_iter=3).collect()}
         assert sum(got.values()) < 1.0
         assert got[1] > got[0]  # 1 receives 0's whole rank each step
+
+
+class TestOpic:
+    def test_hand_computed_with_dangler(self, spark):
+        """Synchronous OPIC on 0->1, 0->2, 1->2 with node 2 DANGLING, 2 steps.
+
+        Hand derivation (cash starts 1/3 each; dangling cash redistributes
+        uniformly): after step 1 cash = (1/9, 5/18, 11/18), hist = 1/3 each;
+        after step 2 cash = (11/54, 7/27, 29/54), hist = (4/9, 11/18, 17/18).
+        importance = (hist + cash) / 3 = (35, 47, 80) / 162.
+        """
+        from searchgov_spider_spark.operators import graph
+
+        e_df = spark.createDataFrame([(0, 1), (0, 2), (1, 2)], "src long, dst long")
+        n_df = spark.createDataFrame([(0,), (1,), (2,)], "id long")
+        got = {r["id"]: r["opic"] for r in graph.opic(e_df, n_df, n_iter=2).collect()}
+        assert got == {
+            0: round(35 / 162, 6),  # 0.216049
+            1: round(47 / 162, 6),  # 0.290123
+            2: round(80 / 162, 6),  # 0.493827
+        }
+        # OPIC conserves mass (the virtual root redistributes, never drops):
+        # importance is a probability distribution, unlike pagerank's
+        # lost-mass contract above
+        assert sum(got.values()) == pytest.approx(1.0, abs=3e-6)
+        assert max(got, key=got.get) == 2  # the sink accumulates importance
+
+    def test_partition_invariant(self, spark):
+        from searchgov_spider_spark.operators import graph
+
+        edges = [(i, (i * 3 + 1) % 50) for i in range(50) if i % 7 != 0]
+        edges = [e for e in edges if e[0] != e[1]]
+        e_df = spark.createDataFrame(edges, "src long, dst long")
+        n_df = spark.createDataFrame([(i,) for i in range(50)], "id long")
+        base = sorted((r["id"], r["opic"]) for r in graph.opic(e_df, n_df).collect())
+        re_run = sorted(
+            (r["id"], r["opic"])
+            for r in graph.opic(e_df.repartition(11), n_df.repartition(5)).collect()
+        )
+        assert base == re_run
+        assert sum(v for _, v in base) == pytest.approx(1.0, abs=5e-5)
 
 
 class TestAdam7Interlace:

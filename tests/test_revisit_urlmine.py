@@ -76,3 +76,52 @@ def test_url_templates_broadcasts_host_total(spark):
     df = spark.createDataFrame([("h.gov", "/a/1")], "host string, path string")
     plan = url_templates(df)._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan
+
+
+class TestShardPlan:
+    def _pages(self, spark, rows):
+        return spark.createDataFrame(rows, "url string")
+
+    def test_balanced_and_skew_visible(self, spark):
+        from searchgov_spider_spark.operators.urlmine import shard_plan
+
+        # 4 uniform hosts x 10 URLs + one mega-host with 60 URLs:
+        # total=100, n_shards=4 -> quantile width 25.  SURT order:
+        # gov,aa < gov,bb < gov,mega < gov,yy < gov,zz
+        rows = [(f"https://{h}.gov/p/{i}",) for h in ("aa", "bb", "yy", "zz") for i in range(10)]
+        rows += [(f"https://mega.gov/p/{i}",) for i in range(60)]
+        out = {r.shard_id: r for r in shard_plan(self._pages(spark, rows), n_shards=4).collect()}
+        # cum_before: aa=0, bb=10, mega=20, yy=80, zz=90
+        # shard = cum*4 div 100 -> aa:0, bb:0, mega:0, yy:3, zz:3
+        assert set(out) == {0, 3}  # shards 1-2 skipped: mega's mass is indivisible
+        assert out[0].n_urls == 80 and out[0].n_hosts == 3
+        assert out[0].lo_host == "gov,aa" and out[0].hi_host == "gov,mega"
+        assert out[3].n_urls == 20 and out[3].n_hosts == 2
+        assert out[3].lo_host == "gov,yy" and out[3].hi_host == "gov,zz"
+
+    def test_partition_invariant_and_total_mass(self, spark):
+        from searchgov_spider_spark.operators.urlmine import shard_plan
+
+        rows = [(f"https://h{i % 23}.example.gov/p/{i}",) for i in range(400)]
+        base = sorted(
+            tuple(r) for r in shard_plan(self._pages(spark, rows), n_shards=8).collect()
+        )
+        re_run = sorted(
+            tuple(r)
+            for r in shard_plan(
+                self._pages(spark, rows).repartition(13), n_shards=8, num_partitions=3
+            ).collect()
+        )
+        assert base == re_run  # BIGINT math: identical at any parallelism
+        assert sum(r[4] for r in base) == 400  # every URL lands in exactly one shard
+        ids = [r[0] for r in base]
+        assert ids == sorted(ids) and ids[0] == 0  # monotone contiguous-range ids
+
+    def test_empty_input(self, spark):
+        from searchgov_spider_spark.operators.urlmine import shard_plan
+
+        out = shard_plan(self._pages(spark, []), n_shards=4)
+        assert out.count() == 0
+        assert [f.name for f in out.schema.fields] == [
+            "shard_id", "lo_host", "hi_host", "n_hosts", "n_urls",
+        ]
