@@ -4415,3 +4415,45 @@ def _q123_oracle_sql() -> str:
 
 
 ORACLES["q123_opic"] = _q123_oracle_sql()
+
+
+def q124_span_corruption(spark, sf_dir):
+    """T5-style span corruption (packing.span_corruption): deterministic
+    block-variant masking — 15% of tokens in 3-token spans, span offsets
+    from md5(doc_id:block) — emitting the (input_text, target_text)
+    sentinel pair a T5/UL2 batch builder consumes.  A pure map: zero
+    shuffles/joins/UDFs, codegen'd array algebra at scan speed."""
+    from .operators import packing
+
+    return packing.span_corruption(_t(spark, sf_dir, "documents"))
+
+
+QUERIES["q124_span_corruption"] = q124_span_corruption
+
+ORACLES["q124_span_corruption"] = f"""
+    WITH d0 AS (SELECT doc_id, {_TOKS} AS t FROM documents),
+    d AS (SELECT doc_id, t, len(t) AS n FROM d0 WHERE len(t) > 0),
+    db AS (SELECT *, ((n - 1) // 20) + 1 AS nb FROM d),
+    dh AS (SELECT *, list_transform(range(0, nb), b ->
+               ('0x' || substring(md5(doc_id || ':' || b), 1, 6))::BIGINT % 18)
+               AS hs FROM db),
+    ds AS (SELECT *, list_filter(list_transform(range(0, nb),
+               b -> b * 20 + hs[b + 1]), s -> s < n) AS starts FROM dh),
+    dr AS (SELECT *, list_transform(range(0, n), p -> CASE
+               WHEN (p % 20) >= hs[(p // 20) + 1]
+                AND (p % 20) < hs[(p // 20) + 1] + 3
+               THEN (CASE WHEN (p % 20) = hs[(p // 20) + 1]
+                     THEN '<extra_id_' || (list_position(starts, p) - 1) || '>'
+                     ELSE '' END)
+               ELSE t[p + 1] END) AS resid FROM ds)
+    SELECT doc_id,
+           CAST(n AS INT) AS n_tokens,
+           CAST(len(starts) AS INT) AS n_spans,
+           CAST(coalesce(list_sum(list_transform(starts,
+               s -> least(3, n - s))), 0) AS INT) AS n_masked,
+           array_to_string(list_filter(resid, x -> x <> ''), ' ') AS input_text,
+           coalesce(array_to_string(flatten(list_transform(starts, s ->
+               list_concat(['<extra_id_' || (list_position(starts, s) - 1) || '>'],
+                           t[s + 1 : s + least(3, n - s)]))), ' '), '') AS target_text
+    FROM dr
+"""

@@ -129,3 +129,64 @@ def test_corpus_overlap_estimates_real_jaccard(spark):
     r = corpus_overlap_sketch(a, b, k=64).collect()[0]
     assert r.exact_jaccard == pytest.approx(50 / 150, abs=1e-6)
     assert abs(r.est_jaccard - r.exact_jaccard) < 0.2
+
+
+class TestSpanCorruption:
+    def _docs(self, spark, texts):
+        return spark.createDataFrame(list(enumerate(texts)), "doc_id long, text string")
+
+    def test_reconstruction_invariant_and_rate(self, spark):
+        """Splicing each target span back over its sentinel in input_text
+        must reproduce the original token stream exactly, for every doc."""
+        import re
+
+        from searchgov_spider_spark.operators.packing import (
+            SC_BLOCK,
+            SC_SPAN,
+            span_corruption,
+        )
+
+        texts = [
+            " ".join(f"tok{i}" for i in range(n)) for n in (1, 5, 19, 20, 21, 60, 237)
+        ]
+        out = {r.doc_id: r for r in span_corruption(self._docs(spark, texts)).collect()}
+        assert len(out) == len(texts)
+        for doc_id, r in out.items():
+            orig = texts[doc_id].split()
+            # parse target into span_idx -> tokens
+            spans = {}
+            pieces = re.split(r"<extra_id_(\d+)>", r.target_text)
+            for k_str, toks in zip(pieces[1::2], pieces[2::2]):
+                spans[int(k_str)] = toks.split()
+            rebuilt = []
+            for tok in r.input_text.split():
+                m = re.fullmatch(r"<extra_id_(\d+)>", tok)
+                rebuilt.extend(spans[int(m.group(1))] if m else [tok])
+            assert rebuilt == orig, f"doc {doc_id} does not reconstruct"
+            assert r.n_masked == sum(len(v) for v in spans.values())
+            assert r.n_spans == len(spans)
+            # every FULL block masks exactly SC_SPAN tokens
+            if r.n_tokens >= SC_BLOCK and r.n_tokens % SC_BLOCK == 0:
+                assert r.n_masked == r.n_tokens // SC_BLOCK * SC_SPAN
+
+        # corruption rate on long docs ~ SPAN/BLOCK = 15%
+        long = out[6]
+        assert abs(long.n_masked / long.n_tokens - SC_SPAN / SC_BLOCK) < 0.03
+
+    def test_pure_map_no_exchange(self, spark):
+        from searchgov_spider_spark.operators.packing import span_corruption
+
+        df = span_corruption(self._docs(spark, ["a b c"]))
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan and "BatchEvalPython" not in plan
+
+    def test_partition_invariant(self, spark):
+        from searchgov_spider_spark.operators.packing import span_corruption
+
+        texts = [" ".join(f"w{i}x{j}" for j in range(i + 1)) for i in range(40)]
+        base = sorted(tuple(r) for r in span_corruption(self._docs(spark, texts)).collect())
+        re_run = sorted(
+            tuple(r)
+            for r in span_corruption(self._docs(spark, texts).repartition(7)).collect()
+        )
+        assert base == re_run
