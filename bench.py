@@ -105,6 +105,13 @@ BENCH_QUERIES = [
     # re-encode (vocabulary-sized iterations; q108's logreg is one narrow agg
     # per iteration and adds no bench signal at sf scale)
     "q110_bpe_encode",
+    # round-5 late additions: KN bigram LM (the heaviest of the three —
+    # corpus-wide (doc,bigram) collapse + three vocab-sized stat joins),
+    # OPIC's 5 contribution-join iterations, and the pure-map span
+    # corruption (q122's shard plan is host-table-sized: no bench signal)
+    "q121_kn_surprisal",
+    "q123_opic",
+    "q124_span_corruption",
 ]
 
 
