@@ -689,6 +689,24 @@ class TestKneserNeySurprisal:
         }
         assert re_got == {k: v["avg_kn_surprisal"] for k, v in got.items()}
 
+    def test_plan_no_corpus_rescan_and_broadcast_total(self, spark):
+        """Every LM stat derives from the checkpointed (doc,bigram) table:
+        the final plan must not re-tokenize the corpus (no regexp stage —
+        all branches scan the checkpoint RDDs), the 1-row type total must
+        ride a broadcast, and nothing drops to Python."""
+        from searchgov_spider_spark.operators import textstats
+
+        docs = spark.createDataFrame([(0, "a b c a b")], "doc_id long, text string")
+        plan = (
+            textstats.kneser_ney_surprisal(docs)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert "regexp_extract_all" not in plan  # corpus tokenized exactly once
+        assert "BroadcastExchange" in plan or "BroadcastNestedLoopJoin" in plan
+        assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
 
 class TestHashedClassifier:
     def test_deterministic_and_bounded(self, spark):
@@ -793,6 +811,23 @@ class TestOpic:
         # lost-mass contract above
         assert sum(got.values()) == pytest.approx(1.0, abs=3e-6)
         assert max(got, key=got.get) == 2  # the sink accumulates importance
+
+    def test_lineage_cut_per_iteration(self, spark):
+        """The returned plan is a projection over the last checkpoint — no
+        join/exchange chain accumulates across iterations (O(1) plan depth,
+        the same contract pagerank/hits pin)."""
+        from searchgov_spider_spark.operators import graph
+
+        e_df = spark.createDataFrame([(0, 1), (1, 2)], "src long, dst long")
+        n_df = spark.createDataFrame([(0,), (1,), (2,)], "id long")
+        plan = (
+            graph.opic(e_df, n_df, n_iter=4)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert "Join" not in plan and "Exchange" not in plan
+        assert "ExistingRDD" in plan or "Scan" in plan
 
     def test_partition_invariant(self, spark):
         from searchgov_spider_spark.operators import graph
