@@ -150,6 +150,7 @@ def crawl_bench(
     branch: int = 8,
     shuffle_partitions: int | None = None,
     seed_rounds: int = 0,
+    bloom_min_seen: int | None = None,
 ) -> dict:
     """One crawl at local[cores]; returns urls/s and wall seconds.
 
@@ -181,19 +182,26 @@ def crawl_bench(
         gen_s = 0.0
         policy = CrawlPolicy(allowed_domains=["example.gov"], depth_limit=50)
         ckpt = tempfile.mkdtemp(prefix=f"bench_crawl_{cores}_")
-        # bloom_min_seen low enough that the ONE-TIME full Bloom build (a
-        # bootstrap cost, like JIT warm-up: at the design point it amortizes
-        # over an unbounded crawl) happens during the UNBILLED seed phase —
-        # round 3's recorded artifact showed the default 500k threshold
-        # crossing INSIDE the measured window, billing a ~15 s full-seen
-        # scan to whichever round hit it; measured rounds still exercise
-        # the bloom probe + per-round incremental merges.
+        # bloom_min_seen: the SCALING phases force it low (seeded runs —
+        # the one-time full build lands in the UNBILLED seed phase and every
+        # measured round exercises the probe + incremental-merge path, the
+        # 10^10 steady state).  The HEADLINE phase uses the engine's own
+        # size-based default (500k): at a ~150k-URL crawl the probe's
+        # per-round broadcast + candidate pass costs more than the small
+        # anti-join it prunes — measured A/B at sf0.1/32 cores: 31.4 s plain
+        # vs 52.4 s bloom-forced (BENCH.md "bloom crossover").  Overriding
+        # the engine's crossover for the headline biased rounds 4-5
+        # headline numbers DOWN ~40% vs round 3.
         engine = CrawlEngine(
             spark, None, robots, policy, ckpt,
             fetcher=GeneratorFetcher(n_pages, n_hosts, branch=branch),
             round_seconds=1e7,  # ample politeness budget: measure engine throughput
             bloom_shards=32, bloom_bits=1 << 22,
-            bloom_min_seen=int(os.environ.get("BENCH_BLOOM_MIN_SEEN", "10000")),
+            **(
+                {"bloom_min_seen": int(os.environ["BENCH_BLOOM_MIN_SEEN"])}
+                if "BENCH_BLOOM_MIN_SEEN" in os.environ
+                else ({"bloom_min_seen": bloom_min_seen} if bloom_min_seen is not None else {})
+            ),
         )
         # seed list = every host root (the reference crawls a 1,790-seed list;
         # breadth comes from the seeds, not from cross-host link chains)
@@ -790,7 +798,8 @@ def main() -> None:
                 bucket.append(
                     _run_phase_gated(
                         ["--phase", "crawl", "--cores", str(cores), "--pages", str(scale_pages),
-                         "--hosts", str(scale_hosts), "--seed-rounds", str(seed_rounds)],
+                         "--hosts", str(scale_hosts), "--seed-rounds", str(seed_rounds),
+                         "--bloom-min-seen", "10000"],
                         pin_cores=cores,
                     )
                 )
@@ -1033,6 +1042,9 @@ if __name__ == "__main__":
                         _arg("--pages", 200_000),
                         _arg("--hosts", 200),
                         seed_rounds=_arg("--seed-rounds", 0),
+                        bloom_min_seen=(
+                            _arg("--bloom-min-seen", 0) or None
+                        ),
                     )
                 )
             )

@@ -85,36 +85,126 @@ class PartitionedBloom:
     def merge_shard_bytes(self, shard_id: int, data: bytes) -> None:
         self.shards[shard_id] |= np.frombuffer(data, dtype=np.uint8)
 
+    def merge_shard_positions(self, shard_id: int, positions: np.ndarray) -> None:
+        """OR in set-bit positions (the sparse payload of a hybrid fold)."""
+        if len(positions) == 0:
+            return
+        byte_idx = positions >> 3
+        bit_mask = np.left_shift(1, (positions & 7)).astype(np.uint8)
+        np.bitwise_or.at(self.shards[shard_id], byte_idx, bit_mask)
+
     def nbytes(self) -> int:
         return int(self.shards.nbytes)
 
 
-def build_shard_bitmaps(
-    df: DataFrame, hash_col: str, n_shards: int, bits_per_shard: int, k: int
-) -> list[tuple[int, bytes]]:
-    """Per-partition Bloom build on executors; only bitmaps reach the driver.
+_HYBRID_SCHEMA = T.StructType(
+    [
+        T.StructField("shard", T.IntegerType()),
+        T.StructField("sparse", T.BooleanType()),
+        T.StructField("payload", T.BinaryType()),
+    ]
+)
+# sparse payload = little-endian uint32 set-bit positions (4 bytes each)
+_SPARSE_POS_BYTES = 4
 
-    Returns [(shard_id, bitmap_bytes)] ready to OR-merge into a
-    PartitionedBloom.  Uses ``mapInPandas`` so each task folds its partition
-    into at most ``n_shards`` small bitmaps.
-    """
-    schema = T.StructType(
-        [T.StructField("shard", T.IntegerType()), T.StructField("bitmap", T.BinaryType())]
-    )
+
+def _hybrid_fold(n_shards: int, bits_per_shard: int, k: int):
+    """mapInPandas fold: per touched shard, emit set-bit POSITIONS when that
+    is smaller than the dense bitmap, else the dense bitmap.
+
+    An incremental merge (one crawl round's admits) sets ``n*k`` bits in a
+    multi-megabit filter, so tasks emit kilobytes instead of
+    ``touched_shards x bits/8`` — the dense emission collected
+    ``tasks x shards x shard_bytes`` to the driver (~1 GiB at 64 tasks x 32
+    x 512 KiB shards), which both dominated small-crawl round wall and
+    would be fatal at 1000-executor scale."""
 
     def fold(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         local = PartitionedBloom(n_shards, bits_per_shard, k)
         touched = np.zeros(n_shards, dtype=bool)
         for pdf in batches:
             hashes = pdf.iloc[:, 0].to_numpy(dtype=np.int64)
+            if len(hashes) == 0:
+                continue
             shard, _ = local._positions(hashes)
             touched[np.unique(shard)] = True
             local.add_array(hashes)
-        rows = [(int(s), local.shards[s].tobytes()) for s in range(n_shards) if touched[s]]
-        yield pd.DataFrame(rows, columns=["shard", "bitmap"])
+        dense_bytes = bits_per_shard // 8
+        rows = []
+        for s in np.nonzero(touched)[0]:
+            # bit i of byte b is set as 1 << (pos & 7), i.e. LSB-first —
+            # unpackbits(bitorder="little") index == global bit position
+            pos = np.nonzero(np.unpackbits(local.shards[s], bitorder="little"))[0]
+            if len(pos) * _SPARSE_POS_BYTES < dense_bytes:
+                rows.append((int(s), True, pos.astype("<u4").tobytes()))
+            else:
+                rows.append((int(s), False, local.shards[s].tobytes()))
+        yield pd.DataFrame(rows, columns=["shard", "sparse", "payload"])
 
-    rows = df.select(F.col(hash_col)).mapInPandas(fold, schema=schema).collect()
-    return [(r["shard"], r["bitmap"]) for r in rows]
+    return fold
+
+
+def merge_bitmaps_into(
+    bloom: PartitionedBloom,
+    df: DataFrame,
+    hash_col: str,
+    rows_hint: int | None = None,
+) -> None:
+    """Fold ``df[hash_col]`` into ``bloom`` executor-side; only compact
+    shard payloads reach the driver.
+
+    Two topologies, chosen by expected collect volume:
+
+    - **direct** (default): every task emits its touched shards'
+      sparse-or-dense payloads straight to the driver.  Collect volume is
+      O(min(set bits x 4 B, tasks x shards x shard_bytes)) — right for
+      per-round incremental merges and small full builds.
+    - **partitioned** (``rows_hint`` large): one extra shuffle routes hashes
+      to their owning shard's partition first, so each shard's dense bitmap
+      is built exactly once and the collect is exactly
+      ``n_shards x shard_bytes`` regardless of cluster size.  At the
+      10^10-row design point the shuffle is distributed across the cluster
+      while a direct dense collect (executors x 16 MiB) would converge on
+      the single driver.
+    """
+    n_shards, bits, k = bloom.n_shards, bloom.bits, bloom.k
+    hashes = df.select(F.col(hash_col))
+    dense_bytes = bits // 8
+    partitioned = (
+        rows_hint is not None and rows_hint * k * _SPARSE_POS_BYTES > 4 * n_shards * dense_bytes
+    )
+    if partitioned:
+
+        @F.pandas_udf(T.IntegerType())
+        def shard_of(h: pd.Series) -> pd.Series:
+            u = h.to_numpy(dtype=np.int64).view(np.uint64)
+            return pd.Series((u % np.uint64(n_shards)).astype(np.int32))
+
+        hashes = (
+            hashes.withColumn("_shard", shard_of(F.col(hash_col)))
+            .repartition(n_shards, F.col("_shard"))
+            .select(hash_col)
+        )
+    rows = hashes.mapInPandas(_hybrid_fold(n_shards, bits, k), schema=_HYBRID_SCHEMA).collect()
+    for r in rows:
+        if r["sparse"]:
+            bloom.merge_shard_positions(
+                r["shard"], np.frombuffer(r["payload"], dtype="<u4").astype(np.int64)
+            )
+        else:
+            bloom.merge_shard_bytes(r["shard"], r["payload"])
+
+
+def build_shard_bitmaps(
+    df: DataFrame, hash_col: str, n_shards: int, bits_per_shard: int, k: int
+) -> list[tuple[int, bytes]]:
+    """Compatibility wrapper over :func:`merge_bitmaps_into`: returns dense
+    ``[(shard_id, bitmap_bytes)]`` for the shards the input touched."""
+    tmp = PartitionedBloom(n_shards, bits_per_shard, k)
+    merge_bitmaps_into(tmp, df, hash_col)
+    return [
+        (s, tmp.shards[s].tobytes()) for s in range(n_shards) if tmp.shards[s].any()
+    ]
 
 
 def bloom_from_df(
@@ -126,8 +216,7 @@ def bloom_from_df(
 ) -> PartitionedBloom:
     bloom = PartitionedBloom(n_shards, bits_per_shard, k)
     if df is not None:
-        for shard_id, bitmap in build_shard_bitmaps(df, hash_col, n_shards, bits_per_shard, k):
-            bloom.merge_shard_bytes(shard_id, bitmap)
+        merge_bitmaps_into(bloom, df, hash_col)
     return bloom
 
 

@@ -43,7 +43,7 @@ from pyspark.sql import functions as F
 from ..functions import udfs
 from ..storage.tables import CheckpointStore
 from . import politeness
-from .bloom import PartitionedBloom, build_shard_bitmaps
+from .bloom import PartitionedBloom, merge_bitmaps_into
 from .frontier import (
     apply_admission_filters,
     apply_robots_filter,
@@ -322,10 +322,10 @@ class CrawlEngine:
                 if self._seen_bucketed is not None
                 else seen
             )
-            for shard_id, bitmap in build_shard_bitmaps(
-                seen_full, "url_hash", self.bloom_shards, self.bloom_bits, bloom.k
-            ):
-                bloom.merge_shard_bytes(shard_id, bitmap)
+            # rows_hint = |seen| lets the build pick the shuffle-by-shard
+            # topology once the seen set is big enough that direct task
+            # emissions would flood the driver (merge_bitmaps_into docstring)
+            merge_bitmaps_into(bloom, seen_full, "url_hash", rows_hint=next_seq)
             self._bloom_built = True
         new_admits = dedup_against_seen(
             self.spark, candidates, seen, bloom if use_bloom else None,
@@ -379,10 +379,8 @@ class CrawlEngine:
         if not seen_from_frontier:
             self.store.write_seen_delta(new_admits.select(*SEEN_COLS), rnd)
         if self._bloom_built and n_admitted > 0:
-            for shard_id, bitmap in build_shard_bitmaps(
-                new_admits, "url_hash", self.bloom_shards, self.bloom_bits, bloom.k
-            ):
-                bloom.merge_shard_bytes(shard_id, bitmap)
+            # incremental: n*k set bits -> sparse task payloads (kilobytes)
+            merge_bitmaps_into(bloom, new_admits, "url_hash")
         mark("seen_bloom")
 
         # rebuild `seen` from the durable deltas: a single flat multi-path

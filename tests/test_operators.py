@@ -313,6 +313,53 @@ class TestBloom:
         fp = with_bloom_probe(spark, others, bloom, "url_hash").filter(F.col("maybe_seen")).count()
         assert fp / 4000 < 0.02
 
+    def test_sparse_dense_and_partitioned_builds_identical(self, spark):
+        """The three fold topologies — sparse task payloads (small input),
+        dense payloads (input saturating the bitmap), and the
+        shuffle-by-shard full build — must all produce the exact bitmap of
+        a driver-local add_array over the same hashes."""
+        import numpy as np
+
+        from searchgov_spider_spark.crawl.bloom import PartitionedBloom, merge_bitmaps_into
+
+        hashes = (
+            spark.range(0, 3000)
+            .select(F.xxhash64(F.col("id").cast("string")).alias("url_hash"))
+            .repartition(7)
+        )
+        local = np.array([r.url_hash for r in hashes.collect()], dtype=np.int64)
+
+        expected = PartitionedBloom(4, 1 << 16, 4)
+        expected.add_array(local)
+
+        sparse = PartitionedBloom(4, 1 << 16, 4)  # 3000*4 pos << 8 KiB/shard
+        merge_bitmaps_into(sparse, hashes, "url_hash")
+        assert np.array_equal(sparse.shards, expected.shards)
+
+        dense = PartitionedBloom(4, 1 << 7, 4)  # 16-byte shards: dense wins
+        merge_bitmaps_into(dense, hashes, "url_hash")
+        exp_small = PartitionedBloom(4, 1 << 7, 4)
+        exp_small.add_array(local)
+        assert np.array_equal(dense.shards, exp_small.shards)
+
+        part = PartitionedBloom(4, 1 << 16, 4)
+        merge_bitmaps_into(part, hashes, "url_hash", rows_hint=10**10)
+        assert np.array_equal(part.shards, expected.shards)
+
+    def test_merge_shard_positions_roundtrip(self):
+        import numpy as np
+
+        from searchgov_spider_spark.crawl.bloom import PartitionedBloom
+
+        a = PartitionedBloom(2, 1 << 10, 3)
+        h = np.array([1, -7, 123456789, -2**62], dtype=np.int64)
+        a.add_array(h)
+        b = PartitionedBloom(2, 1 << 10, 3)
+        for s in range(2):
+            pos = np.nonzero(np.unpackbits(a.shards[s], bitorder="little"))[0]
+            b.merge_shard_positions(s, pos.astype(np.int64))
+        assert np.array_equal(a.shards, b.shards)
+
 
 class TestSimhashNearDup:
     def test_hand_derived_literal_values(self):
