@@ -51,7 +51,13 @@ from .frontier import (
     dedup_first_in_batch,
 )
 from .reference_bfs import CrawlPolicy
-from .seqno import SMALL_BATCH_THRESHOLD, assign_global_seq, assign_seq_small
+from .seqno import (
+    SMALL_BATCH_THRESHOLD,
+    assign_global_seq,
+    assign_seq_bucketed,
+    assign_seq_small,
+    monotone_bucket,
+)
 
 FRONTIER_COLS = ["url_canon", "url_hash", "host", "depth", "seq", "source_url"]
 SEEN_COLS = ["url_hash", "url_canon", "depth", "seq"]
@@ -334,13 +340,46 @@ class CrawlEngine:
         # FIFO sequence: small batches (estimated from fan-out) avoid the
         # pre-count pass; the exact count comes from the write Observation.
         # (n_selected <= frontier_hint, so hint * fan-out bounds the batch.)
+        # Big batches take the SAMPLING-FREE bucketed scheme: the frontier's
+        # seqs are exactly [next_seq - |frontier|, next_seq) in the fast
+        # path, so a monotone bucket id is pure arithmetic on parent_seq —
+        # no range-partitioner sampling job, no pre-count job, no second
+        # shuffled cache.  (Out-of-range parents on the budget-binding path
+        # clamp to the end buckets; monotonicity — correctness — holds for
+        # any bounds, per seqno.monotone_bucket.)
         est_admits = frontier_hint * 8
         seq_cache = None
         if est_admits < SMALL_BATCH_THRESHOLD:
             new_admits = assign_seq_small(new_admits, ["parent_seq", "pos"], start=next_seq)
         else:
-            new_admits, _, seq_cache = assign_global_seq(new_admits, ["parent_seq", "pos"], start=next_seq)
+            n_buckets = max(4 * self.spark.sparkContext.defaultParallelism, 8)
+            pid = monotone_bucket(
+                F.col("parent_seq"), lo=next_seq - frontier_hint, span=frontier_hint,
+                n_buckets=n_buckets,
+            )
+            new_admits, _, seq_cache = assign_seq_bucketed(
+                new_admits.withColumn("_pid", pid), ["parent_seq", "pos"], start=next_seq
+            )
         new_admits = new_admits.persist()
+        # Incremental Bloom fold OVERLAPPED with the frontier/documents
+        # writes: it reads only url_hash from the already-materialized
+        # pre-window cache (seqs are irrelevant to membership), so it shares
+        # no lineage with the writes.  The join before this round returns
+        # keeps the probe-ordering invariant: round n+1's prefilter never
+        # runs before round n's admits are folded in.
+        bloom_err: list[BaseException] = []
+        bloom_thread: threading.Thread | None = None
+        if self._bloom_built and frontier_hint > 0:
+            bloom_src = seq_cache if seq_cache is not None else new_admits
+
+            def _merge_bloom() -> None:
+                try:
+                    merge_bitmaps_into(bloom, bloom_src, "url_hash")
+                except BaseException as exc:  # re-raised on the round thread
+                    bloom_err.append(exc)
+
+            bloom_thread = threading.Thread(target=_merge_bloom, name=f"bloom-merge-{rnd}", daemon=True)
+            bloom_thread.start()
         mark("admission_plan")
 
         # state transition + checkpoint.  Fast path: everything in the
@@ -378,9 +417,12 @@ class CrawlEngine:
         seen_from_frontier = not budget_binds
         if not seen_from_frontier:
             self.store.write_seen_delta(new_admits.select(*SEEN_COLS), rnd)
-        if self._bloom_built and n_admitted > 0:
-            # incremental: n*k set bits -> sparse task payloads (kilobytes)
-            merge_bitmaps_into(bloom, new_admits, "url_hash")
+        if bloom_thread is not None:
+            # residual wait for the overlapped incremental fold (usually ~0:
+            # it ran concurrently with the frontier/documents writes)
+            bloom_thread.join()
+            if bloom_err:
+                raise bloom_err[0]
         mark("seen_bloom")
 
         # rebuild `seen` from the durable deltas: a single flat multi-path

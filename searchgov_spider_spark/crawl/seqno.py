@@ -33,6 +33,69 @@ def assign_seq_small(df: DataFrame, order_cols: list[str], seq_col: str = "seq",
     return df.withColumn(seq_col, (F.row_number().over(w) + F.lit(start) - 1).cast("long"))
 
 
+def assign_seq_bucketed(
+    df: DataFrame,
+    order_cols: list[str],
+    seq_col: str = "seq",
+    start: int = 0,
+    bucket_col: str = "_pid",
+) -> tuple[DataFrame, int, DataFrame]:
+    """Dense global sequence over a precomputed MONOTONE bucket column —
+    the zero-extra-job variant of :func:`assign_global_seq`.
+
+    ``df[bucket_col]`` must be a non-decreasing integer function of the
+    global ``order_cols`` order (the crawl engine derives it arithmetically
+    from the frontier's dense parent-seq range, so no range-sampling pass
+    is needed).  The single action here — the per-bucket count collect —
+    doubles as the materialization of ``df``'s cache; the per-bucket window
+    and the broadcast offset join stay lazy for the caller's write to
+    execute.  Versus :func:`assign_global_seq` this removes, per batch: the
+    pre-count job, the range-partitioner sampling job, and the second
+    shuffled+sorted cache (the one bucket shuffle runs inside the caller's
+    write).  The collect is O(buckets) rows at any input size.
+
+    Returns ``(df_with_seq, total_rows, cache_handle)``; the caller
+    unpersists the handle after materializing the result.
+    """
+    cached = df.persist()
+    rows = cached.groupBy(bucket_col).agg(F.count(F.lit(1)).alias("cnt")).collect()
+    counts = {r[bucket_col]: r["cnt"] for r in rows}
+    total = sum(counts.values())
+    if total == 0:
+        return cached.withColumn(seq_col, F.lit(start).cast("long")), 0, cached
+    offsets: dict[int, int] = {}
+    running = start
+    for b in sorted(counts):
+        offsets[b] = running
+        running += counts[b]
+    spark = df.sparkSession
+    offsets_df = F.broadcast(
+        spark.createDataFrame(
+            [(int(b), int(o)) for b, o in offsets.items()], f"{bucket_col} int, _offset long"
+        )
+    )
+    w = Window.partitionBy(bucket_col).orderBy(*[F.col(c) for c in order_cols])
+    out = (
+        cached.withColumn("_rn", F.row_number().over(w))
+        .join(offsets_df, bucket_col)
+        .withColumn(seq_col, (F.col("_offset") + F.col("_rn") - F.lit(1)).cast("long"))
+        .drop("_rn", "_offset", bucket_col)
+    )
+    return out, total, cached
+
+
+def monotone_bucket(
+    col, lo: int, span: int, n_buckets: int
+):
+    """Arithmetic bucket id: ``floor((col - lo) * n_buckets / span)`` clamped
+    to ``[0, n_buckets)``.  Monotone non-decreasing in ``col`` for ANY
+    ``(lo, span)`` — clamping keeps out-of-range values at the end buckets —
+    so :func:`assign_seq_bucketed` is CORRECT with estimated bounds; exact
+    bounds only improve balance."""
+    raw = F.floor(((col - F.lit(lo)) * F.lit(int(n_buckets))) / F.lit(int(max(span, 1))))
+    return F.least(F.lit(int(n_buckets - 1)), F.greatest(F.lit(0), raw)).cast("int")
+
+
 def assign_global_seq(
     df: DataFrame,
     order_cols: list[str],

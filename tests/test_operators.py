@@ -294,6 +294,47 @@ class TestSeqno:
         seqs = [r["seq"] for r in out.orderBy("pos").collect()]
         assert seqs == list(range(3000))
 
+    def test_bucketed_matches_global(self, spark):
+        """The sampling-free bucketed scheme assigns the SAME dense FIFO
+        sequence as assign_global_seq, for exact, estimated, and fully
+        out-of-range (clamped) bucket bounds."""
+        from searchgov_spider_spark.crawl.seqno import (
+            assign_global_seq,
+            assign_seq_bucketed,
+            monotone_bucket,
+        )
+
+        # skewed fan-out: parent 13 contributes 60% of rows
+        rows = [(p, i, f"u{p}_{i}") for p in range(200, 240) for i in range(8)]
+        rows += [(13 + 200, i, f"hot{i}") for i in range(8, 500)]
+        df = spark.createDataFrame(rows, "parent_seq long, pos int, url string").repartition(7)
+        ref, ref_total, h = assign_global_seq(
+            df, ["parent_seq", "pos"], start=777, small_threshold=10
+        )
+        expected = {(r["parent_seq"], r["pos"]): r["seq"] for r in ref.collect()}
+        h.unpersist()
+        for lo, span in [(200, 40), (0, 1000), (5000, 3)]:  # exact / loose / all-clamped
+            pid = monotone_bucket(F.col("parent_seq"), lo=lo, span=span, n_buckets=16)
+            out, total, cache = assign_seq_bucketed(
+                df.withColumn("_pid", pid), ["parent_seq", "pos"], start=777
+            )
+            got = {(r["parent_seq"], r["pos"]): r["seq"] for r in out.collect()}
+            cache.unpersist()
+            assert total == ref_total == len(rows)
+            assert got == expected, f"bounds ({lo},{span})"
+        # bucket column must be gone from the output schema
+        assert "_pid" not in out.columns
+
+    def test_bucketed_empty(self, spark):
+        from searchgov_spider_spark.crawl.seqno import assign_seq_bucketed, monotone_bucket
+
+        df = spark.createDataFrame([], "parent_seq long, pos int").withColumn(
+            "_pid", monotone_bucket(F.col("parent_seq"), lo=0, span=10, n_buckets=4)
+        )
+        out, total, cache = assign_seq_bucketed(df, ["parent_seq", "pos"], start=5)
+        assert total == 0 and out.count() == 0
+        cache.unpersist()
+
 
 class TestBloom:
     def test_no_false_negatives(self, spark):
