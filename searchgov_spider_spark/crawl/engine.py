@@ -400,10 +400,13 @@ class CrawlEngine:
                 frontier_next.observe(obs_frontier, F.count(F.lit(1)).alias("n")), rnd, "frontier"
             )
         finally:
-            # ALWAYS re-join the concurrent documents write — if the frontier
-            # write raised, the docs thread's own failure must not be dropped
-            # silently (and `extracted` must not be unpersisted under it).
+            # ALWAYS re-join the concurrent writes/folds — if the frontier
+            # write raised, the side threads' own failures must not be
+            # dropped silently (and their cached inputs must not be
+            # unpersisted under them).
             docs_thread.join()
+            if bloom_thread is not None:
+                bloom_thread.join()
         if docs_err:
             raise docs_err[0]
         remaining = int(obs_frontier.get["n"])
@@ -417,12 +420,10 @@ class CrawlEngine:
         seen_from_frontier = not budget_binds
         if not seen_from_frontier:
             self.store.write_seen_delta(new_admits.select(*SEEN_COLS), rnd)
-        if bloom_thread is not None:
-            # residual wait for the overlapped incremental fold (usually ~0:
-            # it ran concurrently with the frontier/documents writes)
-            bloom_thread.join()
-            if bloom_err:
-                raise bloom_err[0]
+        if bloom_thread is not None and bloom_err:
+            # (already joined in the write's finally; usually ~0 residual —
+            # the fold ran concurrently with the frontier/documents writes)
+            raise bloom_err[0]
         mark("seen_bloom")
 
         # rebuild `seen` from the durable deltas: a single flat multi-path
