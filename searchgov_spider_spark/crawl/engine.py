@@ -448,6 +448,7 @@ class CrawlEngine:
         new_admits.unpersist()
         if seq_cache is not None:
             seq_cache.unpersist()
+        mark("seen_rebuild")
 
         metrics = {
             "selected": n_selected,
@@ -526,8 +527,10 @@ class CrawlEngine:
             run.rounds = rnd + 1
             if metrics["stop"]:
                 break
+            t_inter = time.monotonic()
             seen = self._maybe_auto_compact(rnd, seen)
             frontier = self.store.read_table(spark, rnd, "frontier")
+            metrics["timings"]["interround"] = round(time.monotonic() - t_inter, 3)
         return run
 
     def _maybe_auto_compact(self, rnd: int, seen: DataFrame) -> DataFrame:
