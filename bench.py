@@ -634,7 +634,7 @@ def control_bench(cores: int, total_ops: int = 24_000_000) -> dict:
     with mp.Pool(cores) as pool:
         pool.map(_control_work, [per] * cores)
     wall = time.monotonic() - t0
-    return {"wall_s": round(wall, 2), "ops_per_sec": round(total_ops / wall, 0), "cores": cores}
+    return {"wall_s": round(wall, 2), "ops": total_ops, "ops_per_sec": round(total_ops / wall, 0), "cores": cores}
 
 
 def _box_busy_cpu_s() -> float:
@@ -773,14 +773,25 @@ def main() -> None:
     n_hosts = webgen.SF_HOSTS.get(sf, max(20, int(2_000 * sf)))
 
     total_t0 = time.monotonic()
-    qres = _run_phase_gated(["--phase", "queries"], pin_cores=None, own_cores=CPUS)
-    queries = qres["timings"]
-
+    # The HEADLINE crawl runs FIRST: it is the bench's only ABSOLUTE
+    # throughput number (everything after it — scaling, stateful — is a
+    # RELATIVE pinned-pair ratio that cancels machine state).  Measured
+    # evidence for the ordering: two full-sequence runs placed this phase
+    # ~45 min in (after the queries sweep) and recorded 1,530 own-CPU
+    # core-seconds for work that costs 1,020-1,040 fresh — identical
+    # deterministic rounds burning ~50% more cycles with external CPU at
+    # 0.1 cores, i.e. sustained-load frequency sag that no load/steal gate
+    # can see.  Standalone probes of the same command reproduce 26 s
+    # (5.8k URLs/s) on a fresh box.  Absolute numbers get the fresh box;
+    # ratios keep their alternating-pair protection.
     high = _run_phase_gated(
         ["--phase", "crawl", "--cores", str(CPUS), "--pages", str(n_pages), "--hosts", str(n_hosts)],
         pin_cores=None,
         own_cores=CPUS,
     )
+
+    qres = _run_phase_gated(["--phase", "queries"], pin_cores=None, own_cores=CPUS)
+    queries = qres["timings"]
     queries["crawl_sf_web"] = high["wall_s"]
 
     extras = {
@@ -962,14 +973,34 @@ def main() -> None:
         # efficiency bounds anything the engine can show that day, and the
         # ceiling-normalized number attributes shared-host degradation
         # (invisible to the load/external-CPU gates) to the machine
-        ctl_lo = _run_phase(["--phase", "control", "--cores", str(lo_cores)], pin_cores=lo_cores)
-        ctl_hi = _run_phase(["--phase", "control", "--cores", str(hi_cores)], pin_cores=hi_cores)
-        ceiling = (ctl_hi["ops_per_sec"] / ctl_lo["ops_per_sec"]) / ratio if ctl_lo["ops_per_sec"] else 0.0
-        extras["scaling"]["machine_ceiling_efficiency"] = round(ceiling, 3)
+        # Same repeated alternating-pair protocol as the engine ratios: a
+        # single lo/hi control sample proved fragile (one artifact measured
+        # ceiling 1.426 — a pinned embarrassingly-parallel CPU loop cannot
+        # truly scale super-linearly, so that is pure sample noise, and
+        # normalizing by it silently punished the engine number).
+        ctl_lo_runs: list[dict] = []
+        ctl_hi_runs: list[dict] = []
+        for p in range(pairs):
+            ctl_order = [(hi_cores, ctl_hi_runs), (lo_cores, ctl_lo_runs)]
+            if p % 2:
+                ctl_order.reverse()
+            for cores, bucket in ctl_order:
+                bucket.append(_run_phase(["--phase", "control", "--cores", str(cores)], pin_cores=cores))
+
+        def _ctl_rate(runs: list[dict]) -> float:
+            wall = sum(r["wall_s"] for r in runs)
+            return sum(r["ops"] for r in runs) / wall if wall > 0 else 0.0
+
+        ceiling_raw = (_ctl_rate(ctl_hi_runs) / _ctl_rate(ctl_lo_runs)) / ratio if _ctl_rate(ctl_lo_runs) else 0.0
+        # the ceiling is definitionally <= 1.0; clamp the NORMALIZATION
+        # divisor and keep the raw measurement disclosed alongside
+        ceiling = min(1.0, ceiling_raw)
+        extras["scaling"]["machine_ceiling_efficiency"] = round(ceiling_raw, 3)
         extras["scaling"]["ceiling_normalized_efficiency"] = (
             round(billed_eff / ceiling, 3) if ceiling else None
         )
-        extras["scaling"]["control"] = {"low": ctl_lo, "high": ctl_hi}
+        extras["scaling"]["ceiling_norm_divisor"] = round(ceiling, 3)
+        extras["scaling"]["control"] = {"low_runs": ctl_lo_runs, "high_runs": ctl_hi_runs, "pairs": pairs}
 
     total = round(time.monotonic() - total_t0, 2)
     # COMPACT one-line contract on stdout (the driver's capture window is

@@ -47,10 +47,13 @@ def main() -> None:
         return ", ".join(f"{r['billed_wall_s']:.1f} s" for r in runs)
 
     print(f"| per-run billed walls | {walls(lo_runs)} | {walls(hi_runs)} |")
-    sel_lo = [r["round_selected"][r["seed_rounds_unbilled"]:] for r in lo_runs]
-    sel_hi = [r["round_selected"][r["seed_rounds_unbilled"]:] for r in hi_runs]
+    # round_selected holds only the MEASURED (resumed) rounds — the seed
+    # rounds run in a separate unbilled seeding crawl and never appear here
+    sel_lo = [r["round_selected"] for r in lo_runs]
+    sel_hi = [r["round_selected"] for r in hi_runs]
     same = "identical" if sel_lo == sel_hi else f"{sel_hi} (MISMATCH!)"
-    print(f"| measured rounds (selected) | {sel_lo} | {same} |")
+    print(f"| measured rounds (selected) | {sel_lo[0]} x{len(sel_lo)} | {same} |")
+    print(f"| tail rounds (unbilled suffix) | {[r['tail_selected'] for r in lo_runs]} | {[r['tail_selected'] for r in hi_runs]} |")
     print(
         f"| drain/stop tail rounds | {sc['tail_rounds_unbilled_low']} | {sc['tail_rounds_unbilled_high']} |"
     )
