@@ -131,3 +131,42 @@ def logreg_token_features(
         F.expr(f"(cast({sumlen} as double) / cast({nt} as double)) / cast(8.0 as double)").alias("x3"),
         F.expr(f"cast(({ttr}) >= cast(0.45 as double) as int)").alias("y"),
     )
+
+
+def epoch_shards(
+    docs: DataFrame,
+    n_shards: int = 32,
+    seed: str = "epoch0",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Deterministic global training-order shuffle + shard assignment:
+    (id, shard_id, pos) where shard_id/pos are reproducible at ANY
+    parallelism and any cluster size — the data-order-reproducibility
+    contract LLM pretraining needs (re-running epoch 3 after a crash must
+    feed batches in the identical order).
+
+    rank = md5(seed:id) is the shuffle key (vary ``seed`` per epoch for a
+    fresh permutation); shard_id = high-24-bits(rank) % n_shards gives
+    uniform shards by construction; pos = rank order within the shard.
+
+    Scale shape: ONE shuffle (the window's hash partition on shard_id) and
+    a per-shard sort.  Shards are hash-uniform so there is no skew, and
+    ``n_shards`` is the memory knob: at 10^10 docs and n_shards = 65536
+    each shard sorts ~150k rows.  No RNG, no collect, no UDF — md5 and
+    row_number are codegen'd."""
+    from pyspark.sql import Window
+
+    rank = (
+        f"md5(concat('{seed}', ':', CAST({id_col} AS STRING)))"
+    )
+    shard = (
+        f"CAST(CAST(conv(substring(_rank, 1, 6), 16, 10) AS BIGINT) "
+        f"% {int(n_shards)} AS INT)"
+    )
+    w = Window.partitionBy("shard_id").orderBy("_rank", id_col)
+    return (
+        docs.select(F.col(id_col), F.expr(rank).alias("_rank"))
+        .withColumn("shard_id", F.expr(shard))
+        .withColumn("pos", F.row_number().over(w))
+        .select(id_col, "shard_id", "pos")
+    )

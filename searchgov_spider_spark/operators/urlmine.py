@@ -233,3 +233,123 @@ def shard_plan(
     )
     ranged.unpersist()
     return out
+
+
+# ---------------------------------------------------------------------------
+# Registrable-domain (eTLD+1) grouping
+# ---------------------------------------------------------------------------
+
+# Embedded two-level public-suffix subset (the full Mozilla PSL is a data
+# file a deployment ships alongside the job and broadcasts; this literal
+# subset keeps the operator dependency-free and DETERMINISTIC — the grouping
+# rule, not the list contents, is what the operator owns).  Suffixes whose
+# registrable domain is LABEL.suffix2 rather than LABEL.tld:
+TWO_LEVEL_SUFFIXES = (
+    "co.uk", "org.uk", "gov.uk", "ac.uk", "me.uk",
+    "com.au", "net.au", "org.au", "gov.au", "edu.au",
+    "co.jp", "ne.jp", "or.jp", "go.jp", "ac.jp",
+    "com.br", "gov.br", "org.br", "co.in", "gov.in",
+    "co.nz", "govt.nz", "com.mx", "gob.mx", "co.za",
+)
+
+
+def registrable_domain_expr(host_col: str = "host") -> str:
+    """SQL expression for the registrable domain (eTLD+1) of a lowercase
+    hostname — the grouping key behind per-site politeness, leakage-safe
+    corpus splits, and host-level dedup (grouping by bare host splits
+    ``www.x.gov`` from ``x.gov``; grouping by eTLD+1 does not).
+
+    Longest-match against the embedded two-level suffix set, else the
+    final two labels; single-label hosts (``localhost``, intranet names)
+    are their own registrable domain.  Pure codegen string/array algebra —
+    ``try_element_at`` (negative = from the end) never throws on short
+    hosts — so the classifier runs map-side at scan speed."""
+    two_level = ", ".join(f"'{s}'" for s in TWO_LEVEL_SUFFIXES)
+    labels = f"split({host_col}, '\\\\.')"
+    l1 = f"try_element_at({labels}, -1)"
+    l2 = f"try_element_at({labels}, -2)"
+    l3 = f"try_element_at({labels}, -3)"
+    suffix2 = f"concat({l2}, '.', {l1})"
+    return (
+        f"CASE WHEN {l2} IS NULL THEN {host_col} "
+        f"WHEN {suffix2} IN ({two_level}) THEN "
+        f"(CASE WHEN {l3} IS NULL THEN {host_col} "
+        f"ELSE concat({l3}, '.', {suffix2}) END) "
+        f"ELSE {suffix2} END"
+    )
+
+
+def registrable_domains(pages: DataFrame, url_col: str = "url") -> DataFrame:
+    """Per-eTLD+1 rollup of a URL corpus: (domain, n_urls, n_hosts,
+    max_sub_depth) where max_sub_depth is the deepest subdomain nesting
+    observed under the domain (0 = the registrable domain itself served
+    pages).
+
+    Scale shape: host extraction + eTLD+1 classification are one codegen
+    map pass; the rollup is a single partial-agg'd groupBy on the domain
+    (count + count-distinct host via the standard two-level expand; host
+    cardinality per domain is tiny, so the shuffle carries per-domain
+    partials, never URLs).  Holds at 10^10 URLs."""
+    hosts = pages.select(
+        F.lower(F.regexp_extract(F.col(url_col), r"^[a-z]+://([^/:?#]+)", 1)).alias("host")
+    ).withColumn("domain", F.expr(registrable_domain_expr("host")))
+    per_host = hosts.groupBy("domain", "host").agg(F.count("*").alias("n_urls"))
+    return (
+        per_host.withColumn(
+            "sub_depth",
+            F.expr("size(split(host, '\\\\.')) - size(split(domain, '\\\\.'))"),
+        )
+        .groupBy("domain")
+        .agg(
+            F.sum("n_urls").alias("n_urls"),
+            F.count("*").alias("n_hosts"),
+            F.max("sub_depth").alias("max_sub_depth"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# rel=canonical duplicate clustering
+# ---------------------------------------------------------------------------
+
+# attribute order varies in the wild; match either and coalesce
+CANONICAL_RE_REL_FIRST = '<link rel="canonical" href="([^"]*)"'
+CANONICAL_RE_HREF_FIRST = '<link href="([^"]*)" rel="canonical"'
+
+
+def canonical_clusters(
+    pages: DataFrame, url_col: str = "url", html_col: str = "html"
+) -> DataFrame:
+    """Cluster crawled pages by their ``<link rel="canonical">`` target —
+    the publisher-declared duplicate grouping (print views, tracking-param
+    variants, mobile mirrors all point at one canonical URL), the cheapest
+    dedup signal a crawl has because it needs NO content comparison.
+
+    Per cluster: (canonical_url, n_pages, rep_url = lexicographically
+    first member, has_canonical_page = the canonical target itself was
+    crawled).  Pages without the tag are self-canonical singletons unless
+    other pages point at them.  Relative hrefs resolve against the page's
+    scheme+host; the extraction is JVM ``regexp_extract`` over both
+    attribute orders — zero UDFs, so the map side runs at scan speed and
+    the only shuffle is the partial-agg'd groupBy on canonical_url."""
+    href = (
+        f"coalesce(nullif(regexp_extract({html_col}, '{CANONICAL_RE_REL_FIRST}', 1), ''), "
+        f"nullif(regexp_extract({html_col}, '{CANONICAL_RE_HREF_FIRST}', 1), ''))"
+    )
+    resolved = (
+        f"CASE WHEN _href IS NULL THEN {url_col} "
+        f"WHEN _href LIKE 'http%' THEN _href "
+        f"ELSE concat(regexp_extract({url_col}, '^([a-z]+://[^/]+)', 1), _href) END"
+    )
+    return (
+        pages.withColumn("_href", F.expr(href))
+        .withColumn("canonical_url", F.expr(resolved))
+        .groupBy("canonical_url")
+        .agg(
+            F.count("*").alias("n_pages"),
+            F.min(url_col).alias("rep_url"),
+            F.max((F.col(url_col) == F.col("canonical_url")).cast("int"))
+            .cast("boolean")
+            .alias("has_canonical_page"),
+        )
+    )

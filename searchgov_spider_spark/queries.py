@@ -4457,3 +4457,260 @@ ORACLES["q124_span_corruption"] = f"""
                            t[s + 1 : s + least(3, n - s)]))), ' '), '') AS target_text
     FROM dr
 """
+
+
+# ---------------------------------------------------------------------------
+# q125-q128 — round-5 additions: eTLD+1 grouping, canonical-link dedup,
+# deterministic epoch shuffle, content-defined chunking
+# ---------------------------------------------------------------------------
+
+_Q125_HOST = """CASE CAST(doc_id % 7 AS INT)
+    WHEN 0 THEN concat(source, '.gov.uk')
+    WHEN 1 THEN concat('www.', source, '.gov.uk')
+    WHEN 2 THEN concat('a.b.', source, '.co.uk')
+    WHEN 3 THEN concat(source, '.example.com')
+    WHEN 4 THEN concat('www.', source, '.gov')
+    WHEN 5 THEN concat('intranet-', CAST(doc_id % 3 AS STRING))
+    ELSE concat(source, '.ac.uk') END"""
+
+
+def q125_registrable_domains(spark, sf_dir):
+    """eTLD+1 (registrable-domain) corpus rollup (urlmine.registrable_domains):
+    the grouping key behind per-site politeness budgets, leakage-safe
+    splits (q99 groups by bare host; this is the stronger key), and
+    host-level dedup.  Hosts synthesized to cover every classifier branch:
+    two-level public suffixes at 0/1/2 subdomain depths, a plain gTLD, a
+    collapsing shared base domain, and single-label intranet names.  The
+    oracle re-derives each variant's EXPECTED domain/depth from the
+    construction formula — it never restates the suffix-match code, so a
+    classifier defect cannot self-verify."""
+    from .operators import urlmine
+
+    pages = _t(spark, sf_dir, "documents").select(
+        F.concat(
+            F.lit("https://"), F.expr(_Q125_HOST), F.lit("/p/"),
+            F.col("doc_id").cast("string"),
+        ).alias("url")
+    )
+    return urlmine.registrable_domains(pages)
+
+
+QUERIES["q125_registrable_domains"] = q125_registrable_domains
+
+ORACLES["q125_registrable_domains"] = """
+    WITH v AS (
+        SELECT doc_id, source, CAST(doc_id % 7 AS INT) AS k FROM documents),
+    hosts AS (
+        SELECT CASE k
+                 WHEN 0 THEN source || '.gov.uk'
+                 WHEN 1 THEN 'www.' || source || '.gov.uk'
+                 WHEN 2 THEN 'a.b.' || source || '.co.uk'
+                 WHEN 3 THEN source || '.example.com'
+                 WHEN 4 THEN 'www.' || source || '.gov'
+                 WHEN 5 THEN 'intranet-' || (doc_id % 3)
+                 ELSE source || '.ac.uk' END AS host,
+               CASE k
+                 WHEN 0 THEN source || '.gov.uk'
+                 WHEN 1 THEN source || '.gov.uk'
+                 WHEN 2 THEN source || '.co.uk'
+                 WHEN 3 THEN 'example.com'
+                 WHEN 4 THEN source || '.gov'
+                 WHEN 5 THEN 'intranet-' || (doc_id % 3)
+                 ELSE source || '.ac.uk' END AS domain,
+               CASE k WHEN 1 THEN 1 WHEN 2 THEN 2 WHEN 3 THEN 1
+                      WHEN 4 THEN 1 ELSE 0 END AS depth
+        FROM v)
+    SELECT domain,
+           CAST(count(*) AS BIGINT) AS n_urls,
+           CAST(count(DISTINCT host) AS BIGINT) AS n_hosts,
+           CAST(max(depth) AS INT) AS max_sub_depth
+    FROM hosts GROUP BY domain
+"""
+
+
+def q126_canonical_clusters(spark, sf_dir):
+    """rel=canonical duplicate clustering (urlmine.canonical_clusters):
+    pages carry real HTML with the canonical <link> in both attribute
+    orders, absolute and relative hrefs, and tag-free self-canonical
+    pages; clusters form across query-string variants pointing at a
+    shared master page.  The Spark side extracts from the HTML bytes with
+    JVM regexes; the oracle re-derives every expected cluster from the
+    construction formula WITHOUT touching HTML, so an extraction defect
+    cannot self-verify."""
+    from .operators import urlmine
+
+    d = _t(spark, sf_dir, "documents")
+    # 4-page clusters share one host (print/tracking variants of one page);
+    # the k=0 member IS the master, so its cluster has has_canonical_page
+    base = (
+        "concat('https://h', CAST((doc_id - doc_id % 4) % 40 AS STRING), "
+        "'.example.gov/p/')"
+    )
+    # every 5th cluster's canonical target is a page the crawl never saw
+    # (CMS points at a moved page) -> has_canonical_page = false there
+    master = (
+        "CAST(doc_id - doc_id % 4 + "
+        "CASE WHEN (doc_id - doc_id % 4) % 20 = 0 THEN 1000000 ELSE 0 END AS STRING)"
+    )
+    url = (
+        f"concat({base}, CAST(doc_id AS STRING), "
+        f"CASE WHEN doc_id % 4 >= 2 THEN concat('?ref=', CAST(doc_id % 5 AS STRING)) "
+        f"ELSE '' END)"
+    )
+    html = f"""CASE CAST(doc_id % 4 AS INT)
+        WHEN 0 THEN concat('<html><head><link rel="canonical" href="', {base}, {master},
+                           '"></head><body>', text, '</body></html>')
+        WHEN 1 THEN concat('<html><head><link href="/p/', {master},
+                           '" rel="canonical"></head><body>', text, '</body></html>')
+        WHEN 2 THEN concat('<html><body>', text, '</body></html>')
+        ELSE concat('<html><head><link rel="canonical" href="/p/', {master},
+                    '"></head><body>', text, '</body></html>') END"""
+    pages = d.select(F.expr(url).alias("url"), F.expr(html).alias("html"))
+    return urlmine.canonical_clusters(pages)
+
+
+QUERIES["q126_canonical_clusters"] = q126_canonical_clusters
+
+ORACLES["q126_canonical_clusters"] = """
+    WITH v AS (
+        SELECT doc_id,
+               'https://h' || ((doc_id - doc_id % 4) % 40) || '.example.gov/p/'
+                   AS base,
+               doc_id - doc_id % 4 +
+                   CASE WHEN (doc_id - doc_id % 4) % 20 = 0 THEN 1000000
+                        ELSE 0 END AS master,
+               CAST(doc_id % 4 AS INT) AS k
+        FROM documents),
+    pages AS (
+        SELECT base || doc_id ||
+                   CASE WHEN doc_id % 4 >= 2 THEN '?ref=' || (doc_id % 5)
+                        ELSE '' END AS url,
+               CASE WHEN k = 2
+                    THEN base || doc_id || '?ref=' || (doc_id % 5)
+                    ELSE base || master END AS canonical_url
+        FROM v)
+    SELECT canonical_url,
+           CAST(count(*) AS BIGINT) AS n_pages,
+           min(url) AS rep_url,
+           CAST(max(CASE WHEN url = canonical_url THEN 1 ELSE 0 END) AS BOOLEAN)
+               AS has_canonical_page
+    FROM pages GROUP BY canonical_url
+"""
+
+
+Q127_SHARDS = 16
+Q127_SEED = "epoch1"
+
+
+def q127_epoch_shards(spark, sf_dir):
+    """Deterministic global training-order shuffle (training.epoch_shards):
+    md5(seed:doc_id) ranks give a reproducible corpus permutation; hash
+    high bits pick one of 16 uniform shards and row_number inside the
+    shard is the batch position — the data-order contract pretraining
+    resume needs, bit-identical at any parallelism (the partition-
+    invariance test pins local[2] == local[32])."""
+    from .operators import training
+
+    return training.epoch_shards(
+        _t(spark, sf_dir, "documents").select("doc_id"),
+        n_shards=Q127_SHARDS,
+        seed=Q127_SEED,
+    )
+
+
+QUERIES["q127_epoch_shards"] = q127_epoch_shards
+
+ORACLES["q127_epoch_shards"] = f"""
+    WITH r AS (
+        SELECT doc_id,
+               md5('{Q127_SEED}:' || doc_id) AS rank,
+        FROM documents),
+    s AS (
+        SELECT doc_id, rank,
+               CAST(('0x' || substring(rank, 1, 6))::BIGINT % {Q127_SHARDS} AS INT)
+                   AS shard_id
+        FROM r)
+    SELECT doc_id, shard_id,
+           CAST(row_number() OVER (PARTITION BY shard_id ORDER BY rank, doc_id)
+               AS INT) AS pos
+    FROM s
+"""
+
+
+Q128_K, Q128_DIV = 3, 8
+
+
+def q128_cdc_delta(spark, sf_dir):
+    """Content-defined chunking recrawl delta (snapshots.cdc_chunks +
+    cdc_delta): v2 prepends an edit token to every third document — the
+    shift that breaks ALL of a fixed-stride chunker's hashes but only the
+    pre-first-boundary chunks of a content-defined one.  Per doc: chunk
+    counts both versions, distinct shared hashes, and the reuse ratio a
+    delta store would achieve.  Oracle restates the boundary rule on
+    DuckDB lists (the q124 pattern) — same md5 gram hashes, same slicing
+    — then the same distinct-intersection arithmetic."""
+    from .operators import snapshots
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    v2 = d.select(
+        "doc_id",
+        F.expr(
+            "CASE WHEN doc_id % 3 = 0 THEN concat('update', CAST(doc_id % 7 AS STRING), ' ', text) "
+            "ELSE text END"
+        ).alias("text"),
+    )
+    old_c = snapshots.cdc_chunks(d, k=Q128_K, divisor=Q128_DIV)
+    new_c = snapshots.cdc_chunks(v2, k=Q128_K, divisor=Q128_DIV)
+    return snapshots.cdc_delta(old_c, new_c)
+
+
+QUERIES["q128_cdc_delta"] = q128_cdc_delta
+
+_Q128_CHUNKS = f"""
+        SELECT doc_id, t, len(t) AS n,
+               list_filter(list_transform(range({Q128_K}, len(t) + 1),
+                   p -> CASE WHEN ('0x' || substring(md5(array_to_string(
+                            t[p - {Q128_K} + 1 : p], ' ')), 1, 6))::BIGINT
+                            % {Q128_DIV} = 0 THEN p END),
+                   x -> x IS NOT NULL) AS bnds
+        FROM {{src}} WHERE len(t) > 0"""
+
+ORACLES["q128_cdc_delta"] = f"""
+    WITH d1 AS (SELECT doc_id, {_TOKS} AS t FROM documents),
+    d2 AS (SELECT doc_id, CASE WHEN doc_id % 3 = 0
+                   THEN 'update' || (doc_id % 7) || ' ' || text
+                   ELSE text END AS text FROM documents),
+    t2 AS (SELECT doc_id, {_TOKS} AS t FROM d2),
+    b1 AS ({_Q128_CHUNKS.format(src="d1")}),
+    b2 AS ({_Q128_CHUNKS.format(src="t2")}),
+    c1 AS (
+        SELECT doc_id,
+               md5(array_to_string(t[list_concat([0], bnds)[i] + 1 :
+                   list_concat(bnds, [n])[i]], ' ')) AS chunk_hash
+        FROM b1, UNNEST(range(1, len(bnds) + 2)) AS u(i)
+        WHERE list_concat(bnds, [n])[i] > list_concat([0], bnds)[i]),
+    c2 AS (
+        SELECT doc_id,
+               md5(array_to_string(t[list_concat([0], bnds)[i] + 1 :
+                   list_concat(bnds, [n])[i]], ' ')) AS chunk_hash
+        FROM b2, UNNEST(range(1, len(bnds) + 2)) AS u(i)
+        WHERE list_concat(bnds, [n])[i] > list_concat([0], bnds)[i]),
+    co AS (SELECT doc_id, count(*) AS n_chunks_old FROM c1 GROUP BY doc_id),
+    cn AS (SELECT doc_id, count(*) AS n_chunks_new,
+                  count(DISTINCT chunk_hash) AS nd_new
+           FROM c2 GROUP BY doc_id),
+    sh AS (
+        SELECT o.doc_id, count(*) AS n_shared
+        FROM (SELECT DISTINCT doc_id, chunk_hash FROM c1) o
+        JOIN (SELECT DISTINCT doc_id, chunk_hash FROM c2) nn
+          ON o.doc_id = nn.doc_id AND o.chunk_hash = nn.chunk_hash
+        GROUP BY o.doc_id)
+    SELECT cn.doc_id,
+           CAST(coalesce(co.n_chunks_old, 0) AS BIGINT) AS n_chunks_old,
+           CAST(coalesce(cn.n_chunks_new, 0) AS BIGINT) AS n_chunks_new,
+           CAST(coalesce(sh.n_shared, 0) AS BIGINT) AS n_shared,
+           round(coalesce(sh.n_shared, 0) / greatest(coalesce(cn.nd_new, 0), 1), 6)
+               AS reuse_ratio
+    FROM cn LEFT JOIN co ON co.doc_id = cn.doc_id
+            LEFT JOIN sh ON sh.doc_id = cn.doc_id
+"""
