@@ -9,9 +9,20 @@ extracts without a password.  Implemented:
   * RC4 (V=1 40-bit, V=2 /Length up to 128-bit) — §7.6.2 Algorithm 1
   * AES-128-CBC (/V 4 /CFM /AESV2, 16-byte IV prefix, PKCS#5 padding) —
     §7.6.2 Algorithm 1.A; AES itself is implemented here (encrypt+decrypt,
-    FIPS-197) because the sandbox has no crypto library
-  * key derivation from the EMPTY user password — §7.6.3.3 Algorithm 2
+    FIPS-197, 128- and 256-bit key schedules) because the engine must stay
+    stdlib-only; tests cross-check the primitives against the FIPS-197 /
+    SP 800-38A published vectors and (when the library happens to be
+    importable) `cryptography`
+  * AES-256 (/V 5 /R 6 /CFM /AESV3, ISO 32000-2 §7.6.4): the 2.B iterated
+    SHA-256/384/512 password hash, /U /UE /O /OE file-key recovery via the
+    user OR owner path, /Perms validation; V5 uses the file key directly
+    per object (no per-object MD5 salt)
+  * key derivation from the user password — §7.6.3.3 Algorithm 2 (empty
+    password is the default real-corpus case; NON-empty user and owner
+    passwords are verified via Algorithms 6/7 for R 2-4 and 2.A for R 6
+    when the caller supplies candidates)
   * /O and /U generation for the fixture writer — Algorithms 3, 4, 5
+    (R 2-4) and 8, 9, 10 (R 6)
 
 ``decrypt_pdf`` is the reader pre-pass: given an encrypted body it returns
 a plaintext-equivalent body (strings and streams decrypted in place,
@@ -20,9 +31,9 @@ pdfx scans byte patterns, not xref offsets, so offsets need no fixing.
 ``encrypt_pdf`` is the fixture post-processor: it encrypts any classic-xref
 PDF from ``pdfx.make_simple_pdf`` and rebuilds the xref table.
 
-Out of subset (documented): non-empty user passwords, /R 5/6 (AES-256),
-crypt filters other than /Identity on specific streams, unencrypted-
-metadata special-casing.
+Out of subset (documented): SASLprep password normalization (R6 passwords
+here are ASCII), crypt filters other than the default /StdCF on specific
+streams, unencrypted-metadata special-casing.
 """
 
 from __future__ import annotations
@@ -30,6 +41,15 @@ from __future__ import annotations
 import hashlib
 import re
 import struct
+
+try:  # accelerated AES when the host ships `cryptography` (import-gated;
+    # the pure-Python FIPS-197 implementation below is the fallback and
+    # the two are parity-tested against each other and published vectors)
+    from cryptography.hazmat.primitives.ciphers import Cipher, algorithms, modes
+
+    _HAVE_CRYPTO = True
+except ImportError:  # pragma: no cover - exercised via the forced-pure tests
+    _HAVE_CRYPTO = False
 
 # §7.6.3.3: the standard 32-byte padding string
 PAD = bytes(
@@ -95,19 +115,24 @@ def _gmul(a: int, b: int) -> int:
 
 
 def _expand_key(key: bytes) -> list[bytes]:
-    words = [key[i : i + 4] for i in range(0, 16, 4)]
-    for i in range(4, 44):
+    """FIPS-197 §5.2 key expansion for Nk=4 (AES-128) or Nk=8 (AES-256)."""
+    nk = len(key) // 4
+    nr = nk + 6
+    words = [key[i : i + 4] for i in range(0, len(key), 4)]
+    for i in range(nk, 4 * (nr + 1)):
         t = bytearray(words[i - 1])
-        if i % 4 == 0:
+        if i % nk == 0:
             t = bytearray([_SBOX[t[1]], _SBOX[t[2]], _SBOX[t[3]], _SBOX[t[0]]])
-            t[0] ^= _RCON[i // 4 - 1]
-        words.append(bytes(a ^ b for a, b in zip(words[i - 4], t)))
-    return [b"".join(words[4 * r : 4 * r + 4]) for r in range(11)]
+            t[0] ^= _RCON[i // nk - 1]
+        elif nk > 6 and i % nk == 4:
+            t = bytearray(_SBOX[b] for b in t)
+        words.append(bytes(a ^ b for a, b in zip(words[i - nk], t)))
+    return [b"".join(words[4 * r : 4 * r + 4]) for r in range(nr + 1)]
 
 
 def _aes_encrypt_block(rk: list[bytes], block: bytes) -> bytes:
     s = bytearray(a ^ b for a, b in zip(block, rk[0]))
-    for rnd in range(1, 10):
+    for rnd in range(1, len(rk) - 1):
         s = bytearray(_SBOX[b] for b in s)  # SubBytes
         s = bytearray(s[(i + 4 * (i % 4)) % 16] for i in range(16))  # ShiftRows (col-major)
         t = bytearray(16)
@@ -120,14 +145,14 @@ def _aes_encrypt_block(rk: list[bytes], block: bytes) -> bytes:
         s = bytearray(a ^ b for a, b in zip(t, rk[rnd]))
     s = bytearray(_SBOX[b] for b in s)
     s = bytearray(s[(i + 4 * (i % 4)) % 16] for i in range(16))
-    return bytes(a ^ b for a, b in zip(s, rk[10]))
+    return bytes(a ^ b for a, b in zip(s, rk[-1]))
 
 
 def _aes_decrypt_block(rk: list[bytes], block: bytes) -> bytes:
-    s = bytearray(a ^ b for a, b in zip(block, rk[10]))
+    s = bytearray(a ^ b for a, b in zip(block, rk[-1]))
     s = bytearray(s[(i - 4 * (i % 4)) % 16] for i in range(16))  # InvShiftRows
     s = bytearray(_INV_SBOX[b] for b in s)
-    for rnd in range(9, 0, -1):
+    for rnd in range(len(rk) - 2, 0, -1):
         s = bytearray(a ^ b for a, b in zip(s, rk[rnd]))
         t = bytearray(16)
         for c in range(4):  # InvMixColumns
@@ -142,11 +167,9 @@ def _aes_decrypt_block(rk: list[bytes], block: bytes) -> bytes:
     return bytes(a ^ b for a, b in zip(s, rk[0]))
 
 
-def aes_cbc_encrypt(key: bytes, iv: bytes, data: bytes) -> bytes:
+def _pure_cbc_encrypt(key: bytes, iv: bytes, data: bytes) -> bytes:
     rk = _expand_key(key)
-    padlen = 16 - len(data) % 16
-    data += bytes([padlen]) * padlen
-    out = bytearray(iv)
+    out = bytearray()
     prev = iv
     for i in range(0, len(data), 16):
         block = bytes(a ^ b for a, b in zip(data[i : i + 16], prev))
@@ -155,21 +178,60 @@ def aes_cbc_encrypt(key: bytes, iv: bytes, data: bytes) -> bytes:
     return bytes(out)
 
 
+def _pure_cbc_decrypt(key: bytes, iv: bytes, data: bytes) -> bytes:
+    rk = _expand_key(key)
+    out = bytearray()
+    prev = iv
+    for i in range(0, len(data), 16):
+        blk = data[i : i + 16]
+        out += bytes(a ^ b for a, b in zip(_aes_decrypt_block(rk, blk), prev))
+        prev = blk
+    return bytes(out)
+
+
+def aes_cbc_encrypt_nopad(key: bytes, iv: bytes, data: bytes) -> bytes:
+    """CBC without padding or IV prefix (R6 key wrapping and the 2.B hash
+    both use exact-multiple-of-16 payloads with a caller-known IV)."""
+    if _HAVE_CRYPTO:
+        enc = Cipher(algorithms.AES(key), modes.CBC(iv)).encryptor()
+        return enc.update(data) + enc.finalize()
+    return _pure_cbc_encrypt(key, iv, data)
+
+
+def aes_cbc_decrypt_nopad(key: bytes, iv: bytes, data: bytes) -> bytes:
+    if _HAVE_CRYPTO:
+        dec = Cipher(algorithms.AES(key), modes.CBC(iv)).decryptor()
+        return dec.update(data) + dec.finalize()
+    return _pure_cbc_decrypt(key, iv, data)
+
+
+def aes_cbc_encrypt(key: bytes, iv: bytes, data: bytes) -> bytes:
+    padlen = 16 - len(data) % 16
+    return iv + aes_cbc_encrypt_nopad(key, iv, data + bytes([padlen]) * padlen)
+
+
 def aes_cbc_decrypt(key: bytes, data: bytes) -> bytes:
     if len(data) < 32 or len(data) % 16:
         return b""
-    rk = _expand_key(key)
-    iv, body = data[:16], data[16:]
-    out = bytearray()
-    prev = iv
-    for i in range(0, len(body), 16):
-        blk = body[i : i + 16]
-        out += bytes(a ^ b for a, b in zip(_aes_decrypt_block(rk, blk), prev))
-        prev = blk
+    out = aes_cbc_decrypt_nopad(key, data[:16], data[16:])
     pad = out[-1] if out else 0
     if 1 <= pad <= 16:
         out = out[:-pad]
     return bytes(out)
+
+
+def aes_ecb_encrypt_block(key: bytes, block: bytes) -> bytes:
+    if _HAVE_CRYPTO:
+        enc = Cipher(algorithms.AES(key), modes.ECB()).encryptor()
+        return enc.update(block) + enc.finalize()
+    return _aes_encrypt_block(_expand_key(key), block)
+
+
+def aes_ecb_decrypt_block(key: bytes, block: bytes) -> bytes:
+    if _HAVE_CRYPTO:
+        dec = Cipher(algorithms.AES(key), modes.ECB()).decryptor()
+        return dec.update(block) + dec.finalize()
+    return _aes_decrypt_block(_expand_key(key), block)
 
 
 # ---------------------------------------------------------------------------
@@ -225,7 +287,11 @@ def u_value(key: bytes, file_id: bytes, r: int) -> bytes:
 
 
 def object_key(key: bytes, objnum: int, gennum: int, aes: bool) -> bytes:
-    """Algorithm 1 step b-c: per-object key."""
+    """Algorithm 1 step b-c: per-object key.  A 32-byte key means /V 5
+    (AES-256), where §7.6.4.1 uses the FILE key directly for every object
+    — no per-object MD5 salting."""
+    if len(key) == 32:
+        return key
     h = hashlib.md5()
     h.update(key)
     h.update(struct.pack("<I", objnum)[:3])
@@ -233,6 +299,80 @@ def object_key(key: bytes, objnum: int, gennum: int, aes: bool) -> bytes:
     if aes:
         h.update(b"sAlT")
     return h.digest()[: min(len(key) + 5, 16)]
+
+
+# ---------------------------------------------------------------------------
+# /V 5 /R 6 (AES-256, ISO 32000-2 §7.6.4)
+# ---------------------------------------------------------------------------
+
+
+def hash_2b(password: bytes, salt: bytes, udata: bytes = b"", r: int = 6) -> bytes:
+    """§7.6.4.3.4 Algorithm 2.B (R6): iterated SHA-256/384/512 password
+    hash.  R5 (the deprecated Adobe extension) is the plain SHA-256 first
+    step with no iteration."""
+    password = password[:127]
+    k = hashlib.sha256(password + salt + udata).digest()
+    if r < 6:
+        return k
+    i = 0
+    while True:
+        i += 1
+        k1 = (password + k + udata) * 64
+        e = aes_cbc_encrypt_nopad(k[:16], k[16:32], k1)
+        k = {0: hashlib.sha256, 1: hashlib.sha384, 2: hashlib.sha512}[
+            sum(e[:16]) % 3
+        ](e).digest()
+        if i >= 64 and e[-1] <= i - 32:
+            return k[:32]
+
+
+def file_key_v5(
+    u: bytes, ue: bytes, o: bytes, oe: bytes, password: bytes, r: int = 6
+) -> bytes | None:
+    """§7.6.4.3.3 Algorithm 2.A: recover the 32-byte file key by validating
+    ``password`` first as the USER password (salts ride in /U), then as the
+    OWNER password (salted with /U as extra data).  None if neither path
+    validates."""
+    if len(u) < 48 or len(o) < 48:
+        return None
+    # user path: /U = hash(pwd, vsalt) || vsalt || ksalt
+    if len(ue) >= 32 and hash_2b(password, u[32:40], b"", r) == u[:32]:
+        ikey = hash_2b(password, u[40:48], b"", r)
+        return aes_cbc_decrypt_nopad(ikey, bytes(16), ue[:32])
+    # owner path: /O salts bind the first 48 bytes of /U
+    if len(oe) >= 32 and hash_2b(password, o[32:40], u[:48], r) == o[:32]:
+        ikey = hash_2b(password, o[40:48], u[:48], r)
+        return aes_cbc_decrypt_nopad(ikey, bytes(16), oe[:32])
+    return None
+
+
+def v5_security_entries(
+    file_key: bytes,
+    user_pwd: bytes,
+    owner_pwd: bytes,
+    p: int,
+    salt_seed: bytes,
+) -> dict[str, bytes]:
+    """Algorithms 8/9/10: the /U /UE /O /OE /Perms entries for the fixture
+    writer.  Salts are derived deterministically from ``salt_seed`` (a real
+    writer uses random salts; determinism is a fixture property only)."""
+    vsu = hashlib.sha256(salt_seed + b"vsu").digest()[:8]
+    ksu = hashlib.sha256(salt_seed + b"ksu").digest()[:8]
+    vso = hashlib.sha256(salt_seed + b"vso").digest()[:8]
+    kso = hashlib.sha256(salt_seed + b"kso").digest()[:8]
+    u = hash_2b(user_pwd, vsu, b"") + vsu + ksu
+    ue = aes_cbc_encrypt_nopad(hash_2b(user_pwd, ksu, b""), bytes(16), file_key)
+    o = hash_2b(owner_pwd, vso, u) + vso + kso
+    oe = aes_cbc_encrypt_nopad(hash_2b(owner_pwd, kso, u), bytes(16), file_key)
+    perms_plain = (
+        struct.pack("<i", p)
+        + b"\xff\xff\xff\xff"
+        + b"T"  # /EncryptMetadata true
+        + b"adb"
+        + hashlib.sha256(salt_seed + b"rnd").digest()[:4]
+    )
+    perms = aes_ecb_encrypt_block(file_key, perms_plain)
+    return {"U": u, "UE": ue, "O": o, "OE": oe, "Perms": perms}
 
 
 def _crypt(key: bytes, data: bytes, aes: bool, encrypt: bool, iv: bytes = b"") -> bytes:
@@ -335,18 +475,45 @@ def encrypt_pdf(
     variant: str = "rc4-128",
     file_id: bytes = b"\x01" * 16,
     p: int = -44,
+    user_pwd: bytes = b"",
 ) -> bytes:
-    """Fixture post-processor: encrypt a classic-xref PDF (empty USER
-    password) and rebuild its xref.  ``variant``: rc4-40 | rc4-128 |
-    aes-128."""
-    r, v, bits, aes = {
-        "rc4-40": (2, 1, 40, False),
-        "rc4-128": (3, 2, 128, False),
-        "aes-128": (4, 4, 128, True),
-    }[variant]
-    o = o_value(owner_pwd, b"", r, bits)
-    key = file_key(o, p, file_id, r, bits)
-    u = u_value(key, file_id, r)
+    """Fixture post-processor: encrypt a classic-xref PDF and rebuild its
+    xref.  ``variant``: rc4-40 | rc4-128 | aes-128 | aes-256.  The default
+    empty ``user_pwd`` is the owner-encrypted real-corpus shape; a
+    non-empty one produces a document only openable with a password."""
+    if variant == "aes-256":
+        aes = True
+        key = hashlib.sha256(file_id + b"filekey").digest()  # fixture-deterministic
+        ent = v5_security_entries(key, user_pwd, owner_pwd, p, salt_seed=file_id)
+        enc_obj = (
+            b"<< /Filter /Standard /V 5 /R 6 /Length 256 /P %d " % p
+            + b"/CF << /StdCF << /CFM /AESV3 /Length 32 >> >> /StmF /StdCF /StrF /StdCF "
+            + b"/O <" + ent["O"].hex().encode()
+            + b"> /U <" + ent["U"].hex().encode()
+            + b"> /OE <" + ent["OE"].hex().encode()
+            + b"> /UE <" + ent["UE"].hex().encode()
+            + b"> /Perms <" + ent["Perms"].hex().encode()
+            + b"> >>"
+        )
+    else:
+        r, v, bits, aes = {
+            "rc4-40": (2, 1, 40, False),
+            "rc4-128": (3, 2, 128, False),
+            "aes-128": (4, 4, 128, True),
+        }[variant]
+        o = o_value(owner_pwd, user_pwd, r, bits)
+        key = file_key(o, p, file_id, r, bits, user_pwd=user_pwd)
+        u = u_value(key, file_id, r)
+        cf = (
+            b"/CF << /StdCF << /CFM /AESV2 /Length 16 >> >> /StmF /StdCF /StrF /StdCF "
+            if aes
+            else b""
+        )
+        enc_obj = (
+            b"<< /Filter /Standard /V %d /R %d /Length %d /P %d " % (v, r, bits, p)
+            + cf
+            + b"/O <" + o.hex().encode() + b"> /U <" + u.hex().encode() + b"> >>"
+        )
 
     objects = [(int(m.group(1)), int(m.group(2)), m.group(3).strip()) for m in _OBJ_RE.finditer(body)]
     max_obj = max(n for n, _, _ in objects)
@@ -354,16 +521,6 @@ def encrypt_pdf(
     rewritten = [
         (n, g, _rewrite_object(n, g, ob, key, aes, encrypt=True)) for n, g, ob in objects
     ]
-    cf = (
-        b"/CF << /StdCF << /CFM /AESV2 /Length 16 >> >> /StmF /StdCF /StrF /StdCF "
-        if aes
-        else b""
-    )
-    enc_obj = (
-        b"<< /Filter /Standard /V %d /R %d /Length %d /P %d " % (v, r, bits, p)
-        + cf
-        + b"/O <" + o.hex().encode() + b"> /U <" + u.hex().encode() + b"> >>"
-    )
     rewritten.append((enc_num, 0, enc_obj))
 
     out = bytearray(b"%PDF-1.6\n")
@@ -386,11 +543,44 @@ def encrypt_pdf(
     return bytes(out)
 
 
-def decrypt_pdf(body: bytes) -> bytes:
+def _recover_key_classic(
+    o: bytes, u: bytes, p: int, file_id: bytes, r: int, bits: int, passwords: tuple
+) -> bytes | None:
+    """R 2-4 password verification: Algorithm 6 (candidate as USER
+    password, recompute /U and compare — 16 bytes suffice for R>=3 per
+    §7.6.3.4) then Algorithm 7 (candidate as OWNER password: undo the /O
+    RC4 rounds to recover the padded user password, then re-verify)."""
+    n = bits // 8 if r >= 3 else 5
+    for pwd in passwords:
+        key = file_key(o, p, file_id, r, bits, user_pwd=pwd)
+        u_chk = u_value(key, file_id, r)
+        if (r == 2 and u_chk == u[:32]) or (r >= 3 and u_chk[:16] == u[:16]):
+            return key
+    for pwd in passwords:
+        okey = hashlib.md5(_padded(pwd)).digest()
+        if r >= 3:
+            for _ in range(50):
+                okey = hashlib.md5(okey).digest()
+        okey = okey[:n]
+        user_padded = o
+        if r >= 3:
+            for i in range(19, 0, -1):
+                user_padded = rc4(bytes(b ^ i for b in okey), user_padded)
+        user_padded = rc4(okey, user_padded)
+        key = file_key(o, p, file_id, r, bits, user_pwd=user_padded)
+        u_chk = u_value(key, file_id, r)
+        if (r == 2 and u_chk == u[:32]) or (r >= 3 and u_chk[:16] == u[:16]):
+            return key
+    return None
+
+
+def decrypt_pdf(body: bytes, passwords: tuple = (b"",)) -> bytes:
     """Reader pre-pass: if ``body`` carries a standard-handler /Encrypt
-    dict (empty user password), return a plaintext-equivalent body; on any
-    unsupported/undecodable structure return the input unchanged (the
-    scanner then degrades per its tolerant contract)."""
+    dict, return a plaintext-equivalent body; on any unsupported or
+    unverifiable structure (e.g. a non-empty user password not among the
+    ``passwords`` candidates) return the input unchanged (the scanner then
+    degrades per its tolerant contract).  Supports /V 1-2 (RC4), /V 4
+    (AES-128) and /V 5 /R 5-6 (AES-256)."""
     ref = _ENCRYPT_REF_RE.search(body)
     if not ref:
         return body
@@ -424,10 +614,32 @@ def decrypt_pdf(body: bytes) -> bytes:
     bits = _num(b"/Length", 40)
     p = _num(b"/P", -1)
     o = _strval(b"/O")
-    aes = b"/AESV2" in enc_body
-    if v not in (1, 2, 4) or r not in (2, 3, 4) or len(o) < 32:
-        return body
-    key = file_key(o, p, file_id, r, bits)
+    if v == 5 and r in (5, 6):
+        u5 = _strval(b"/U")
+        ue = _strval(b"/UE")
+        oe = _strval(b"/OE")
+        key = None
+        for pwd in passwords:
+            key = file_key_v5(u5, ue, o, oe, pwd, r)
+            if key is not None:
+                break
+        if key is None or len(key) != 32:
+            return body
+        perms = _strval(b"/Perms")
+        if len(perms) == 16 and aes_ecb_decrypt_block(key, perms)[9:12] != b"adb":
+            return body  # key decrypted but /Perms does not validate
+        aes = True
+    else:
+        aes = b"/AESV2" in enc_body
+        if v not in (1, 2, 4) or r not in (2, 3, 4) or len(o) < 32:
+            return body
+        u4 = _strval(b"/U")
+        if u4:
+            key = _recover_key_classic(o, u4, p, file_id, r, bits, passwords)
+            if key is None:
+                return body
+        else:
+            key = file_key(o, p, file_id, r, bits)
 
     out = bytearray()
     pos = 0
@@ -441,4 +653,7 @@ def decrypt_pdf(body: bytes) -> bytes:
         out += b"\nendobj"
         pos = mend
     out += body[pos:]
-    return bytes(out)
+    # The result is plaintext-equivalent: drop the trailer's /Encrypt
+    # reference (same byte length, offsets preserved) so a second pass —
+    # e.g. the scanner's own auto-decrypt pre-pass — is a no-op.
+    return _ENCRYPT_REF_RE.sub(lambda m: b" " * len(m.group(0)), bytes(out))

@@ -19,12 +19,13 @@ STREAMS and /ObjStm object streams, composite-font hex show-strings through
 per-font /ToUnicode CMaps, simple-font /Encoding /Differences tables
 (AGL-subset glyph names, WinAnsi base via cp1252) selected per /Tf font,
 and ENCRYPTED documents via the standard security handler (kernels/
-pdfcrypt: RC4-40/128 and AES-128-CBC with empty user password — the
-owner-encrypted shape; every entry point runs the decrypt pre-pass).
-Remaining out of subset: embedded image codecs (irrelevant to text),
-AES-256 (/R 5-6) and password-protected user passwords, interlaced/palette
-PNG predictors.  A production deployment can still swap `extract_pdf_text`
-for a pypdf call with identical outputs.
+pdfcrypt: RC4-40/128, AES-128 /V 4 and AES-256 /V 5 /R 6; the empty
+user password — the owner-encrypted real-corpus shape — decrypts
+transparently, and non-empty user/owner passwords are honored when the
+caller supplies candidates; every entry point runs the decrypt pre-pass).
+Remaining out of subset: embedded image codecs (irrelevant to text) and
+SASLprep password normalization.  A production deployment can still swap
+`extract_pdf_text` for a pypdf call with identical outputs.
 """
 
 from __future__ import annotations

@@ -170,3 +170,97 @@ def epoch_shards(
         .withColumn("pos", F.row_number().over(w))
         .select(id_col, "shard_id", "pos")
     )
+
+
+def mine_triplets(
+    anchors: DataFrame,
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+) -> DataFrame:
+    """Hard-negative triplet mining for contrastive / embedding-model
+    training (the FaceNet / SBERT batch-mining recipe, run corpus-side):
+    for every ANCHOR pick
+
+      * positive  = the most-cosine-similar OTHER corpus row with the
+        SAME label (the hardest positive is the least similar, but the
+        standard retrieval-training pair is nearest same-class), and
+      * hard negative = the most-cosine-similar corpus row with a
+        DIFFERENT label — the negative the model currently confuses most,
+
+    and report the margin pos_cos - neg_cos (negative margin = the anchor
+    violates the triplet constraint and is a high-value training row).
+
+    ``anchors`` is the mining batch — bounded by construction (a training
+    batch, not the corpus), so it is BROADCAST; the corpus streams past it
+    in ONE narrow scan.  Determinism: ties on cosine break to the smaller
+    candidate id (struct max on (cosine, -id)).
+
+    Scale shape: BroadcastNestedLoopJoin (corpus x broadcast anchors, the
+    intended plan for a bounded anchor set — no corpus shuffle for the
+    join), cosine via codegen'd higher-order functions (zero UDFs), then
+    ONE groupBy(anchor) whose map-side partial aggregation reduces every
+    partition to <= |anchors| rows before the only shuffle.  At 10^10
+    corpus rows x 256 anchors the shuffle moves ~256 rows per partition.
+    """
+    a = F.broadcast(
+        anchors.select(
+            F.col(id_col).alias("anchor_id"),
+            F.col(vec_col).alias("_avec"),
+            F.col(label_col).alias("_albl"),
+        )
+    )
+    c = corpus.select(
+        F.col(id_col).alias("cand_id"),
+        F.col(vec_col).alias("_cvec"),
+        F.col(label_col).alias("_clbl"),
+    )
+    dot = (
+        "aggregate(zip_with(_avec, _cvec, (x, y) -> cast(x as double) * cast(y as double)), "
+        "cast(0.0 as double), (acc, v) -> acc + v)"
+    )
+    nrm = (
+        "sqrt(aggregate({v}, cast(0.0 as double), "
+        "(acc, v) -> acc + cast(v as double) * cast(v as double)))"
+    )
+    scored = (
+        c.join(a, F.col("cand_id") != F.col("anchor_id"))
+        .select(
+            "anchor_id",
+            "cand_id",
+            (F.col("_clbl") == F.col("_albl")).alias("same"),
+            (
+                F.expr(dot)
+                / (F.expr(nrm.format(v="_avec")) * F.expr(nrm.format(v="_cvec")))
+            ).alias("cosine"),
+        )
+    )
+    # struct max = (max cosine, then min id); map-side combine shrinks each
+    # partition to at most 2*|anchors| partial rows before the shuffle
+    best = F.max(
+        F.when(
+            F.col("same"),
+            F.struct(F.col("cosine"), (-F.col("cand_id")).alias("nid")),
+        )
+    ).alias("_pos")
+    worst = F.max(
+        F.when(
+            ~F.col("same"),
+            F.struct(F.col("cosine"), (-F.col("cand_id")).alias("nid")),
+        )
+    ).alias("_neg")
+    return (
+        scored.groupBy("anchor_id")
+        .agg(best, worst)
+        # no same-label or no other-label candidate -> no triplet to form
+        .filter(F.col("_pos").isNotNull() & F.col("_neg").isNotNull())
+        .select(
+            "anchor_id",
+            (-F.col("_pos.nid")).alias("pos_id"),
+            (-F.col("_neg.nid")).alias("neg_id"),
+            F.round("_pos.cosine", 4).alias("pos_cos"),
+            F.round("_neg.cosine", 4).alias("neg_cos"),
+            F.round(F.col("_pos.cosine") - F.col("_neg.cosine"), 4).alias("margin"),
+        )
+    )

@@ -574,12 +574,13 @@ def _pdf_fixture(i: int) -> tuple[str, bytes]:
     if i % 8 == 7:
         # every 8th (classic-layout) row ships ENCRYPTED via the standard
         # security handler (owner-encrypted, empty user password — the
-        # common real-corpus shape), rotating RC4-40 / RC4-128 / AES-128.
-        # Encryption is transport-level: the golden EXPECTED fields are
-        # unchanged, so the oracle pins that decryption is transparent.
+        # common real-corpus shape), rotating RC4-40 / RC4-128 / AES-128 /
+        # AES-256 (/V 5 /R 6).  Encryption is transport-level: the golden
+        # EXPECTED fields are unchanged, so the oracle pins that decryption
+        # is transparent.
         from .kernels import pdfcrypt
 
-        variant = ("rc4-40", "rc4-128", "aes-128")[(i // 8) % 3]
+        variant = ("rc4-40", "rc4-128", "aes-128", "aes-256")[(i // 8) % 4]
         pdf = pdfcrypt.encrypt_pdf(pdf, variant=variant, file_id=bytes([i]) * 16)
     return url, pdf
 
@@ -4713,4 +4714,141 @@ ORACLES["q128_cdc_delta"] = f"""
                AS reuse_ratio
     FROM cn LEFT JOIN co ON co.doc_id = cn.doc_id
             LEFT JOIN sh ON sh.doc_id = cn.doc_id
+"""
+
+# ---------------------------------------------------------------------------
+# q129-q130 — round-5 additions: TrustRank spam demotion, hard-negative
+# triplet mining
+# ---------------------------------------------------------------------------
+
+_Q129_EDGE_MULTS = ((5, 3), (11, 7), (29, 13))
+Q129_ITERATIONS = 5
+Q129_DAMPING = 0.85
+Q129_SEED_MOD = 17
+
+
+def q129_trustrank(spark, sf_dir):
+    """TrustRank spam demotion (graph.trustrank, Gyongyi et al. VLDB 2004):
+    biased PageRank whose teleport lands only on a trusted seed whitelist
+    (doc_id % 17 == 0 here), so trust decays with link distance and pages
+    unreachable from any seed within 5 hops score exactly 0 — the spam
+    demotion set.  Same arithmetic link graph family as q54 but with
+    DIFFERENT edge constants, so the two oracles cannot mask a shared
+    defect.  Each iteration is one co-partitioned join + one map-side-
+    combined groupBy; lineage localCheckpoint-cut per iteration."""
+    from .operators import graph
+
+    docs = _t(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("long").alias("id")
+    )
+    n = docs.count()
+    dsts = ", ".join(f"(id * {a} + {b}) % {n}L" for a, b in _Q129_EDGE_MULTS)
+    edges = (
+        docs.select(
+            F.col("id").alias("src"), F.explode(F.expr(f"array({dsts})")).alias("dst")
+        )
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+    seeds = docs.filter(F.col("id") % Q129_SEED_MOD == 0)
+    ranks = graph.trustrank(
+        edges, seeds, docs, id_col="id", n_iter=Q129_ITERATIONS, damping=Q129_DAMPING
+    )
+    return ranks.select(F.col("id").alias("doc_id"), "trust")
+
+
+QUERIES["q129_trustrank"] = q129_trustrank
+
+
+def _q129_oracle_sql() -> str:
+    """Independent 5-iteration TrustRank as chained SQL CTEs (the q54
+    pattern): t0 = seed distribution; each r{i} applies the textbook
+    seed-biased teleport + damped contribution join over the same
+    arithmetic edge formula the Spark query states."""
+    dsts = ", ".join(f"(doc_id * {a} + {b}) % nn.n" for a, b in _Q129_EDGE_MULTS)
+    d = Q129_DAMPING
+    iters = []
+    for i in range(1, Q129_ITERATIONS + 1):
+        iters.append(f"""
+        r{i} AS (
+            SELECT nodes.id,
+                   (CAST(1.0 AS DOUBLE) - {d}) * nodes.is_seed / ns.s
+                     + {d} * coalesce(c.mass, CAST(0.0 AS DOUBLE)) AS trust
+            FROM nodes CROSS JOIN ns
+            LEFT JOIN (
+                SELECT e.dst AS id, sum(r{i - 1}.trust / deg.out_deg) AS mass
+                FROM edges e
+                JOIN r{i - 1} ON r{i - 1}.id = e.src
+                JOIN deg ON deg.src = e.src
+                GROUP BY e.dst) c ON c.id = nodes.id)""")
+    return f"""
+        WITH nn AS (SELECT count(*) AS n FROM documents),
+        nodes AS (
+            SELECT CAST(doc_id AS BIGINT) AS id,
+                   CASE WHEN doc_id % {Q129_SEED_MOD} = 0
+                        THEN CAST(1.0 AS DOUBLE) ELSE CAST(0.0 AS DOUBLE) END
+                       AS is_seed
+            FROM documents),
+        ns AS (SELECT sum(is_seed) AS s FROM nodes),
+        lst AS (
+            SELECT CAST(doc_id AS BIGINT) AS src, [{dsts}] AS dsts
+            FROM documents CROSS JOIN nn),
+        raw_edges AS (
+            SELECT src, CAST(dsts[i] AS BIGINT) AS dst
+            FROM lst, UNNEST(range(1, 1 + len(dsts))) AS u(i)),
+        edges AS (SELECT DISTINCT src, dst FROM raw_edges WHERE dst <> src),
+        deg AS (SELECT src, count(*) AS out_deg FROM edges GROUP BY src),
+        r0 AS (SELECT id, is_seed / ns.s AS trust FROM nodes CROSS JOIN ns),
+        {",".join(iters)}
+        SELECT id AS doc_id, round(trust, 6) AS trust FROM r{Q129_ITERATIONS}
+    """
+
+
+ORACLES["q129_trustrank"] = _q129_oracle_sql()
+
+
+Q130_ANCHOR_MOD = 25
+
+
+def q130_triplet_mining(spark, sf_dir):
+    """Hard-negative triplet mining (training.mine_triplets): for every
+    anchor (vec_id % 25 == 0) the nearest same-label positive and the
+    nearest DIFFERENT-label hard negative by exact cosine, plus the
+    triplet margin.  Anchors broadcast (BroadcastNestedLoopJoin — the
+    corpus never shuffles for the join); one groupBy(anchor) whose
+    map-side combine moves <= 2|anchors| rows per partition."""
+    from .operators import training
+
+    emb = _t(spark, sf_dir, "embeddings")
+    anchors = emb.filter(F.col("vec_id") % Q130_ANCHOR_MOD == 0)
+    return training.mine_triplets(anchors, emb)
+
+
+QUERIES["q130_triplet_mining"] = q130_triplet_mining
+
+ORACLES["q130_triplet_mining"] = f"""
+    WITH a AS (
+        SELECT vec_id AS anchor_id,
+               CAST(embedding AS DOUBLE[]) AS avec, label AS albl
+        FROM embeddings WHERE vec_id % {Q130_ANCHOR_MOD} = 0),
+    s AS (
+        SELECT a.anchor_id, c.vec_id AS cand_id, (c.label = a.albl) AS same,
+               list_cosine_similarity(a.avec, CAST(c.embedding AS DOUBLE[]))
+                   AS cosine
+        FROM a JOIN embeddings c ON c.vec_id <> a.anchor_id),
+    p AS (
+        SELECT anchor_id, cand_id, cosine,
+               row_number() OVER (PARTITION BY anchor_id
+                                  ORDER BY cosine DESC, cand_id ASC) AS r
+        FROM s WHERE same),
+    n AS (
+        SELECT anchor_id, cand_id, cosine,
+               row_number() OVER (PARTITION BY anchor_id
+                                  ORDER BY cosine DESC, cand_id ASC) AS r
+        FROM s WHERE NOT same)
+    SELECT p.anchor_id, p.cand_id AS pos_id, n.cand_id AS neg_id,
+           round(p.cosine, 4) AS pos_cos, round(n.cosine, 4) AS neg_cos,
+           round(p.cosine - n.cosine, 4) AS margin
+    FROM p JOIN n ON p.anchor_id = n.anchor_id
+    WHERE p.r = 1 AND n.r = 1
 """

@@ -169,3 +169,180 @@ def test_cdc_delta_zero_shuffle_chunking_plan(spark):
     docs = spark.createDataFrame([(1, TEXT)], "doc_id long, text string")
     plan = snapshots.cdc_chunks(docs)._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
+
+
+# ---------------------------------------------------------------------------
+# trustrank (graph.trustrank)
+# ---------------------------------------------------------------------------
+
+def _edges(spark, pairs):
+    return spark.createDataFrame(pairs, "src long, dst long")
+
+
+def _nodes(spark, ids):
+    return spark.createDataFrame([(i,) for i in ids], "id long")
+
+
+def test_trustrank_hand_computed_two_cycle(spark):
+    """Seed 0, edges 0<->1, 2 iterations, d=0.85 — every value derivable by
+    hand: t0=(1,0); t1=(0.15, 0.85); t2=(0.15+0.85^2, 0.85*0.15)."""
+    from searchgov_spider_spark.operators import graph
+
+    got = {
+        r.id: r.trust
+        for r in graph.trustrank(
+            _edges(spark, [(0, 1), (1, 0)]),
+            _nodes(spark, [0]),
+            _nodes(spark, [0, 1]),
+            n_iter=2,
+        ).collect()
+    }
+    assert got == {0: 0.8725, 1: 0.1275}
+
+
+def test_trustrank_unreachable_is_exactly_zero(spark):
+    """Pages with no path from any seed — the spam-demotion set — score
+    exactly 0.0: isolated node 3 and the mutually-linking pair 4<->5."""
+    from searchgov_spider_spark.operators import graph
+
+    got = {
+        r.id: r.trust
+        for r in graph.trustrank(
+            _edges(spark, [(0, 1), (1, 2), (4, 5), (5, 4)]),
+            _nodes(spark, [0]),
+            _nodes(spark, list(range(6))),
+            n_iter=5,
+        ).collect()
+    }
+    assert got[0] > 0 and got[1] > 0 and got[2] > 0
+    assert got[3] == 0.0 and got[4] == 0.0 and got[5] == 0.0
+
+
+def test_trustrank_demotes_spam_farm_pagerank_inflates(spark):
+    """The operator's point: a spam farm (10..19 all link 9; 9 links back)
+    inflates its target's PAGERANK above the trusted cluster's pages, but
+    its TRUST stays exactly 0 because no seed reaches it."""
+    from searchgov_spider_spark.operators import graph
+
+    farm = [(i, 9) for i in range(10, 20)] + [(9, i) for i in range(10, 20)]
+    trusted = [(0, 1), (1, 2), (2, 0)]
+    edges = _edges(spark, trusted + farm)
+    nodes = _nodes(spark, list(range(20)))
+    pr = {r.id: r.pagerank for r in graph.pagerank(edges, nodes, n_iter=5).collect()}
+    tr = {
+        r.id: r.trust
+        for r in graph.trustrank(edges, _nodes(spark, [0]), nodes, n_iter=5).collect()
+    }
+    assert pr[9] > pr[1]  # spam target outranks a trusted page on PageRank
+    assert tr[9] == 0.0 and tr[1] > 0  # ...but TrustRank demotes it to zero
+
+
+def test_trustrank_partition_invariance(spark):
+    """Bit-identical rounded trust at different input partitionings (the
+    repo-wide determinism contract)."""
+    from searchgov_spider_spark.operators import graph
+
+    pairs = [(i, (i * 5 + 3) % 40) for i in range(40)] + [
+        (i, (i * 11 + 7) % 40) for i in range(40)
+    ]
+    pairs = [p for p in pairs if p[0] != p[1]]
+    nodes = _nodes(spark, list(range(40)))
+    seeds = _nodes(spark, [0, 17, 34])
+    a = graph.trustrank(_edges(spark, pairs).repartition(1), seeds, nodes, n_iter=4)
+    b = graph.trustrank(_edges(spark, pairs).repartition(16), seeds, nodes, n_iter=4)
+    assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
+
+
+# ---------------------------------------------------------------------------
+# mine_triplets (training.mine_triplets)
+# ---------------------------------------------------------------------------
+
+def _emb(spark, rows):
+    return spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    )
+
+
+def test_mine_triplets_hand_built_geometry(spark):
+    """2-d unit vectors at known angles: anchor 0 (label 1) must pick the
+    15-degree same-label row 1 as positive and the 30-degree OTHER-label
+    row 2 as hard negative over the 90-degree row 3."""
+    import math
+
+    from searchgov_spider_spark.operators import training
+
+    def v(deg):
+        return [math.cos(math.radians(deg)), math.sin(math.radians(deg))]
+
+    corpus = _emb(
+        spark,
+        [
+            (0, v(0), 1),
+            (1, v(15), 1),   # nearest same-label -> positive
+            (5, v(45), 1),   # farther same-label
+            (2, v(30), 2),   # nearest different-label -> hard negative
+            (3, v(90), 2),
+        ],
+    )
+    anchors = corpus.filter(F.col("vec_id") == 0)
+    row = training.mine_triplets(anchors, corpus).collect()[0]
+    assert (row.anchor_id, row.pos_id, row.neg_id) == (0, 1, 2)
+    import pytest as _pytest
+
+    assert row.pos_cos == _pytest.approx(math.cos(math.radians(15)), abs=1e-4)
+    assert row.neg_cos == _pytest.approx(math.cos(math.radians(30)), abs=1e-4)
+    assert row.margin == _pytest.approx(row.pos_cos - row.neg_cos, abs=2e-4)
+
+
+def test_mine_triplets_tie_breaks_to_smaller_id(spark):
+    """Two candidates with IDENTICAL vectors (cosine tie) -> the smaller
+    cand_id wins, deterministically."""
+    from searchgov_spider_spark.operators import training
+
+    corpus = _emb(
+        spark,
+        [
+            (0, [1.0, 0.0], 1),
+            (7, [1.0, 1.0], 1),
+            (3, [1.0, 1.0], 1),   # same cosine as 7 -> min id wins
+            (9, [0.0, 1.0], 2),
+            (4, [0.0, 1.0], 2),   # same cosine as 9 -> min id wins
+        ],
+    )
+    anchors = corpus.filter(F.col("vec_id") == 0)
+    row = training.mine_triplets(anchors, corpus).collect()[0]
+    assert (row.pos_id, row.neg_id) == (3, 4)
+
+
+def test_mine_triplets_violation_margin_is_negative(spark):
+    """An anchor whose nearest neighbor is a DIFFERENT-label row gets a
+    negative margin — the high-value training row the miner exists to
+    surface."""
+    from searchgov_spider_spark.operators import training
+
+    corpus = _emb(
+        spark,
+        [
+            (0, [1.0, 0.0], 1),
+            (1, [0.99, 0.14], 2),  # impostor right next to the anchor
+            (2, [0.0, 1.0], 1),    # true positive far away
+        ],
+    )
+    anchors = corpus.filter(F.col("vec_id") == 0)
+    row = training.mine_triplets(anchors, corpus).collect()[0]
+    assert row.margin < 0
+
+
+def test_mine_triplets_broadcast_plan(spark):
+    """The corpus must never shuffle for the join: anchors ride a
+    BroadcastNestedLoopJoin; the ONLY Exchange is the final
+    groupBy(anchor_id) over map-side-combined partials."""
+    from searchgov_spider_spark.operators import training
+
+    corpus = _emb(
+        spark, [(i, [float(i % 7), float(i % 5)], i % 3) for i in range(50)]
+    )
+    anchors = corpus.filter(F.col("vec_id") % 10 == 0)
+    plan = training.mine_triplets(anchors, corpus)._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" in plan
+    assert plan.count("Exchange hashpartitioning") <= 1
