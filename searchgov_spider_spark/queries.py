@@ -4852,3 +4852,50 @@ ORACLES["q130_triplet_mining"] = f"""
     FROM p JOIN n ON p.anchor_id = n.anchor_id
     WHERE p.r = 1 AND n.r = 1
 """
+
+
+Q131_N, Q131_MAX_HAMMING = 60, 8
+
+
+def _q131_media(spark):
+    """PNG corpus with planted perceptual duplicates: groups of 3 share one
+    pixel formula — (base gray PNG, the SAME pixels Adam7-INTERLACED — a
+    transport re-encode, byte-level dedup blind), and a mildly retouched
+    variant (first seed byte perturbed).  All real containers; pixels are
+    derivable from the tiling formula, so the oracle never runs the
+    decoder."""
+    import hashlib
+
+    from .operators import multimodal
+
+    rows = []
+    for i in range(Q131_N):
+        g = i // 3
+        w, h = 24 + (g % 5) * 8, 16 + (g % 4) * 8
+        blob = hashlib.blake2b(f"phash:{g}".encode(), digest_size=64).digest()
+        k = i % 3
+        if k == 2:
+            blob = bytes([blob[0] ^ 0x18]) + blob[1:]
+        payload = multimodal.make_png(w, h, blob, color_type=0, interlace=(k == 1))
+        rows.append((i, bytearray(payload)))
+    return spark.createDataFrame(rows, "media_id long, payload binary")
+
+
+def q131_image_near_dups(spark, sf_dir):
+    """Perceptual-hash image near-dup pairs (multimodal.image_near_dup_pairs):
+    REAL PNG pixel decode -> integer-exact 9x8 dHash -> pigeonhole-banded
+    self-join -> bit_count verify.  Catches the transport-variant
+    duplicates (interlace flips, re-encodes) and retouched copies that
+    byte-level dedup misses; banding keeps the only corpus-scale shuffle a
+    per-band bucket join — never all-pairs.  The oracle re-derives pixels
+    from the tiling FORMULA and brute-forces all pairs with an independent
+    pure-Python dhash, so neither the decoder nor the banding can
+    self-verify."""
+    from .operators import multimodal
+
+    return multimodal.image_near_dup_pairs(
+        _q131_media(spark), max_hamming=Q131_MAX_HAMMING
+    )
+
+
+QUERIES["q131_image_near_dups"] = q131_image_near_dups

@@ -346,3 +346,92 @@ def test_mine_triplets_broadcast_plan(spark):
     plan = training.mine_triplets(anchors, corpus)._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastNestedLoopJoin" in plan
     assert plan.count("Exchange hashpartitioning") <= 1
+
+
+# ---------------------------------------------------------------------------
+# image perceptual-hash near-dup (multimodal.dhash64 / image_near_dup_pairs)
+# ---------------------------------------------------------------------------
+
+def test_dhash_gradient_extremes():
+    """Monotone gradients pin the bit convention: strictly increasing
+    columns -> every left<right -> all bits 0; strictly decreasing -> all
+    64 bits set."""
+    import numpy as np
+
+    from searchgov_spider_spark.operators import multimodal
+
+    inc = np.tile(np.arange(0, 90, 10, dtype=np.uint8), (8, 1))   # 8x9 ramp up
+    dec = inc[:, ::-1].copy()
+    assert multimodal.dhash64(inc) == 0
+    assert multimodal.dhash64(dec) == (1 << 64) - 1
+
+
+def test_dhash_rejects_sub_grid_images():
+    import numpy as np
+    import pytest as _pytest
+
+    from searchgov_spider_spark.operators import multimodal
+
+    with _pytest.raises(ValueError):
+        multimodal.dhash64(np.zeros((7, 9), dtype=np.uint8))
+
+
+def test_dhash_transport_invariance_interlace_and_palette():
+    """The operator's reason to exist: the SAME pixels through different
+    PNG transports (sequential vs Adam7, gray vs palette identity-mapping)
+    hash identically, though the files differ byte-wise."""
+    import hashlib
+
+    from searchgov_spider_spark.operators import multimodal
+
+    blob = hashlib.blake2b(b"transport", digest_size=64).digest()
+    plain = multimodal.make_png(40, 24, blob, color_type=0, interlace=False)
+    inter = multimodal.make_png(40, 24, blob, color_type=0, interlace=True)
+    assert plain != inter
+    h1 = multimodal.dhash64(multimodal.png_decode(plain))
+    h2 = multimodal.dhash64(multimodal.png_decode(inter))
+    assert h1 == h2
+
+
+def test_image_near_dup_pairs_match_brute_force(spark):
+    """Pigeonhole banding must equal brute-force all-pairs at the same
+    threshold (zero false negatives for hamming <= n_bands - 1)."""
+    from searchgov_spider_spark.queries import _q131_media, Q131_MAX_HAMMING
+    from searchgov_spider_spark.operators import multimodal
+
+    media = _q131_media(spark)
+    hashes = {
+        r.media_id: r.dhash & ((1 << 64) - 1)
+        for r in multimodal.image_dhash(media).collect()
+    }
+    expected = set()
+    ids = sorted(hashes)
+    for ai in range(len(ids)):
+        for bi in range(ai + 1, len(ids)):
+            a, b = ids[ai], ids[bi]
+            d = bin(hashes[a] ^ hashes[b]).count("1")
+            if d <= Q131_MAX_HAMMING:
+                expected.add((a, b, d))
+    got = {
+        (r.id_a, r.id_b, r.hamming)
+        for r in multimodal.image_near_dup_pairs(
+            media, max_hamming=Q131_MAX_HAMMING
+        ).collect()
+    }
+    assert got == expected and expected
+
+
+def test_image_dhash_drops_non_png(spark):
+    """JPEG and junk payloads are dropped (the documented pillow-absent
+    boundary), never nulled or crashed."""
+    from searchgov_spider_spark.operators import multimodal
+
+    rows = [
+        (0, bytearray(multimodal.make_png(24, 16, b"x" * 64))),
+        (1, bytearray(multimodal.make_jpeg(24, 16, b"x" * 64))),
+        (2, bytearray(b"not an image")),
+        (3, None),
+    ]
+    media = spark.createDataFrame(rows, "media_id long, payload binary")
+    got = multimodal.image_dhash(media).collect()
+    assert [r.media_id for r in got] == [0]
