@@ -30,6 +30,10 @@ Env knobs:
                         minus our own children's CPU) to accept a phase
                         (default 1.5)
   BENCH_LOAD_GATE       set to 0 to disable the load gate entirely
+                        (also disables the scaling consistency vote)
+  BENCH_CONSISTENCY_TOL max billed-wall divergence between a scaling
+                        bucket's two identical-work runs before the
+                        best-2-of-3 tie-breaker fires (default 1.15)
 """
 
 from __future__ import annotations
@@ -135,6 +139,10 @@ BENCH_QUERIES = [
     "q121_kn_surprisal",
     "q123_opic",
     "q124_span_corruption",
+    # q125-q131 add no DISTINCT bench signal at sf scale: q129 trustrank is
+    # q54's exact iteration shape (one join + one groupBy per round), q130's
+    # anchor set and q131's image fixture are bounded by construction, and
+    # q125-q128 are pure maps / one-groupBy rollups priced by existing rows.
 ]
 
 
@@ -843,6 +851,55 @@ def main() -> None:
                 )
         ratio = hi_cores / lo_cores
 
+        # best-2-of-3 consistency vote (round-5): the pair runs are the SAME
+        # deterministic work, so on a healthy host a bucket's two billed
+        # walls agree within a few percent (measured: 2-core within 1%
+        # across sessions; a clean 8-core pair within 0.2%).  When they
+        # diverge beyond BENCH_CONSISTENCY_TOL one sample is contaminated by
+        # host state no load/steal/external-CPU gate can see (frequency sag,
+        # bandwidth co-tenancy) — but with two samples the outlier is
+        # unidentifiable, so the rule runs ONE tie-breaker and keeps the two
+        # most mutually consistent runs.  Direction-neutral by construction:
+        # if the tie-breaker lands slow, the fast sample is the one
+        # discarded — a majority vote on the true cost, never a retry-until-
+        # fast loop.  Every raw run stays in the artifact.
+        consistency_tol = float(os.environ.get("BENCH_CONSISTENCY_TOL", "1.15"))
+        consistency: list[dict] = []
+
+        def _consistency_vote(cores: int, bucket: list[dict], phase_args: list[str]) -> None:
+            if len(bucket) != 2 or not LOAD_GATE_ON:
+                return
+            walls = [r["billed_wall_s"] for r in bucket]
+            if min(walls) <= 0 or max(walls) / min(walls) <= consistency_tol:
+                return
+            tiebreak = _run_phase_gated(phase_args, pin_cores=cores)
+            cands = bucket + [tiebreak]
+            best_pair, best_div = (0, 1), float("inf")
+            for a in range(3):
+                for b in range(a + 1, 3):
+                    wa, wb = cands[a]["billed_wall_s"], cands[b]["billed_wall_s"]
+                    div = max(wa, wb) / min(wa, wb) if min(wa, wb) > 0 else float("inf")
+                    if div < best_div:
+                        best_pair, best_div = (a, b), div
+            dropped = ({0, 1, 2} - set(best_pair)).pop()
+            consistency.append({
+                "cores": cores,
+                "raw_billed_walls": [round(c["billed_wall_s"], 2) for c in cands],
+                "kept": sorted(best_pair),
+                "dropped_billed_wall_s": round(cands[dropped]["billed_wall_s"], 2),
+                "kept_divergence": round(best_div, 3),
+                "tol": consistency_tol,
+            })
+            bucket[:] = [cands[best_pair[0]], cands[best_pair[1]]]
+
+        scale_args = lambda cores: [  # noqa: E731 - tiny arg template
+            "--phase", "crawl", "--cores", str(cores), "--pages", str(scale_pages),
+            "--hosts", str(scale_hosts), "--seed-rounds", str(seed_rounds),
+            "--bloom-min-seen", "10000",
+        ]
+        _consistency_vote(hi_cores, hi_runs, scale_args(hi_cores))
+        _consistency_vote(lo_cores, lo_runs, scale_args(lo_cores))
+
         def _sum_rate(runs: list[dict], wall_key: str, fetched_key: str) -> float:
             wall = sum(r[wall_key] for r in runs)
             return sum(r[fetched_key] for r in runs) / wall if wall > 0 else 0.0
@@ -938,6 +995,11 @@ def main() -> None:
             "pairs": pairs,
             "pair_order": "alternating (hi,lo / lo,hi) — cancels monotonic host drift",
             "per_pair_efficiency": per_pair_eff,
+            # best-2-of-3 votes that fired (empty list = every bucket's two
+            # runs agreed within tol on the first try); raw walls of ALL
+            # runs incl. the dropped one are declared here
+            "consistency": consistency,
+            "consistency_tol": consistency_tol,
             "aggregation": "rates from SUMMED walls and fetched counts across all runs per core count",
             "seed_rounds_unbilled": seed_rounds,
             "protocol": (
@@ -1041,7 +1103,7 @@ def main() -> None:
             k: s[k]
             for k in (
                 "low_cores", "high_cores", "pages", "cpu_pinned", "seed_rounds_unbilled",
-                "pairs", "per_pair_efficiency",
+                "pairs", "per_pair_efficiency", "consistency", "consistency_tol",
                 "urls_per_sec_low", "urls_per_sec_high",
                 "billed_urls_per_sec_low", "billed_urls_per_sec_high",
                 "efficiency", "whole_crawl_efficiency", "all_rounds_efficiency",
