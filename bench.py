@@ -615,6 +615,50 @@ def _run_phase(args: list[str], pin_cores: int | None = None) -> dict:
     return result
 
 
+def _bandwidth_work(args: tuple) -> float:
+    mb, reps = args
+    import numpy as np
+
+    n = mb * 1024 * 1024 // 8
+    a = np.arange(n, dtype=np.float64)  # far beyond L3: streams from DRAM
+    b = np.ones(n, dtype=np.float64)
+    t0 = time.monotonic()
+    for _ in range(reps):
+        a += b  # read a + read b + write a = 3 streams
+    return 3 * 8 * n * reps / (time.monotonic() - t0)
+
+
+def bandwidth_probe(cores: int, mb_per_worker: int = 128, reps: int = 20) -> dict:
+    """Memory-bandwidth control (late round 5): aggregate DRAM GB/s of a
+    STREAM-style triad across ``cores`` workers.  The md5 ceiling control
+    is ALU/cache-bound, so hypervisor co-tenants saturating the socket's
+    memory bandwidth are invisible to it — measured on 2026-08-20: md5
+    ceiling 0.95-1.05 while the SAME deterministic local[32] crawl ran 3.8x
+    its quiet-host wall (BENCH_r05_allbases_rerun.json headline, round
+    walls 20-30 s vs 4-5 s).  A shuffle-heavy engine is bandwidth-bound
+    long before it is ALU-bound; this probe pins the host's delivered
+    bandwidth next to every absolute number so that failure mode is
+    diagnosable from the artifact alone."""
+    import multiprocessing as mp
+
+    with mp.Pool(cores) as pool:
+        rates = pool.map(_bandwidth_work, [(mb_per_worker, reps)] * cores)
+    mean = sum(rates) / len(rates)
+    return {
+        "cores": cores,
+        "mb_per_worker": mb_per_worker,
+        "agg_gb_per_sec": round(sum(rates) / 1e9, 2),
+        "min_worker_gb_per_sec": round(min(rates) / 1e9, 2),
+        # slowest worker vs mean: a barrier-style parallel job runs at the
+        # STRAGGLER's speed, so this ratio — not the aggregate — predicts
+        # Spark stage walls under hypervisor core-time-slicing (measured:
+        # 0.69 at 32 workers while local[32] crawls ran 3x slow and a
+        # local[16] probe was full-speed; 0.94 at 8 workers with healthy
+        # pinned-8 walls in the same window)
+        "straggler_ratio": round(min(rates) / mean, 3) if mean else None,
+    }
+
+
 def _control_work(n: int) -> int:
     import hashlib
 
@@ -805,6 +849,10 @@ def main() -> None:
     extras = {
         "crawl": {f"local{CPUS}": high},
         "crawl_urls_per_sec": high["urls_per_sec"],
+        # delivered DRAM GB/s right after the absolute phase: a sagging
+        # number here explains a sagging headline when loadavg/external-CPU
+        # read clean (bandwidth co-tenancy; see bandwidth_probe)
+        "headline_bandwidth": bandwidth_probe(CPUS),
         "query_stats": qres["stats"],
     }
     if not os.environ.get("BENCH_SKIP_SCALING"):
@@ -1063,6 +1111,13 @@ def main() -> None:
         )
         extras["scaling"]["ceiling_norm_divisor"] = round(ceiling, 3)
         extras["scaling"]["control"] = {"low_runs": ctl_lo_runs, "high_runs": ctl_hi_runs, "pairs": pairs}
+        # delivered-DRAM-bandwidth control in the same window (the md5
+        # ceiling is blind to bandwidth co-tenancy; see bandwidth_probe)
+        extras["scaling"]["bandwidth"] = {
+            "low": bandwidth_probe(lo_cores),
+            "high": bandwidth_probe(hi_cores),
+            "full": bandwidth_probe(CPUS),
+        }
 
     total = round(time.monotonic() - total_t0, 2)
     # COMPACT one-line contract on stdout (the driver's capture window is
@@ -1150,6 +1205,8 @@ if __name__ == "__main__":
             print(json.dumps(query_bench()))
         elif phase == "control":
             print(json.dumps(control_bench(_arg("--cores", 2), _arg("--ops", 24_000_000))))
+        elif phase == "bandwidth":
+            print(json.dumps(bandwidth_probe(_arg("--cores", CPUS))))
         elif phase == "seenjoin":
             print(json.dumps(seenjoin_bench(_arg("--cores", 8), cand=_arg("--cand", 100_000))))
         elif phase == "stateful":
