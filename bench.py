@@ -34,6 +34,8 @@ Env knobs:
   BENCH_CONSISTENCY_TOL max billed-wall divergence between a scaling
                         bucket's two identical-work runs before the
                         best-2-of-3 tie-breaker fires (default 1.15)
+  BENCH_STRAGGLER_MIN   min per-worker bandwidth straggler_ratio to start
+                        the unpinned headline phase (default 0.85)
 """
 
 from __future__ import annotations
@@ -836,11 +838,35 @@ def main() -> None:
     # can see.  Standalone probes of the same command reproduce 26 s
     # (5.8k URLs/s) on a fresh box.  Absolute numbers get the fresh box;
     # ratios keep their alternating-pair protection.
+    #
+    # Straggler pre-gate for the one UNPINNED absolute phase: when the
+    # hypervisor time-slices a subset of the vCPUs, a barrier-style stage
+    # runs at its slowest task's speed while loadavg/external-CPU/aggregate
+    # bandwidth all read healthy (the diagnosed late-r5 episode: local[32]
+    # 3x slow, local[16] full speed, straggler_ratio 0.64-0.76).  Probe the
+    # per-worker spread and WAIT (bounded) for a healthy window; acceptance
+    # is on the probe — host health measured independently of the phase —
+    # never on the phase's own throughput.  All probes ride the artifact.
+    straggler_min = float(os.environ.get("BENCH_STRAGGLER_MIN", "0.85"))
+    straggler_probes: list[dict] = []
+    for _ in range(LOAD_ATTEMPTS if LOAD_GATE_ON else 1):
+        bw = bandwidth_probe(CPUS)
+        straggler_probes.append(bw)
+        ratio_ok = bw.get("straggler_ratio") is None or bw["straggler_ratio"] >= straggler_min
+        if ratio_ok or not LOAD_GATE_ON:
+            break
+        time.sleep(min(60.0, LOAD_MAX_WAIT))
     high = _run_phase_gated(
         ["--phase", "crawl", "--cores", str(CPUS), "--pages", str(n_pages), "--hosts", str(n_hosts)],
         pin_cores=None,
         own_cores=CPUS,
     )
+    high["straggler_gate"] = {
+        "min_ratio": straggler_min,
+        "probes": straggler_probes,
+        "accepted": straggler_probes[-1].get("straggler_ratio") is None
+        or straggler_probes[-1]["straggler_ratio"] >= straggler_min,
+    }
 
     qres = _run_phase_gated(["--phase", "queries"], pin_cores=None, own_cores=CPUS)
     queries = qres["timings"]
