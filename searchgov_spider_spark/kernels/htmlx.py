@@ -19,7 +19,10 @@ Reference behaviors mirrored (semantics, not code):
 
 from __future__ import annotations
 
+import re
 from dataclasses import dataclass, field
+from html import parser as _hp
+from html import unescape as _unescape
 from html.parser import HTMLParser
 from urllib.parse import urljoin
 
@@ -62,6 +65,8 @@ LINK_TAGS = ("a", "area", "va-link")
 # (parse.py:15-34 xpath: .//text()[not(ancestor::a|button|style|script)])
 _CONTENT_EXCLUDED = frozenset({"a", "button", "style", "script", "noscript"})
 _VOID_TAGS = frozenset({"area", "base", "br", "col", "embed", "hr", "img", "input", "link", "meta", "param", "source", "track", "wbr"})
+# tags whose attributes handle_starttag actually consumes (link tags + html/meta)
+_ATTR_TAGS = frozenset(LINK_TAGS) | {"html", "meta"}
 
 
 class _PageParser(HTMLParser):
@@ -80,22 +85,26 @@ class _PageParser(HTMLParser):
         self._stack: list[str] = []
 
     def handle_starttag(self, tag, attrs):
-        attrd = dict(attrs)
-        if tag == "html" and attrd.get("lang"):
-            self.html_lang = attrd["lang"].strip()
-        if tag in LINK_TAGS:
-            href = attrd.get("href")
-            if href:
-                self.links.append(href)
-        if tag == "meta":
-            name = (attrd.get("name") or "").lower()
-            prop = (attrd.get("property") or "").lower()
-            content = attrd.get("content") or ""
-            if name:
-                self.meta.setdefault(name, content)
-            if prop.startswith("og:"):
-                self.og.setdefault(prop[3:], content)
-        if tag == "title":
+        # build the attr dict only for the tags that read it (r06: the
+        # dominant tags — p/h1/body/... — paid a dict() per occurrence)
+        if tag in _ATTR_TAGS:
+            attrd = dict(attrs)
+            if tag == "html":
+                if attrd.get("lang"):
+                    self.html_lang = attrd["lang"].strip()
+            elif tag == "meta":
+                name = (attrd.get("name") or "").lower()
+                prop = (attrd.get("property") or "").lower()
+                content = attrd.get("content") or ""
+                if name:
+                    self.meta.setdefault(name, content)
+                if prop.startswith("og:"):
+                    self.og.setdefault(prop[3:], content)
+            else:  # a / area / va-link
+                href = attrd.get("href")
+                if href:
+                    self.links.append(href)
+        elif tag == "title":
             self._in_title = True
         if tag in _VOID_TAGS:
             return
@@ -123,7 +132,121 @@ class _PageParser(HTMLParser):
             self.text_parts.append(data)
 
 
+# --- fast scan path (r06 optimization) ---------------------------------------
+# HTMLParser spends most of a page's parse in its incremental machinery
+# (goahead buffering, line/column updatepos tracking, per-token dispatch);
+# for a whole-document string none of that is needed.  _fast_scan drives the
+# SAME handler methods over the document using the stdlib parser's OWN
+# compiled token regexes (tagfind_tolerant / attrfind_tolerant /
+# locatestarttagend_tolerant), so every start tag, attribute unquoting and
+# charref unescape is decided by the identical expressions — and it BAILS
+# (returns False, caller reparses with the stdlib) on any construct outside
+# the proven subset: comments, processing instructions, marked sections,
+# non-doctype declarations, bogus '<' runs, whitespace-after-'</' end tags,
+# or EOF inside a script/style block.  Byte-parity with HTMLParser on the
+# accepted subset is pinned by tests/test_fast_html_parity.py over the full
+# synthetic web plus adversarial fragments.
+
+_SIMPLE_ENDTAG_RE = re.compile(r"</([a-zA-Z][-.a-zA-Z0-9:_]*)\s*>")
+_CDATA_CLOSE = {
+    "script": re.compile(r"</\s*script", re.IGNORECASE),
+    "style": re.compile(r"</\s*style", re.IGNORECASE),
+}
+
+
+def _fast_scan(html: str, p: _PageParser) -> bool:
+    n = len(html)
+    i = 0
+    cdata: str | None = None
+    find = html.find
+    while i < n:
+        if cdata is not None:
+            m = _CDATA_CLOSE[cdata].search(html, i)
+            if m is None:
+                return False  # EOF inside script/style: stdlib semantics are subtle
+            if m.start() > i:
+                p.handle_data(html[i : m.start()])  # raw: no charref conversion in cdata
+            em = _SIMPLE_ENDTAG_RE.match(html, m.start())
+            if em is None or em.group(1).lower() != cdata:
+                return False
+            p.handle_endtag(cdata)
+            i = em.end()
+            cdata = None
+            continue
+        lt = find("<", i)
+        if lt < 0:
+            if i < n:
+                data = html[i:]
+                p.handle_data(_unescape(data) if "&" in data else data)
+            break
+        if lt > i:
+            data = html[i:lt]
+            p.handle_data(_unescape(data) if "&" in data else data)
+        nxt = html[lt + 1] if lt + 1 < n else ""
+        if nxt == "/":
+            em = _SIMPLE_ENDTAG_RE.match(html, lt)
+            if em is None:
+                return False
+            p.handle_endtag(em.group(1).lower())
+            i = em.end()
+        elif nxt.isalpha() and nxt.isascii():
+            sm = _hp.locatestarttagend_tolerant.match(html, lt)
+            if sm is None:
+                return False
+            j = sm.end()
+            after = html[j : j + 1]
+            if after == ">":
+                endpos = j + 1
+            elif after == "/" and html.startswith("/>", j):
+                endpos = j + 2
+            else:
+                return False  # incomplete or bogus start tag
+            tm = _hp.tagfind_tolerant.match(html, lt + 1)
+            tag = tm.group(1).lower()
+            k = tm.end()
+            attrs = []
+            while k < j:
+                am = _hp.attrfind_tolerant.match(html, k)
+                if not am:
+                    break
+                attrname, rest, attrvalue = am.group(1, 2, 3)
+                if not rest:
+                    attrvalue = None
+                elif attrvalue[:1] == "'" == attrvalue[-1:] or attrvalue[:1] == '"' == attrvalue[-1:]:
+                    attrvalue = attrvalue[1:-1]
+                if attrvalue:
+                    attrvalue = _unescape(attrvalue)
+                attrs.append((attrname.lower(), attrvalue))
+                k = am.end()
+            if html[k:j].strip():
+                return False  # residue the tolerant attr regex did not consume
+            if after == ">":
+                p.handle_starttag(tag, attrs)
+                if tag in ("script", "style"):  # HTMLParser.CDATA_CONTENT_ELEMENTS
+                    cdata = tag
+            else:
+                # handle_startendtag default: starttag then endtag, NO cdata mode
+                p.handle_starttag(tag, attrs)
+                p.handle_endtag(tag)
+            i = endpos
+        elif nxt == "!" and html[lt : lt + 9].lower() == "<!doctype":
+            # parse_html_declaration's doctype branch: skip to the next '>'
+            gt = find(">", lt + 9)
+            if gt < 0:
+                return False
+            i = gt + 1  # handle_decl is a no-op for _PageParser
+        else:
+            return False  # comment / PI / marked section / bare '<' run
+    return True
+
+
 def parse_html(html: str) -> _PageParser:
+    parser = _PageParser()
+    try:
+        if _fast_scan(html, parser):
+            return parser
+    except Exception:
+        pass
     parser = _PageParser()
     try:
         parser.feed(html)

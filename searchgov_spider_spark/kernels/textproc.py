@@ -36,7 +36,15 @@ def clean_line(line: str) -> str:
     Whitespace control characters (\\t \\x0b \\x0c ...) are KEPT and collapse
     to spaces; non-space control characters are removed outright — matching
     the reference's ``isprintable() or isspace()`` filter byte-for-byte.
+
+    Fast path (r06): an all-printable line with no '&' has nothing for the
+    entity table or the per-char filter to do (space is printable; every
+    other whitespace char fails isprintable), so the result is exactly
+    ``" ".join(line.split())`` — one C-level scan instead of a Python
+    generator over every character.
     """
+    if "&" not in line and line.isprintable():
+        return " ".join(line.split())
     for entity, repl in _ENTITIES.items():
         line = line.replace(entity, repl)
     line = "".join(c for c in line if c.isprintable() or c.isspace())
@@ -53,6 +61,12 @@ def sanitize_text(text: str) -> str:
     """
     if not text:
         return ""
+    # Fast path (r06): printable text contains NO line boundaries (\n, \r,
+    # \x0b..\x1e, \x85, U+2028/9 all fail isprintable), so splitlines is
+    # [text]; with no '&' (entities) and no U+2424 the pipeline reduces to
+    # one whitespace collapse — byte-identical (pinned in tests).
+    if "&" not in text and "␤" not in text and text.isprintable():
+        return " ".join(text.split())
     lines = [clean_line(ln) for ln in text.splitlines()]
     joined = " ".join(ln for ln in lines if ln).replace("␤", "")
     return _WS_COLLAPSE_RE.sub(" ", joined).strip()
@@ -255,13 +269,12 @@ def split_sentences(text: str) -> list[str]:
 
 def word_frequencies(text: str, lang: str = "en") -> dict[str, int]:
     """Token frequency excluding stopwords/non-alnum (helpers.py:116-127)."""
+    from collections import Counter
+
     sw = STOPWORDS.get(lang, STOPWORDS["en"])
-    freq: dict[str, int] = {}
-    for tok in tokenize(text):
-        if tok in sw:
-            continue
-        freq[tok] = freq.get(tok, 0) + 1
-    return freq
+    # Counter over the filtered list runs the tally in C; key order (first
+    # occurrence) and counts are identical to the explicit dict loop
+    return Counter(tok for tok in tokenize(text) if tok not in sw)
 
 
 def summarize_text(text: str, lang: str = "en") -> tuple[str, str]:

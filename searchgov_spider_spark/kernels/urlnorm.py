@@ -119,8 +119,19 @@ def strip_jsessionid(url: str) -> str:
     return url
 
 
+# netloc extractor for the hostname fast path: group 1 is the authority of
+# any absolute-URL shape urlsplit recognizes; when it carries no userinfo,
+# port, or IPv6 bracket, ``hostname`` is exactly its lowercase form.
+_FAST_NETLOC_RE = re.compile(r"^[a-zA-Z][a-zA-Z0-9+.\-]*://([^/?#]*)")
+
+
 def url_host(url: str) -> str:
     """Lowercased hostname of ``url`` ('' when unparseable)."""
+    m = _FAST_NETLOC_RE.match(url)
+    if m is not None:
+        netloc = m.group(1)
+        if "@" not in netloc and ":" not in netloc and "[" not in netloc:
+            return netloc.lower()
     return (urlsplit(url).hostname or "").lower()
 
 
@@ -141,14 +152,25 @@ def ensure_http_prefix(url: str) -> str:
     return url if url.startswith(("http://", "https://")) else f"https://{url}"
 
 
+# http(s) URL path extractor: group 1 is exactly ``urlsplit(url).path`` for
+# any absolute http/https URL (netloc = everything up to the first '/', '?'
+# or '#'; path = up to '?' or '#').  Fast path for the per-link deny filter;
+# non-http shapes fall back to urlsplit.
+_HTTP_PATH_RE = re.compile(r"^https?://[^/?#]*([^?#]*)")
+
+
 def url_extension(url: str) -> str:
     """Lowercased final-segment file extension without the dot ('' if none).
 
     Used by the link-extraction deny filter (case-insensitive, as Scrapy's
     LinkExtractor compares lowered extensions); for the document-field
     extension with original case see url_base_extension."""
-    path = urlsplit(url).path
-    base = posixpath.basename(path)
+    m = _HTTP_PATH_RE.match(url)
+    if m is not None:
+        path = m.group(1)
+        base = path[path.rfind("/") + 1 :]  # == posixpath.basename(path)
+    else:
+        base = posixpath.basename(urlsplit(url).path)
     if "." not in base:
         return ""
     return base.rsplit(".", 1)[1].lower()

@@ -47,7 +47,14 @@ def decontaminate(
     """
     grams = shingles_col(text_col, n)
     eval_grams = eval_docs.select(F.explode(grams).alias("gram")).distinct()
-    doc_grams = docs.select(F.col(id_col), F.explode(grams).alias("gram")).distinct()
+    # per-doc distinct INSIDE the row (array_distinct) instead of a
+    # corpus-wide .distinct(): identical hit counts — distinct-on-(id, gram)
+    # equals distinct-within-each-doc's-array — but the training side now
+    # reaches the broadcast probe with ZERO exchanges (r06; the .distinct()
+    # shuffled the whole exploded gram table before the join)
+    doc_grams = docs.select(
+        F.col(id_col), F.explode(F.array_distinct(grams)).alias("gram")
+    )
     hits = (
         doc_grams.join(F.broadcast(eval_grams), "gram")
         .groupBy(id_col)

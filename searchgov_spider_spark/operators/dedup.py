@@ -95,7 +95,9 @@ def minhash_lsh_pairs(
     rows = k // bands
     # localCheckpoint for the same reason as simhash_near_dup_pairs: one
     # signature computation feeding both join sides, blocks GC-released.
-    sig = minhash_signature(docs, id_col, text_col, k).localCheckpoint(eager=True)
+    # LAZY (r06): the band-join job materializes it on first touch — the
+    # separate eager job paid one extra scheduling round trip per call.
+    sig = minhash_signature(docs, id_col, text_col, k).localCheckpoint(eager=False)
     band_cols = []
     for b in range(bands):
         parts = [F.col(f"minhash_{i}") for i in range(b * rows, (b + 1) * rows)]
@@ -153,13 +155,26 @@ def connected_components(
     Returns (``id_col``, ``label``) where label = min node id of the
     component (singletons label themselves).
     """
+    # flip via explode, not union: a union's two branches each re-evaluate
+    # the (often expensive) upstream pair pipeline inside the persist job —
+    # the explode emits both directions from ONE evaluation (r06: halves the
+    # first-iteration materialization cost for LSH-derived edge lists)
     und = (
-        edges.select(F.col(src_col).alias("a"), F.col(dst_col).alias("b"))
-        .union(edges.select(F.col(dst_col).alias("a"), F.col(src_col).alias("b")))
+        edges.select(
+            F.explode(
+                F.array(
+                    F.struct(F.col(src_col).alias("a"), F.col(dst_col).alias("b")),
+                    F.struct(F.col(dst_col).alias("a"), F.col(src_col).alias("b")),
+                )
+            ).alias("_e")
+        )
+        .select(F.col("_e.a").alias("a"), F.col("_e.b").alias("b"))
         .persist()
     )
+    # lazy checkpoint: materialized inside iteration 1's job instead of
+    # paying a separate job's scheduling latency up front
     labels = nodes.select(F.col(id_col).alias("id"), F.col(id_col).alias("label")).localCheckpoint(
-        eager=True
+        eager=False
     )
     converged = False
     try:
@@ -295,8 +310,9 @@ def simhash_near_dup_pairs(
     # localCheckpoint (not persist): the hash UDF runs ONCE and feeds both
     # sides of the self-join, and the blocks are auto-released by the
     # ContextCleaner when the returned DataFrame is dropped — a .persist()
-    # here leaked cached blocks on every call (bench/driver loops).
-    hashed = docs.select(F.col(id_col), simhash_64(F.col(text_col)).alias("simhash")).localCheckpoint(eager=True)
+    # here leaked cached blocks on every call (bench/driver loops).  Lazy:
+    # the self-join job materializes it (one fewer job per call, r06).
+    hashed = docs.select(F.col(id_col), simhash_64(F.col(text_col)).alias("simhash")).localCheckpoint(eager=False)
     bands_arr = F.array(*[c for c in simhash_bands("simhash", n_bands)])
     banded = hashed.select(
         F.col(id_col), F.col("simhash"), F.posexplode(bands_arr).alias("band", "bval")

@@ -56,11 +56,11 @@ def pagerank(
     deg = edges.groupBy(src_col).agg(F.count("*").alias("out_deg"))
     # (src, dst, out_deg) — static across iterations; materialize once so
     # each iteration pays only the rank join, not a recomputed groupBy
-    adj = edges.join(deg, src_col).localCheckpoint(eager=True)
+    adj = edges.join(deg, src_col).localCheckpoint(eager=False)
 
     ranks = nodes.select(
         F.col(id_col).alias(src_col), F.lit(1.0 / n_total).alias("rank")
-    ).localCheckpoint(eager=True)
+    ).localCheckpoint(eager=False)
 
     for _ in range(n_iter):
         contribs = (
@@ -82,7 +82,7 @@ def pagerank(
                     + F.lit(damping) * F.coalesce("in_mass", F.lit(0.0))
                 ).alias("rank"),
             )
-            .localCheckpoint(eager=True)  # cut lineage: plan depth stays O(1)
+            .localCheckpoint(eager=False)  # cut lineage: plan depth stays O(1)
         )
 
     return ranks.select(
@@ -120,10 +120,10 @@ def hits(
     keeps the plan O(1) deep.  Hub-node skew (a page linked by millions)
     is one hot groupBy key — partial aggregation absorbs it map-side.
     """
-    adj = edges.select(src_col, dst_col).localCheckpoint(eager=True)
+    adj = edges.select(src_col, dst_col).localCheckpoint(eager=False)
     hubs = nodes.select(
         F.col(id_col).alias(src_col), F.lit(1.0).alias("hub")
-    ).localCheckpoint(eager=True)
+    ).localCheckpoint(eager=False)
     auths = None
 
     for _ in range(n_iter):
@@ -141,7 +141,7 @@ def hits(
                 dst_col,
                 (F.coalesce("a_raw", F.lit(0.0)) / F.col("a_sum")).alias("auth"),
             )
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         )
         hraw = (
             adj.join(auths, dst_col)
@@ -157,7 +157,7 @@ def hits(
                 src_col,
                 (F.coalesce("h_raw", F.lit(0.0)) / F.col("h_sum")).alias("hub"),
             )
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         )
 
     return (
@@ -236,7 +236,7 @@ def resolve_redirects(
         F.col(src_col).alias("_s"),
         F.col(dst_col).alias("_d"),
         F.lit(1).alias("_h"),
-    ).localCheckpoint()
+    ).localCheckpoint(eager=False)
     for _ in range(max_doublings):
         nxt = cur.select(
             F.col("_s").alias("_s2"), F.col("_d").alias("_d2"), F.col("_h").alias("_h2")
@@ -249,7 +249,7 @@ def resolve_redirects(
                 (F.col("_h") + F.coalesce(F.col("_h2"), F.lit(0))).alias("_h"),
             )
             # keep the iterated plan O(1) like connected_components does
-            .localCheckpoint()
+            .localCheckpoint(eager=False)
         )
     sources = edges.select(F.col(src_col).alias("_d")).distinct()
     resolved = cur.join(sources, "_d", "left_anti").select(
@@ -301,14 +301,14 @@ def opic(
     """
     n_total = nodes.count()  # scalar N: one job, O(1) driver memory
     deg = edges.groupBy(src_col).agg(F.count("*").alias("out_deg"))
-    adj = edges.join(deg, src_col).localCheckpoint(eager=True)
-    deg_ids = deg.select(F.col(src_col).alias(id_col)).localCheckpoint(eager=True)
+    adj = edges.join(deg, src_col).localCheckpoint(eager=False)
+    deg_ids = deg.select(F.col(src_col).alias(id_col)).localCheckpoint(eager=False)
 
     state = nodes.select(
         F.col(id_col),
         F.lit(1.0 / n_total).alias("cash"),
         F.lit(0.0).alias("hist"),
-    ).localCheckpoint(eager=True)
+    ).localCheckpoint(eager=False)
 
     for _ in range(n_iter):
         dmass = F.broadcast(
@@ -339,7 +339,7 @@ def opic(
                 ).alias("cash"),
                 (F.col("_prev_hist") + F.col("_prev_cash")).alias("hist"),
             )
-            .localCheckpoint(eager=True)  # cut lineage: plan depth stays O(1)
+            .localCheckpoint(eager=False)  # cut lineage: plan depth stays O(1)
         )
 
     return state.select(
@@ -388,7 +388,7 @@ def trustrank(
     teleport = (1.0 - damping) / n_seeds
 
     deg = edges.groupBy(src_col).agg(F.count("*").alias("out_deg"))
-    adj = edges.join(deg, src_col).localCheckpoint(eager=True)
+    adj = edges.join(deg, src_col).localCheckpoint(eager=False)
 
     # seed indicator pinned onto every node row once; teleport = is_seed *
     # (1-d)/|S| thereafter, so iterations touch only (id, rank, is_seed)
@@ -396,13 +396,13 @@ def trustrank(
         nodes.select(F.col(id_col))
         .join(seeds.select(F.col(id_col), F.lit(1.0).alias("is_seed")), id_col, "left")
         .select(id_col, F.coalesce("is_seed", F.lit(0.0)).alias("is_seed"))
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
 
     ranks = base.select(
         F.col(id_col).alias(src_col),
         (F.col("is_seed") / n_seeds).alias("trust"),
-    ).localCheckpoint(eager=True)
+    ).localCheckpoint(eager=False)
 
     for _ in range(n_iter):
         contribs = (
@@ -423,7 +423,7 @@ def trustrank(
                     + F.lit(damping) * F.coalesce("in_mass", F.lit(0.0))
                 ).alias("trust"),
             )
-            .localCheckpoint(eager=True)  # cut lineage: plan depth stays O(1)
+            .localCheckpoint(eager=False)  # cut lineage: plan depth stays O(1)
         )
 
     return ranks.select(

@@ -611,7 +611,7 @@ def image_near_dup_pairs(
     from .dedup import simhash_bands
 
     n_bands = max_hamming + 1
-    hashed = image_dhash(media, id_col).localCheckpoint(eager=True)
+    hashed = image_dhash(media, id_col).localCheckpoint(eager=False)
     bands_arr = F.array(*simhash_bands("dhash", n_bands))
     banded = hashed.select(
         F.col(id_col), F.col("dhash"), F.posexplode(bands_arr).alias("band", "bval")

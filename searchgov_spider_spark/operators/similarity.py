@@ -212,8 +212,13 @@ def embedding_near_dup_pairs(
         bits, bands, exp_ratio,
         f" (~{exp_ratio * n_rows:.1f} expected random candidates/row at n={n_rows})" if n_rows else "",
     )
-    banded = with_lsh_bands(embeddings, dim, bits, bands, seed, vec_col).select(
-        F.col(id_col), F.posexplode("bands").alias("band", "bucket")
+    # lazy localCheckpoint: the SRP matmul UDF feeds BOTH sides of the
+    # band self-join — without it the plan carries two copies of the
+    # ArrowEvalPython subtree and hashes every vector twice (r06)
+    banded = (
+        with_lsh_bands(embeddings, dim, bits, bands, seed, vec_col)
+        .select(F.col(id_col), F.posexplode("bands").alias("band", "bucket"))
+        .localCheckpoint(eager=False)
     )
     left = banded.alias("l")
     right = banded.alias("r")

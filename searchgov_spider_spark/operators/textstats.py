@@ -880,10 +880,14 @@ def bpe_train(
         .agg(F.count("*").alias("wc"))
         .filter(F.length("word") >= 2)
     )
+    # LAZY checkpoints throughout the merge loop (r06): each iteration's
+    # argmax TakeOrdered materializes the pending re-segmentation as part of
+    # its own job, halving the loop's job count (2 jobs/merge -> 1) while
+    # keeping the plan O(1) — the blocks persist exactly as before.
     vocab = words.select(
         "wc",
         F.expr("trim(regexp_replace(word, '(.)', '$1 '))").alias("seg"),
-    ).localCheckpoint(eager=True)
+    ).localCheckpoint(eager=False)
 
     adj = (
         "case when size(split(seg, ' ')) >= 2 then "
@@ -912,7 +916,7 @@ def bpe_train(
                 "trim(regexp_replace(concat(' ', seg, ' '), "
                 f"' \\\\Q{a}\\\\E \\\\Q{b}\\\\E(?= )', ' {a}{b}'))"
             ).alias("seg"),
-        ).localCheckpoint(eager=True)
+        ).localCheckpoint(eager=False)
     return spark.createDataFrame(
         merges, "merge_rank INT, pair STRING, merged STRING, n BIGINT"
     ).orderBy("merge_rank")

@@ -30,6 +30,22 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
 
 
+def _fan_out(df: DataFrame, key: str) -> DataFrame:
+    """Scan-width adapter for expensive per-row stages (guide §2.5 input
+    skew: "one huge unsplittable file ... repartition immediately after the
+    read").  A small input written as ONE parquet row group scans as a
+    single split, so every downstream codegen/UDF map serializes onto one
+    core of the cluster; when the scan has fewer splits than the session's
+    parallelism, hash-repartition on the row key (deterministic row ->
+    partition map, no round-robin pre-sort).  At the 100-TB design point a
+    table scans as >= cores splits and this is a structural no-op — the
+    condition, not a constant, is what adapts."""
+    parallelism = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() >= parallelism:
+        return df
+    return df.repartition(parallelism, F.col(key))
+
+
 def _cleanup_at_exit(path: str) -> None:
     """Defer removal of a temp dir whose parquet output is still being read
     lazily by the caller (the crawl checkpoint itself is deleted eagerly)."""
@@ -242,7 +258,9 @@ def _docs_with_dups(spark, sf_dir):
     copies = d.filter(F.col("doc_id") % 5 == 0).select(
         (F.col("doc_id") + 100000).alias("doc_id"), F.col("text")
     )
-    return d.unionByName(copies)
+    # fan out AFTER the union: the single-row-group scan would otherwise
+    # serialize every downstream shingle/md5 map onto one core (see _fan_out)
+    return _fan_out(d.unionByName(copies), "doc_id")
 
 
 def q16_exact_dedup(spark, sf_dir):
@@ -257,7 +275,7 @@ def q17_token_stats(spark, sf_dir):
 
 def q18_minhash_signature(spark, sf_dir):
     """MinHash signatures (k=4, md5 permutations) — near-dup primitive."""
-    return dedup.minhash_signature(_t(spark, sf_dir, "documents"), k=4)
+    return dedup.minhash_signature(_fan_out(_t(spark, sf_dir, "documents"), "doc_id"), k=4)
 
 
 def q19_minhash_dedup(spark, sf_dir):
@@ -291,7 +309,7 @@ def q21_cosine_topk(spark, sf_dir):
 
 def q22_text_analysis(spark, sf_dir):
     """Language-ID + quality + fingerprint (heuristic kernels; pytest-gated)."""
-    d = _t(spark, sf_dir, "documents")
+    d = _fan_out(_t(spark, sf_dir, "documents"), "doc_id")
     return d.select(
         "doc_id",
         udfs.detect_language(F.col("text")).alias("detected_lang"),
@@ -488,7 +506,9 @@ def _embeddings_with_dups(spark, sf_dir):
     copies = emb.filter(F.col("vec_id") % 10 == 0).select(
         (F.col("vec_id") + 100000).alias("vec_id"), F.col("embedding")
     )
-    return emb.unionByName(copies)
+    # single-row-group scan: fan the union out so per-vector dot-product /
+    # SRP-hash maps use every core (no-op at scale; see _fan_out)
+    return _fan_out(emb.unionByName(copies), "vec_id")
 
 
 def q34_embedding_near_dup(spark, sf_dir):
@@ -667,7 +687,10 @@ def q40_decontamination(spark, sf_dir):
     d = _t(spark, sf_dir, "documents")
     eval_docs = d.filter(F.col("doc_id") % 37 == 0)
     leaked = eval_docs.select((F.col("doc_id") + 200000).alias("doc_id"), "text")
-    train = d.filter(F.col("doc_id") % 37 != 0).select("doc_id", "text").unionByName(leaked)
+    train = _fan_out(
+        d.filter(F.col("doc_id") % 37 != 0).select("doc_id", "text").unionByName(leaked),
+        "doc_id",
+    )
     return curation.decontaminate(train, eval_docs, n=8)
 
 
@@ -722,7 +745,7 @@ def q44_line_dedup(spark, sf_dir):
     lines; a line surviving only at its first (doc_id, pos) occurrence
     corpus-wide; docs reassembled in order with kept/removed counts."""
     toks = f"regexp_extract_all(lower(text), '{TOKEN_PATTERN}', 0)"
-    d = _t(spark, sf_dir, "documents").select(
+    d = _fan_out(_t(spark, sf_dir, "documents"), "doc_id").select(
         "doc_id", F.expr(_LINES_EXPR.format(t=toks)).alias("lines")
     )
     return curation.line_dedup(d)
@@ -773,7 +796,7 @@ def q47_unigram_surprisal(spark, sf_dir):
     """CCNet-style LM-quality surrogate: per-doc mean unigram surprisal
     under the corpus's own token distribution.  Vocabulary built and joined
     fully distributed — no collect, no broadcast of the vocab itself."""
-    return textstats.unigram_surprisal(_t(spark, sf_dir, "documents"))
+    return textstats.unigram_surprisal(_fan_out(_t(spark, sf_dir, "documents"), "doc_id"))
 
 
 def q45_dedup_clusters(spark, sf_dir):
@@ -782,13 +805,13 @@ def q45_dedup_clusters(spark, sf_dir):
     cluster representative + cluster size.  The cluster step a dedup
     pipeline needs to pick survivors; iterations ~ component diameter."""
     d = _docs_with_dups(spark, sf_dir)
-    # materialize the verified pair set ONCE: connected_components unions the
-    # edge list with its flip, which would otherwise re-evaluate the whole
-    # LSH pipeline per union branch — q45 must cost ≈ q25 + label propagation
+    # materialize the verified pair set ONCE (lazy: connected_components'
+    # first iteration runs it; its explode-based flip evaluates the LSH
+    # pipeline a single time) — q45 must cost ≈ q25 + label propagation
     pairs = (
         dedup.minhash_lsh_pairs(d, k=16, bands=8, threshold=0.8)
         .select("id_a", "id_b")
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
     cc = dedup.connected_components(pairs, d.select("doc_id"), id_col="doc_id")
     sizes = cc.groupBy("label").agg(F.count("*").alias("cluster_size"))
@@ -811,7 +834,7 @@ def q48_embedding_dup_clusters(spark, sf_dir):
     pairs = (
         similarity.embedding_near_dup_pairs(emb, dim=64, threshold=0.95)
         .select("id_a", "id_b")
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
     cc = dedup.connected_components(pairs, emb.select("vec_id"), id_col="vec_id")
     sizes = cc.groupBy("label").agg(F.count("*").alias("cluster_size"))
@@ -931,7 +954,7 @@ def q51_bigram_surprisal(spark, sf_dir):
     the corpus's own max-likelihood P(w2|w1) scored per doc, the shape a
     KenLM-style CCNet quality stage takes in Spark: one groupBy builds the
     LM, joins consume it distributed, no collect."""
-    return textstats.bigram_surprisal(_t(spark, sf_dir, "documents"))
+    return textstats.bigram_surprisal(_fan_out(_t(spark, sf_dir, "documents"), "doc_id"))
 
 
 def q52_quality_classifier(spark, sf_dir):
@@ -939,7 +962,7 @@ def q52_quality_classifier(spark, sf_dir):
     token buckets -> deterministic Knuth-multiplicative weights -> sigmoid
     of the mean token weight.  Pure map, zero shuffle — the score a
     trained model swap-in would compute with identical plumbing."""
-    return curation.hashed_classifier_score(_t(spark, sf_dir, "documents"))
+    return curation.hashed_classifier_score(_fan_out(_t(spark, sf_dir, "documents"), "doc_id"))
 
 
 def q53_corpus_mixture(spark, sf_dir):
@@ -1817,7 +1840,7 @@ def q100_ngram_diversity(spark, sf_dir):
     boilerplate/template detector complementing q42's per-doc repetition
     (textstats.ngram_diversity): two-level agg, both shuffles partial-agg'd
     uniform (source, n, gram) keys, nothing corpus-sized collected."""
-    return textstats.ngram_diversity(_t(spark, sf_dir, "documents"))
+    return textstats.ngram_diversity(_fan_out(_t(spark, sf_dir, "documents"), "doc_id"))
 
 
 def q101_heaps_fit(spark, sf_dir):
@@ -1851,7 +1874,7 @@ def q103_cluster_survivors(spark, sf_dir):
     pairs = (
         dedup.minhash_lsh_pairs(d, k=16, bands=8, threshold=0.8)
         .select("id_a", "id_b")
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
     cc = dedup.connected_components(pairs, d.select("doc_id"), id_col="doc_id")
     return dedup.survivor_selection(cc, d, id_col="doc_id")
@@ -1982,7 +2005,7 @@ def q110_bpe_encode(spark, sf_dir):
     for production 30k-merge vocabularies; a unit test pins both engines
     equal.)  The oracle re-trains AND re-encodes in pure Python, emitting
     one literal row per document."""
-    docs = _t(spark, sf_dir, "documents")
+    docs = _fan_out(_t(spark, sf_dir, "documents"), "doc_id")
     merge_df = textstats.bpe_train(docs, n_merges=8)
     merges = [
         tuple(r["pair"].split(" "))
@@ -4248,7 +4271,7 @@ def q121_kn_surprisal(spark, sf_dir):
     0.75, continuation-probability backoff), completing the q47 unigram ->
     q51 ML-bigram -> KN ladder.  LM stats all derive from one checkpointed
     vocabulary-sized table; the corpus pays a single scoring join."""
-    return textstats.kneser_ney_surprisal(_t(spark, sf_dir, "documents"))
+    return textstats.kneser_ney_surprisal(_fan_out(_t(spark, sf_dir, "documents"), "doc_id"))
 
 
 QUERIES["q121_kn_surprisal"] = q121_kn_surprisal
@@ -4426,7 +4449,7 @@ def q124_span_corruption(spark, sf_dir):
     shuffles/joins/UDFs, codegen'd array algebra at scan speed."""
     from .operators import packing
 
-    return packing.span_corruption(_t(spark, sf_dir, "documents"))
+    return packing.span_corruption(_fan_out(_t(spark, sf_dir, "documents"), "doc_id"))
 
 
 QUERIES["q124_span_corruption"] = q124_span_corruption

@@ -123,7 +123,27 @@ def page_lang(k: int) -> str:
 
 
 def _salad(rng: random.Random, words: list[str], n: int) -> str:
-    return " ".join(rng.choice(words) for _ in range(n))
+    """Deterministic word salad — byte-identical to
+    ``" ".join(rng.choice(words) for _ in range(n))`` with the same rng.
+
+    Inlined draw loop (r06): ``Random.choice`` routes every draw through
+    two Python frames (choice -> _randbelow); this reproduces the exact
+    rejection-sampling contract of ``Random._randbelow_with_getrandbits``
+    (k = bit_length(len), redraw while >= len) against ``getrandbits``
+    directly — ~2x fewer interpreter frames on the synthetic-web hot path.
+    Equality with Random.choice is pinned by tests/test_fast_html_parity.py.
+    """
+    m = len(words)
+    k = m.bit_length()
+    gb = rng.getrandbits
+    out = []
+    append = out.append
+    for _ in range(n):
+        r = gb(k)
+        while r >= m:
+            r = gb(k)
+        append(words[r])
+    return " ".join(out)
 
 
 _URL_RE = re.compile(r"^https://host(\d+)\.example\.gov(/.*)?$")
