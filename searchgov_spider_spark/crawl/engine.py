@@ -231,16 +231,22 @@ class CrawlEngine:
         # created_at/updated_at use null instead of the reference's wall-clock
         # fallback (X18 nondeterminism exclusion); download_milliseconds and
         # creator are runtime placeholders upstream too.
-        parts = udfs.url_doc_parts(F.col("url_canon"))
-        documents = extracted.withColumn("_p", parts).select(
-            udfs.doc_id(F.col("url_canon")).alias("id"),
+        # r06: doc_id + url parts + BOTH date parses in one fused Arrow UDF
+        # (doc_meta) — the previous projection paid five ArrowEvalPython
+        # evaluations per round (parse_dates ran twice on created_raw alone);
+        # 'updated' reuses the struct's created_at, evaluated once.
+        meta = udfs.doc_meta(
+            F.col("url_canon"), F.col("doc.created_raw"), F.col("doc.changed_raw")
+        )
+        documents = extracted.withColumn("_m", meta).select(
+            F.col("_m.id").alias("id"),
             F.col("url_canon").alias("url"),
             F.col("url_canon").alias("path"),
             F.col("source_url"),
-            F.col("_p.domain_name").alias("domain_name"),
-            F.col("_p.basename").alias("basename"),
-            F.nullif(F.col("_p.extension"), F.lit("")).alias("extension"),
-            F.col("_p.url_path").alias("url_path"),
+            F.col("_m.domain_name").alias("domain_name"),
+            F.col("_m.basename").alias("basename"),
+            F.nullif(F.col("_m.extension"), F.lit("")).alias("extension"),
+            F.col("_m.url_path").alias("url_path"),
             F.col("depth").alias("crawl_depth"),
             F.col("seq"),
             F.col("doc.title").alias("title"),
@@ -251,9 +257,9 @@ class CrawlEngine:
             F.col("doc.content").alias("content"),
             F.nullif(F.col("doc.audience"), F.lit("")).alias("audience"),
             F.nullif(F.col("doc.thumbnail_url"), F.lit("")).alias("thumbnail_url"),
-            udfs.parse_dates(F.col("doc.created_raw")).alias("created_at"),
-            udfs.parse_dates(F.col("doc.changed_raw")).alias("changed"),
-            udfs.parse_dates(F.col("doc.created_raw")).alias("updated"),
+            F.col("_m.created_at").alias("created_at"),
+            F.col("_m.changed").alias("changed"),
+            F.col("_m.created_at").alias("updated"),
             F.lit("text/html").alias("mime_type"),
             F.lit("article").alias("content_type"),
             F.lit(None).cast("long").alias("dap_domain_visits_count"),

@@ -148,6 +148,9 @@ class _PageParser(HTMLParser):
 # synthetic web plus adversarial fragments.
 
 _SIMPLE_ENDTAG_RE = re.compile(r"</([a-zA-Z][-.a-zA-Z0-9:_]*)\s*>")
+# attr-less start tag (`<p>`, `<h1>`, `<title>`): one match replaces the
+# locatestarttagend + tagfind + attrfind triple for the dominant tag shape
+_BARE_STARTTAG_RE = re.compile(r"<([a-zA-Z][-.a-zA-Z0-9:_]*)>")
 _CDATA_CLOSE = {
     "script": re.compile(r"</\s*script", re.IGNORECASE),
     "style": re.compile(r"</\s*style", re.IGNORECASE),
@@ -190,6 +193,14 @@ def _fast_scan(html: str, p: _PageParser) -> bool:
             p.handle_endtag(em.group(1).lower())
             i = em.end()
         elif nxt.isalpha() and nxt.isascii():
+            bm = _BARE_STARTTAG_RE.match(html, lt)
+            if bm is not None:
+                tag = bm.group(1).lower()
+                p.handle_starttag(tag, [])
+                if tag in ("script", "style"):
+                    cdata = tag
+                i = bm.end()
+                continue
             sm = _hp.locatestarttagend_tolerant.match(html, lt)
             if sm is None:
                 return False

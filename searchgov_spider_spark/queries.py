@@ -251,21 +251,24 @@ def q15_doc_ids(spark, sf_dir):
 # ---------------------------------------------------------------------------
 
 
-def _docs_with_dups(spark, sf_dir):
+def _docs_with_dups(spark, sf_dir, fan: bool = True):
     """documents ∪ exact copies (doc_id+100000) — deterministic dup injection
     shared with the SQL oracle."""
     d = _t(spark, sf_dir, "documents").select("doc_id", "text")
     copies = d.filter(F.col("doc_id") % 5 == 0).select(
         (F.col("doc_id") + 100000).alias("doc_id"), F.col("text")
     )
+    out = d.unionByName(copies)
     # fan out AFTER the union: the single-row-group scan would otherwise
-    # serialize every downstream shingle/md5 map onto one core (see _fan_out)
-    return _fan_out(d.unionByName(copies), "doc_id")
+    # serialize every downstream shingle/md5/UDF map onto one core (see
+    # _fan_out).  Callers whose first op is itself a shuffle (q16's digest
+    # groupBy) skip it — the extra exchange buys them nothing.
+    return _fan_out(out, "doc_id") if fan else out
 
 
 def q16_exact_dedup(spark, sf_dir):
     """Exact dedup via content digest (hash-groupBy; one shuffle)."""
-    return dedup.exact_duplicates(_docs_with_dups(spark, sf_dir))
+    return dedup.exact_duplicates(_docs_with_dups(spark, sf_dir, fan=False))
 
 
 def q17_token_stats(spark, sf_dir):

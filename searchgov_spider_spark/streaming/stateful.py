@@ -72,21 +72,29 @@ def rate_limited_frontier(
         (host,) = key
         if state.exists:
             tokens, pend_urls, pend_seqs = state.get
-            pend = pd.DataFrame({"url_canon": list(pend_urls), "seq": list(pend_seqs)})
         else:
-            tokens, pend = cap, pd.DataFrame({"url_canon": [], "seq": []})
-        # Timeout invocations deliver an EMPTY iterator — concat only
-        # non-empty frames so pd.concat never sees an empty list.
+            tokens, pend_urls, pend_seqs = cap, (), ()
+        # Timeout invocations deliver an EMPTY iterator — collect only
+        # non-empty frames so pd.concat never sees an empty list.  The
+        # r06 rewrite skips the intermediate pend DataFrame and the second
+        # concat when a group has no backlog (the steady state): per-group
+        # pandas construction is the operator's dominant cost at realistic
+        # host cardinality (~100 rows/group).
         frames = [pdf[["url_canon", "seq"]] for pdf in pdfs if len(pdf)]
-        new = (
-            pd.concat(frames, ignore_index=True)
-            if frames
-            else pd.DataFrame({"url_canon": [], "seq": []})
-        )
-        queue = pd.concat([pend, new], ignore_index=True).sort_values("seq")
+        if pend_urls:
+            frames.insert(0, pd.DataFrame({"url_canon": list(pend_urls), "seq": list(pend_seqs)}))
+        if not frames:
+            queue = pd.DataFrame({"url_canon": [], "seq": []})
+        elif len(frames) == 1:
+            queue = frames[0]
+        else:
+            queue = pd.concat(frames, ignore_index=True)
+        queue = queue.sort_values("seq")
         take = min(len(queue), int(tokens))
-        admitted = queue.head(take)
-        rest = queue.iloc[take:]
+        if take == len(queue):
+            admitted, rest = queue, queue.iloc[0:0]
+        else:
+            admitted, rest = queue.head(take), queue.iloc[take:]
         tokens = min(cap, tokens - take + refill)
         state.update((float(tokens), rest["url_canon"].tolist(), [int(s) for s in rest["seq"]]))
         if len(rest):

@@ -187,6 +187,37 @@ def test_url_host_fast_path_parity():
         assert urlnorm.url_host(u) == ref, repr(u)
 
 
+def test_doc_meta_fused_udf_matches_component_kernels():
+    import pandas as pd
+
+    from searchgov_spider_spark.functions import udfs
+    from searchgov_spider_spark.kernels import dates
+
+    urls = [
+        "https://host0.example.gov/", "https://host0.example.gov/p7",
+        "https://h.gov/a/b/report.PDF", "https://h.gov/dir/", "https://h.gov/x.",
+        "https://h.gov/a.b.c?q=1#f", "https://U:p@h.gov:8080/z.txt",
+        "http://plain/x;jsessionid=1", "ftp://odd/a.b", "no-scheme/rel.txt", "",
+        "https://h.gov/%20enc.tar.gz", "HTTPS://UP.GOV/CaseD.Ext",
+    ]
+    craw = ["", "2024-01-02", "not a date", "", "January 5, 2023", "", "", "", "", "", "", "", ""]
+    chraw = ["2024-02-03", "", "", "also bad", "", "", "", "", "", "", "", "", ""]
+    out = udfs.doc_meta.func(pd.Series(urls), pd.Series(craw), pd.Series(chraw))
+    for i, u in enumerate(urls):
+        row = out.iloc[i]
+        if not u:
+            assert tuple(row) == ("", "", "", "", "", None, None)
+            continue
+        stem, suffix, _ = urlnorm.url_base_extension(u)
+        assert row["id"] == urlnorm.doc_id(u)
+        assert row["basename"] == stem, u
+        assert row["extension"] == suffix, u
+        assert row["url_path"] == urlnorm.url_path(u), u
+        assert row["domain_name"] == urlnorm.domain_name(u), u
+        assert row["created_at"] == (dates.parse_dates_safely(craw[i]) if craw[i] else None)
+        assert row["changed"] == (dates.parse_dates_safely(chraw[i]) if chraw[i] else None)
+
+
 def test_salad_matches_random_choice():
     for h in range(3):
         for k in range(50):
