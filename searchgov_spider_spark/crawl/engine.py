@@ -131,11 +131,17 @@ class CrawlEngine:
         self.compactions: list[dict] = []
         self.hot_host_threshold = hot_host_threshold
         self.fetch_partitions = fetch_partitions or max(32, spark.sparkContext.defaultParallelism)
-        self.robots = robots.persist() if robots is not None else None
+        # robots/budgets are host-table-sized dimensions, but typically
+        # arrive as a createDataFrame spread over defaultParallelism
+        # partitions — every ROUND's broadcast build then runs one tiny
+        # task per partition (r06: 32 scheduled tasks per broadcast to read
+        # a few hundred rows).  Coalesce once at init; the per-round
+        # broadcast job becomes a single task.
+        self.robots = robots.coalesce(1).persist() if robots is not None else None
         self.budgets = politeness.static_budgets(self.robots, round_seconds)
         self.min_budget = self.default_budget
         if self.budgets is not None:
-            self.budgets = self.budgets.persist()
+            self.budgets = self.budgets.coalesce(1).persist()
             rows = self.budgets.agg(F.min("budget").alias("m")).collect()
             if rows and rows[0]["m"] is not None:
                 self.min_budget = min(self.min_budget, int(rows[0]["m"]))
@@ -401,18 +407,24 @@ class CrawlEngine:
         else:
             frontier_next = admits_obs
         obs_frontier = Observation()
+        t_fw = time.monotonic()
         try:
             self.store.write_table(
                 frontier_next.observe(obs_frontier, F.count(F.lit(1)).alias("n")), rnd, "frontier"
             )
+            timings["frontier_parquet"] = round(time.monotonic() - t_fw, 3)
         finally:
             # ALWAYS re-join the concurrent writes/folds — if the frontier
             # write raised, the side threads' own failures must not be
             # dropped silently (and their cached inputs must not be
             # unpersisted under them).
+            t_join = time.monotonic()
             docs_thread.join()
             if bloom_thread is not None:
                 bloom_thread.join()
+            # residual wait on the overlapped documents write / bloom fold
+            # beyond the frontier write's own job (fixed-cost accounting)
+            timings["write_join_wait"] = round(time.monotonic() - t_join, 3)
         if docs_err:
             raise docs_err[0]
         remaining = int(obs_frontier.get["n"])

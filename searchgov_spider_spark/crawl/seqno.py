@@ -57,12 +57,35 @@ def assign_seq_bucketed(
     Returns ``(df_with_seq, total_rows, cache_handle)``; the caller
     unpersists the handle after materializing the result.
     """
-    cached = df.persist()
-    rows = cached.groupBy(bucket_col).agg(F.count(F.lit(1)).alias("cnt")).collect()
+    # r06: cache the POST-window rows and read the per-bucket counts as
+    # max(row_number) — the bucket exchange + sort then runs inside THIS
+    # job (which the engine overlaps with the concurrent documents write)
+    # instead of re-running serially inside the frontier write; the write
+    # job is left with cache-read -> tiny broadcast offset join -> write.
+    #
+    # The bucket exchange is an EXPLICIT repartition sized to the session's
+    # shuffle parallelism: left to Window.partitionBy, AQE's size-based
+    # coalescing (advisory 16m) folds a ~45 MB round batch into 1-3
+    # post-shuffle partitions and the per-bucket SORT serializes onto that
+    # many cores — measured 3.6 s/round of single-task sort at local[8]
+    # (2M-page scaling phase) vs <0.5 s spread across the full width.
+    # Partition count follows the session config, not a constant.
+    spark_ = df.sparkSession
+    try:
+        n_parts = int(spark_.conf.get("spark.sql.shuffle.partitions"))
+    except Exception:  # pragma: no cover - non-numeric session override
+        n_parts = max(1, spark_.sparkContext.defaultParallelism)
+    w = Window.partitionBy(bucket_col).orderBy(*[F.col(c) for c in order_cols])
+    cached = (
+        df.repartition(n_parts, F.col(bucket_col))
+        .withColumn("_rn", F.row_number().over(w))
+        .persist()
+    )
+    rows = cached.groupBy(bucket_col).agg(F.max("_rn").alias("cnt")).collect()
     counts = {r[bucket_col]: r["cnt"] for r in rows}
     total = sum(counts.values())
     if total == 0:
-        return cached.withColumn(seq_col, F.lit(start).cast("long")), 0, cached
+        return cached.drop("_rn").withColumn(seq_col, F.lit(start).cast("long")), 0, cached
     offsets: dict[int, int] = {}
     running = start
     for b in sorted(counts):
@@ -74,10 +97,8 @@ def assign_seq_bucketed(
             [(int(b), int(o)) for b, o in offsets.items()], f"{bucket_col} int, _offset long"
         )
     )
-    w = Window.partitionBy(bucket_col).orderBy(*[F.col(c) for c in order_cols])
     out = (
-        cached.withColumn("_rn", F.row_number().over(w))
-        .join(offsets_df, bucket_col)
+        cached.join(offsets_df, bucket_col)
         .withColumn(seq_col, (F.col("_offset") + F.col("_rn") - F.lit(1)).cast("long"))
         .drop("_rn", "_offset", bucket_col)
     )

@@ -93,11 +93,19 @@ def minhash_lsh_pairs(
     (band_id, band_hash); AQE skew-join splits hot buckets.
     """
     rows = k // bands
-    # localCheckpoint for the same reason as simhash_near_dup_pairs: one
-    # signature computation feeding both join sides, blocks GC-released.
-    # LAZY (r06): the band-join job materializes it on first touch — the
-    # separate eager job paid one extra scheduling round trip per call.
-    sig = minhash_signature(docs, id_col, text_col, k).localCheckpoint(eager=False)
+    # r06 restructure: candidate generation by BUCKET-LOCAL PAIR EXPANSION
+    # instead of the banded self-join.  groupBy(band, bh) collects each
+    # bucket's sorted member ids and a nested transform emits every (a < b)
+    # pair — the identical candidate set, but the banded table crosses the
+    # exchange ONCE (the self-join shuffled it for both sides), the
+    # signature stage feeds a single consumer (no localCheckpoint, no
+    # double evaluation, no concurrent-materialization race), and the plan
+    # drops one Exchange + one SortMergeJoin.  Bucket member lists are
+    # bounded by bucket size — the same bound the self-join's per-bucket
+    # output already had (candidates are quadratic in bucket size either
+    # way); degenerate hot buckets remain a banding-parameter concern, not
+    # a plan concern.
+    sig = minhash_signature(docs, id_col, text_col, k)
     band_cols = []
     for b in range(bands):
         parts = [F.col(f"minhash_{i}") for i in range(b * rows, (b + 1) * rows)]
@@ -105,15 +113,39 @@ def minhash_lsh_pairs(
     banded = sig.select(F.col(id_col), F.explode(F.array(*band_cols)).alias("bk")).select(
         id_col, F.col("bk.band").alias("band"), F.col("bk.bh").alias("bh")
     )
-    left = banded.alias("l")
-    right = banded.alias("r")
+    pair_expr = (
+        "flatten(transform(ids, (x, i) -> "
+        "transform(slice(ids, i + 2, size(ids)), y -> "
+        "named_struct('id_a', x, 'id_b', y))))"
+    )
+    # checkpointed (EAGER): cand feeds the id-prune and the verify join —
+    # a lazy checkpoint here lets two downstream stages race to compute it
     cand = (
-        left.join(right, ["band", "bh"])
-        .filter(F.col(f"l.{id_col}") < F.col(f"r.{id_col}"))
-        .select(F.col(f"l.{id_col}").alias("id_a"), F.col(f"r.{id_col}").alias("id_b"))
+        banded.groupBy("band", "bh")
+        .agg(F.array_sort(F.collect_list(F.col(id_col))).alias("ids"))
+        .filter(F.size("ids") > 1)
+        .select(F.explode(F.expr(pair_expr)).alias("p"))
+        .select(F.col("p.id_a").alias("id_a"), F.col("p.id_b").alias("id_b"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    # verify against CANDIDATE docs only (r06): the old shape computed the
+    # full corpus shingle table twice (once per join side); at scale the
+    # verify-side shingle cost must track the candidate count, not the
+    # corpus — prune docs with a broadcast semi-join on the candidate ids,
+    # compute shingles once for the survivors, and share them (lazy
+    # checkpoint) across both sides of the pair join.
+    ids = (
+        cand.select(F.col("id_a").alias(id_col))
+        .unionByName(cand.select(F.col("id_b").alias(id_col)))
         .distinct()
     )
-    sh = docs.select(F.col(id_col), shingles_col(text_col).alias("sh"))
+    # EAGER for the same reason as cand: both sides of the pair join read it
+    sh = (
+        docs.join(F.broadcast(ids), id_col, "left_semi")
+        .select(F.col(id_col), shingles_col(text_col).alias("sh"))
+        .localCheckpoint(eager=True)
+    )
     verified = (
         cand.join(sh.select(F.col(id_col).alias("id_a"), F.col("sh").alias("sh_a")), "id_a")
         .join(sh.select(F.col(id_col).alias("id_b"), F.col("sh").alias("sh_b")), "id_b")
@@ -307,25 +339,37 @@ def simhash_near_dup_pairs(
     bucket join (never a cross join).  AQE splits skewed buckets.
     """
     n_bands = max_hamming + 1
-    # localCheckpoint (not persist): the hash UDF runs ONCE and feeds both
-    # sides of the self-join, and the blocks are auto-released by the
-    # ContextCleaner when the returned DataFrame is dropped — a .persist()
-    # here leaked cached blocks on every call (bench/driver loops).  Lazy:
-    # the self-join job materializes it (one fewer job per call, r06).
-    hashed = docs.select(F.col(id_col), simhash_64(F.col(text_col)).alias("simhash")).localCheckpoint(eager=False)
+    # r06 restructure (mirrors minhash_lsh_pairs): bucket-local pair
+    # expansion replaces the banded self-join — the hash UDF runs once
+    # (single consumer: no localCheckpoint, no double ArrowEvalPython, no
+    # materialization race), the banded table crosses its exchange once,
+    # and the plan drops one Exchange + one join.  Sorting each bucket's
+    # (id, simhash) structs orders pairs id_a < id_b exactly as the join's
+    # filter did.
+    hashed = docs.select(F.col(id_col), simhash_64(F.col(text_col)).alias("simhash"))
     bands_arr = F.array(*[c for c in simhash_bands("simhash", n_bands)])
     banded = hashed.select(
         F.col(id_col), F.col("simhash"), F.posexplode(bands_arr).alias("band", "bval")
     )
-    left = banded.alias("l")
-    right = banded.alias("r")
+    pair_expr = (
+        "flatten(transform(ms, (x, i) -> "
+        "transform(slice(ms, i + 2, size(ms)), y -> "
+        "named_struct('id_a', x.i, 'id_b', y.i, "
+        "'hamming', bit_count(x.h ^ y.h)))))"
+    )
     pairs = (
-        left.join(right, ["band", "bval"])
-        .filter(F.col(f"l.{id_col}") < F.col(f"r.{id_col}"))
+        banded.groupBy("band", "bval")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct(F.col(id_col).alias("i"), F.col("simhash").alias("h")))
+            ).alias("ms")
+        )
+        .filter(F.size("ms") > 1)
+        .select(F.explode(F.expr(pair_expr)).alias("p"))
         .select(
-            F.col(f"l.{id_col}").alias("id_a"),
-            F.col(f"r.{id_col}").alias("id_b"),
-            F.expr("bit_count(l.simhash ^ r.simhash)").alias("hamming"),
+            F.col("p.id_a").alias("id_a"),
+            F.col("p.id_b").alias("id_b"),
+            F.col("p.hamming").alias("hamming"),
         )
         .filter(F.col("hamming") <= max_hamming)
         .distinct()

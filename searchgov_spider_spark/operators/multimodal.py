@@ -611,7 +611,9 @@ def image_near_dup_pairs(
     from .dedup import simhash_bands
 
     n_bands = max_hamming + 1
-    hashed = image_dhash(media, id_col).localCheckpoint(eager=False)
+    # EAGER: the dhash table feeds both sides of the band self-join — a lazy
+    # checkpoint would let the two scan stages race to materialize the UDF
+    hashed = image_dhash(media, id_col).localCheckpoint(eager=True)
     bands_arr = F.array(*simhash_bands("dhash", n_bands))
     banded = hashed.select(
         F.col(id_col), F.col("dhash"), F.posexplode(bands_arr).alias("band", "bval")

@@ -212,23 +212,43 @@ def embedding_near_dup_pairs(
         bits, bands, exp_ratio,
         f" (~{exp_ratio * n_rows:.1f} expected random candidates/row at n={n_rows})" if n_rows else "",
     )
-    # lazy localCheckpoint: the SRP matmul UDF feeds BOTH sides of the
-    # band self-join — without it the plan carries two copies of the
-    # ArrowEvalPython subtree and hashes every vector twice (r06)
-    banded = (
-        with_lsh_bands(embeddings, dim, bits, bands, seed, vec_col)
-        .select(F.col(id_col), F.posexplode("bands").alias("band", "bucket"))
-        .localCheckpoint(eager=False)
+    # r06 restructure (mirrors dedup.minhash_lsh_pairs): bucket-local pair
+    # expansion replaces the banded self-join — the banded table crosses
+    # its exchange once, the SRP matmul UDF runs once (single consumer —
+    # no checkpoint, no double ArrowEvalPython), one Exchange + one join
+    # fewer in the plan.
+    banded = with_lsh_bands(embeddings, dim, bits, bands, seed, vec_col).select(
+        F.col(id_col), F.posexplode("bands").alias("band", "bucket")
     )
-    left = banded.alias("l")
-    right = banded.alias("r")
+    pair_expr = (
+        "flatten(transform(ids, (x, i) -> "
+        "transform(slice(ids, i + 2, size(ids)), y -> "
+        "named_struct('id_a', x, 'id_b', y))))"
+    )
+    # EAGER checkpoint: cand feeds the id-prune and the verify join — lazy
+    # would let two downstream stages race to materialize it
     cand = (
-        left.join(right, ["band", "bucket"])
-        .filter(F.col(f"l.{id_col}") < F.col(f"r.{id_col}"))
-        .select(F.col(f"l.{id_col}").alias("id_a"), F.col(f"r.{id_col}").alias("id_b"))
+        banded.groupBy("band", "bucket")
+        .agg(F.array_sort(F.collect_list(F.col(id_col))).alias("ids"))
+        .filter(F.size("ids") > 1)
+        .select(F.explode(F.expr(pair_expr)).alias("p"))
+        .select(F.col("p.id_a").alias("id_a"), F.col("p.id_b").alias("id_b"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    # exact-verify against CANDIDATE vectors only: broadcast-semi-prune the
+    # corpus on candidate ids so the verify-side vector reads track
+    # candidates, not corpus size
+    ids = (
+        cand.select(F.col("id_a").alias(id_col))
+        .unionByName(cand.select(F.col("id_b").alias(id_col)))
         .distinct()
     )
-    vecs = embeddings.select(F.col(id_col), F.col(vec_col))
+    vecs = (
+        embeddings.join(F.broadcast(ids), id_col, "left_semi")
+        .select(F.col(id_col), F.col(vec_col))
+        .localCheckpoint(eager=True)  # both sides of the pair join read it
+    )
     pairs = (
         cand.join(vecs.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("_va")), "id_a")
         .join(vecs.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("_vb")), "id_b")

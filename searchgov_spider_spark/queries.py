@@ -288,7 +288,7 @@ def q19_minhash_dedup(spark, sf_dir):
 
 def q20_jaccard_pairs(spark, sf_dir):
     """Exact n-gram Jaccard for an explicit pair set (adjacent doc ids)."""
-    d = _t(spark, sf_dir, "documents")
+    d = _fan_out(_t(spark, sf_dir, "documents"), "doc_id")
     pairs = d.filter((F.col("doc_id") % 2 == 0) & (F.col("doc_id") < 100)).select(
         F.col("doc_id").alias("id_a"), (F.col("doc_id") + 1).alias("id_b")
     )
@@ -369,7 +369,7 @@ def q25_lsh_near_dup_pairs(spark, sf_dir):
 
 def q26_ann_lsh(spark, sf_dir):
     """LSH-bucketed approximate nearest neighbours (scale path of q21)."""
-    emb = _t(spark, sf_dir, "embeddings")
+    emb = _fan_out(_t(spark, sf_dir, "embeddings"), "vec_id")
     qvec = [float(x) for x in emb.filter(F.col("vec_id") == 0).select("embedding").head()[0]]
     return similarity.ann_topk_lsh(emb, qvec, k=10, bits=8).select("vec_id", F.round("cosine", 4).alias("cosine"))
 
@@ -627,13 +627,13 @@ def q36_pdf_extraction(spark, sf_dir):
 def q39_bpe_token_stats(spark, sf_dir):
     """Whitespace + BPE-ish-regex token counting (training-data budgeting),
     pure JVM regex — SQL-oracle-portable."""
-    return textstats.bpe_token_stats(_t(spark, sf_dir, "documents"))
+    return textstats.bpe_token_stats(_fan_out(_t(spark, sf_dir, "documents"), "doc_id"))
 
 
 def q38_ann_ivf(spark, sf_dir):
     """IVF-Flat ANN top-k (coarse k-means quantizer + nprobe cell pruning) —
     the partition-pruned scale path complementing q26's LSH."""
-    emb = _t(spark, sf_dir, "embeddings")
+    emb = _fan_out(_t(spark, sf_dir, "embeddings"), "vec_id")
     qvec = [float(x) for x in emb.filter(F.col("vec_id") == 0).select("embedding").head()[0]]
     top = similarity.ann_topk_ivf(emb, qvec, k=10, n_cells=16, nprobe=4)
     return top.select("vec_id", F.round("cosine", 4).alias("cosine"))
@@ -712,14 +712,14 @@ def q42_repetition_stats(spark, sf_dir):
     """Gopher-style intra-doc repetition filters (occurrence-mass variant):
     top-2-gram and duplicated-5-gram character fractions + the removal flag.
     Two uniform (doc, gram) shuffles, both partial-aggregated."""
-    return textstats.repetition_stats(_t(spark, sf_dir, "documents"))
+    return textstats.repetition_stats(_fan_out(_t(spark, sf_dir, "documents"), "doc_id"))
 
 
 def q43_pii_redaction(spark, sf_dir):
     """PII scrubbing (emails / SSNs / phones -> typed placeholders), counts
     per doc.  PII is injected deterministically (no real PII in the corpus):
     doc_id%3 gains an email, %5 an SSN, %7 a phone.  Pure JVM regex."""
-    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    d = _fan_out(_t(spark, sf_dir, "documents"), "doc_id").select("doc_id", "text")
     pad4 = F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0")
     injected = d.withColumn(
         "text",
@@ -976,7 +976,7 @@ def q53_corpus_mixture(spark, sf_dir):
     agg), the window runs over the tiny strata table only."""
     from pyspark.sql import Window
 
-    docs = _t(spark, sf_dir, "documents")
+    docs = _fan_out(_t(spark, sf_dir, "documents"), "doc_id")
     base = docs.select(
         "lang", "source", F.expr("size(regexp_extract_all(text, '\\\\S+', 0))").alias("nt")
     )
@@ -1051,7 +1051,7 @@ def q55_c4_filters(spark, sf_dir):
         "CASE WHEN doc_id % 19 = 0 THEN array('see config { x } here.') ELSE array() END), "
         "'\\n')"
     )
-    d = _t(spark, sf_dir, "documents").select(
+    d = _fan_out(_t(spark, sf_dir, "documents"), "doc_id").select(
         F.col("doc_id").cast("long").alias("doc_id"), F.expr(lined).alias("text")
     )
     return curation.c4_line_filters(d)
@@ -1120,7 +1120,7 @@ def q61_dup_spans(spark, sf_dir):
     dup = docs.filter(F.expr("doc_id % 5 = 0")).select(
         (F.col("doc_id") + 100000).alias("doc_id"), "text"
     )
-    return dedup.duplicated_spans(docs.unionByName(dup), k=Q61_SPAN_K)
+    return dedup.duplicated_spans(_fan_out(docs.unionByName(dup), "doc_id"), k=Q61_SPAN_K)
 
 
 def q62_corpus_profile(spark, sf_dir):
@@ -1141,7 +1141,7 @@ def q63_winnow_fingerprints(spark, sf_dir):
     the per-doc distinct all inside the token array, so the operator is a
     pure map + explode with ZERO shuffles (operators/dedup.py)."""
     return dedup.winnow_fingerprints(
-        _t(spark, sf_dir, "documents"), k=Q63_K, w=Q63_W
+        _fan_out(_t(spark, sf_dir, "documents"), "doc_id"), k=Q63_K, w=Q63_W
     )
 
 
@@ -1295,7 +1295,7 @@ def q72_containment_pairs(spark, sf_dir):
     doc (id +200000); the excerpt's shingles are ~fully contained in the
     original while Jaccard stays tiny — the quote/subset-detection case
     Jaccard misses (operators/dedup.py)."""
-    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    d = _fan_out(_t(spark, sf_dir, "documents"), "doc_id").select("doc_id", "text")
     excerpts = d.filter(F.col("doc_id") % 9 == 0).select(
         (F.col("doc_id") + 200000).alias("doc_id"),
         F.substring(F.col("text"), 1, Q72_EXCERPT_CHARS).alias("text"),
@@ -1351,7 +1351,7 @@ def q71_crawl_delta(spark, sf_dir):
     (operators/snapshots.py)."""
     from .operators import snapshots
 
-    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    d = _fan_out(_t(spark, sf_dir, "documents"), "doc_id").select("doc_id", "text")
     surviving = d.filter(~(F.col("doc_id") % 7 == 0)).select(
         "doc_id",
         F.when(
@@ -1411,7 +1411,7 @@ def q76_incremental_novelty(spark, sf_dir):
     near-copies (%3==1), genuinely novel docs (%3==2), ids shifted
     +500000 — LSH-deduped AGAINST the existing corpus, never against
     itself (operators/dedup.lsh_novelty)."""
-    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    d = _fan_out(_t(spark, sf_dir, "documents"), "doc_id").select("doc_id", "text")
     batch = d.select(
         (F.col("doc_id") + 500000).alias("doc_id"),
         F.when(F.col("doc_id") % 3 == 0, F.col("text"))
@@ -1535,7 +1535,7 @@ def q84_corpus_overlap(spark, sf_dir):
     seeded min-hash components per corpus (map-side combine only) plus the
     exact distinct-digest Jaccard for reference
     (operators/dedup.corpus_overlap_sketch)."""
-    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    d = _fan_out(_t(spark, sf_dir, "documents"), "doc_id").select("doc_id", "text")
     surviving = d.filter(~(F.col("doc_id") % 7 == 0)).select(
         F.when(F.col("doc_id") % 5 == 0, F.concat(F.col("text"), F.lit(" [updated]")))
         .otherwise(F.col("text"))
@@ -4678,7 +4678,7 @@ def q128_cdc_delta(spark, sf_dir):
     — then the same distinct-intersection arithmetic."""
     from .operators import snapshots
 
-    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    d = _fan_out(_t(spark, sf_dir, "documents"), "doc_id").select("doc_id", "text")
     v2 = d.select(
         "doc_id",
         F.expr(
