@@ -284,10 +284,30 @@ def summarize_text(text: str, lang: str = "en") -> tuple[str, str]:
     (helpers.py:128-132); top sentences re-joined in score order using Python
     ``sorted`` stability for tie-break (helpers.py:134-138) -- the stability
     is deliberately preserved for byte parity.
+
+    Single-tokenize fast path (r06): each sentence is tokenized once and the
+    frequency table is built from the concatenation.  This equals
+    ``word_frequencies(text, lang)`` exactly -- the token charset
+    ``[a-z0-9']`` contains neither whitespace nor ``.!?``, so no token can
+    span a ``split_sentences`` boundary or the stripped whitespace, and the
+    concatenated per-sentence token streams reproduce the full-text token
+    stream (only token MULTISET matters for the Counter; str.lower is
+    per-character over ASCII token chars).  ``Counter.__getitem__`` returns 0
+    for missing keys without inserting, matching ``freq.get(t, 0)``.
+    Differential-pinned against the explicit derivation in
+    tests/test_fast_html_parity.py.
     """
-    freq = word_frequencies(text, lang)
+    from collections import Counter
+
+    sw = STOPWORDS.get(lang, STOPWORDS["en"])
     sentences = split_sentences(text)
-    scored = [(sum(freq.get(t, 0) for t in tokenize(s)), i, s) for i, s in enumerate(sentences)]
+    sent_tokens = [tokenize(s) for s in sentences]
+    freq = Counter([t for toks in sent_tokens for t in toks if t not in sw])
+    get = freq.__getitem__
+    scored = [
+        (sum(map(get, toks)), i, s)
+        for i, (toks, s) in enumerate(zip(sent_tokens, sentences))
+    ]
     top = sorted(scored, key=lambda x: -x[0])[:3]
     summary = " ".join(s for _, _, s in top)
     keywords = ",".join(w for w, _ in sorted(freq.items(), key=lambda kv: (-kv[1], kv[0]))[:10])

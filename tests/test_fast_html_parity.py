@@ -61,6 +61,26 @@ ADVERSARIAL_HTML = [
     '<p\nmulti="line"\n>nl</p>',
     "<p> line sep</p>",
     "<a href='/mixed\"quote'>q</a>",
+    # one/two-quoted-attr fast-path shapes (r06) + near-misses that must
+    # fall through to the general tokenizer with identical results
+    '<a href="/one">x</a>',
+    '<a HREF="/up">x</a>',
+    '<a href="/sp" >x</a>',
+    '<a href = "/eq">x</a>',
+    '<a href="/amp&x">amp stays general</a>',
+    '<a href="a\'b">squote in value</a>',
+    '<a href="x" disabled>mixed</a>',
+    '<a href="/a" rel="nofollow">two</a>',
+    '<meta name="keywords" content="k1, k2">',
+    '<meta property="og:image" content="/img.png">',
+    '<meta name="a" content="b" extra="c">',
+    '<meta name="tab\tnl\n" content="v">',
+    '<script src="/x.js">var a=1;</script>after',
+    '<style type="text/css">p{}</style>after',
+    '<a href="/x"/>startend</a>',
+    '<a href="">e</a><a href="#">f</a>',
+    '<p class="c">one-attr non-link</p>',
+    '<a id="i" href="/h">href second</a>',
 ]
 
 
@@ -227,3 +247,47 @@ def test_salad_matches_random_choice():
                 assert webgen._salad(r1, list(words), 24) == " ".join(
                     r2.choice(list(words)) for _ in range(24)
                 )
+
+def _ref_summarize(text: str, lang: str = "en") -> tuple[str, str]:
+    # The pre-r06 explicit derivation: full-text word_frequencies + a second
+    # per-sentence tokenize in the scoring loop (helpers.py:116-138 parity).
+    freq = textproc.word_frequencies(text, lang)
+    sentences = textproc.split_sentences(text)
+    scored = [
+        (sum(freq.get(t, 0) for t in textproc.tokenize(s)), i, s)
+        for i, s in enumerate(sentences)
+    ]
+    top = sorted(scored, key=lambda x: -x[0])[:3]
+    summary = " ".join(s for _, _, s in top)
+    keywords = ",".join(
+        w for w, _ in sorted(freq.items(), key=lambda kv: (-kv[1], kv[0]))[:10]
+    )
+    return summary, keywords
+
+
+def test_summarize_single_tokenize_fast_path_parity():
+    rng = random.Random(42)
+    words = [
+        "the", "of", "and", "cat", "dog", "run", "host", "page", "el", "la",
+        "de", "que", "\xfcber", "caf\xe9", "Σ", "ΑΣ", "don't",
+        "x9", "42", "word's",
+    ]
+    seps = [". ", "! ", "? ", " ", "\t", "\n", ".  ", "?\n", "...", ".Q", "!x "]
+    cases = [
+        "", " ", ".", "a.b", "A. B. C. D. E.", "word" * 200, ". . . !",
+        "Σ test ΑΣ.", "\x00ctl. chars\x01!",
+    ]
+    for _ in range(4000):
+        parts = []
+        for _ in range(rng.randrange(0, 40)):
+            w = rng.choice(words)
+            if rng.random() < 0.3:
+                w = w.upper()
+            elif rng.random() < 0.3:
+                w = w.capitalize()
+            parts.append(w)
+            parts.append(rng.choice(seps))
+        cases.append("".join(parts))
+    for text in cases:
+        lang = rng.choice(["en", "es", "fr", "zz"])
+        assert textproc.summarize_text(text, lang) == _ref_summarize(text, lang), repr(text[:120])
