@@ -22,6 +22,14 @@ from pyspark.sql import types as T
 
 logger = logging.getLogger(__name__)
 
+# Corpus-size crossover for the SRP exact-verify prune (see
+# embedding_near_dup_pairs): below this the prune's fixed jobs cost more
+# than the raw-vector verify joins they avoid; far above it (the 10^10
+# design point) the prune is mandatory.  A data-size gate, not a
+# core-count constant — the same pattern as the crawl engine's
+# bloom_min_seen / bucketed_min_seen crossovers.
+PRUNE_VERIFY_MIN_ROWS = 1_000_000
+
 
 def derive_srp_params(
     threshold: float,
@@ -225,8 +233,6 @@ def embedding_near_dup_pairs(
         "transform(slice(ids, i + 2, size(ids)), y -> "
         "named_struct('id_a', x, 'id_b', y))))"
     )
-    # EAGER checkpoint: cand feeds the id-prune and the verify join — lazy
-    # would let two downstream stages race to materialize it
     cand = (
         banded.groupBy("band", "bucket")
         .agg(F.array_sort(F.collect_list(F.col(id_col))).alias("ids"))
@@ -234,21 +240,39 @@ def embedding_near_dup_pairs(
         .select(F.explode(F.expr(pair_expr)).alias("p"))
         .select(F.col("p.id_a").alias("id_a"), F.col("p.id_b").alias("id_b"))
         .distinct()
-        .localCheckpoint(eager=True)
     )
-    # exact-verify against CANDIDATE vectors only: broadcast-semi-prune the
-    # corpus on candidate ids so the verify-side vector reads track
-    # candidates, not corpus size
-    ids = (
-        cand.select(F.col("id_a").alias(id_col))
-        .unionByName(cand.select(F.col("id_b").alias(id_col)))
-        .distinct()
-    )
-    vecs = (
-        embeddings.join(F.broadcast(ids), id_col, "left_semi")
-        .select(F.col(id_col), F.col(vec_col))
-        .localCheckpoint(eager=True)  # both sides of the pair join read it
-    )
+    # Verify-side prune is SIZE-GATED (same measured-crossover pattern as
+    # the engine's bloom_min_seen / bucketed_min_seen): semi-pruning the
+    # corpus to candidate ids keeps the verify joins' shuffled bytes
+    # proportional to the CANDIDATE count — mandatory at the 10^10-row
+    # design point — but unlike the minhash analog (which avoids
+    # recomputing corpus-wide SHINGLES) the pruned column here is an
+    # already-materialized vector, so below the crossover the prune's fixed
+    # cost (two eager checkpoint jobs + an ids-distinct job + a broadcast)
+    # exceeds everything it saves (measured at sf0.1: q48 3.4-3.6 s pruned
+    # vs 2.3-2.5 s direct).  n_rows is known whenever params were derived;
+    # with explicit bits/bands (no count) the scale assumption applies.
+    if n_rows is None or n_rows >= PRUNE_VERIFY_MIN_ROWS:
+        # EAGER checkpoints: cand feeds the id-prune and the verify join,
+        # vecs feeds both sides of the pair join — lazy would let two
+        # downstream stages race to materialize them
+        cand = cand.localCheckpoint(eager=True)
+        ids = (
+            cand.select(F.col("id_a").alias(id_col))
+            .unionByName(cand.select(F.col("id_b").alias(id_col)))
+            .distinct()
+        )
+        vecs = (
+            embeddings.join(F.broadcast(ids), id_col, "left_semi")
+            .select(F.col(id_col), F.col(vec_col))
+            .localCheckpoint(eager=True)
+        )
+    else:
+        # small corpus: cand's only consumer is the pair join (no
+        # checkpoint, no race) and the raw vector column joins directly —
+        # the inner joins on candidate ids drop non-candidates anyway, so
+        # the pair set and verified rows are identical by construction
+        vecs = embeddings.select(F.col(id_col), F.col(vec_col))
     pairs = (
         cand.join(vecs.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("_va")), "id_a")
         .join(vecs.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("_vb")), "id_b")

@@ -369,7 +369,11 @@ def q25_lsh_near_dup_pairs(spark, sf_dir):
 
 def q26_ann_lsh(spark, sf_dir):
     """LSH-bucketed approximate nearest neighbours (scale path of q21)."""
-    emb = _fan_out(_t(spark, sf_dir, "embeddings"), "vec_id")
+    # NOT fanned out: the embeddings table is vector-light (µs/row matmuls,
+    # ~2k rows at sf0.1) — measured A/B, 32-way fan-out paid more per-task
+    # fixed cost (Arrow round-trips, broadcast deser) than the map it
+    # parallelized; the heavy TEXT kernels over documents keep theirs
+    emb = _t(spark, sf_dir, "embeddings")
     qvec = [float(x) for x in emb.filter(F.col("vec_id") == 0).select("embedding").head()[0]]
     return similarity.ann_topk_lsh(emb, qvec, k=10, bits=8).select("vec_id", F.round("cosine", 4).alias("cosine"))
 
@@ -509,9 +513,12 @@ def _embeddings_with_dups(spark, sf_dir):
     copies = emb.filter(F.col("vec_id") % 10 == 0).select(
         (F.col("vec_id") + 100000).alias("vec_id"), F.col("embedding")
     )
-    # single-row-group scan: fan the union out so per-vector dot-product /
-    # SRP-hash maps use every core (no-op at scale; see _fan_out)
-    return _fan_out(emb.unionByName(copies), "vec_id")
+    # NOT fanned out (fan-out tried, REVERTED like q16): per-vector work
+    # here is µs-scale matmuls/dots over ~2.2k rows — the 32-way fan-out's
+    # per-task fixed costs regressed q34 1.5 -> 3.4 s and q48 2.4 -> 3.6 s
+    # (interleaved A/B vs the round-start tree; stage evidence: 32-task
+    # stages at 0.3-0.7 s CPU/task on ~70 rows/task vs 2-task 0.3 s total)
+    return emb.unionByName(copies)
 
 
 def q34_embedding_near_dup(spark, sf_dir):
@@ -633,7 +640,8 @@ def q39_bpe_token_stats(spark, sf_dir):
 def q38_ann_ivf(spark, sf_dir):
     """IVF-Flat ANN top-k (coarse k-means quantizer + nprobe cell pruning) —
     the partition-pruned scale path complementing q26's LSH."""
-    emb = _fan_out(_t(spark, sf_dir, "embeddings"), "vec_id")
+    # NOT fanned out: see _embeddings_with_dups (vector-light table)
+    emb = _t(spark, sf_dir, "embeddings")
     qvec = [float(x) for x in emb.filter(F.col("vec_id") == 0).select("embedding").head()[0]]
     top = similarity.ann_topk_ivf(emb, qvec, k=10, n_cells=16, nprobe=4)
     return top.select("vec_id", F.round("cosine", 4).alias("cosine"))
